@@ -1,0 +1,134 @@
+"""Deterministic synthetic source-code corpus (FIXTURES.md §1).
+
+The BASELINE.json ``input_hint`` mandates a Parquet table
+``(repo, path, commit, lang, content)``; no such table exists in the
+driver's testdata, so we synthesize it deterministically (seed fixed,
+row content a pure function of the row index — independent of
+partitioning or parallelism).  Used by unit tests, ``entry()`` and
+``bench.py``.
+
+Properties exercised (FIXTURES.md):
+- Zipf-ish hot repos; nested paths; langs weighted.
+- camelCase + snake_case identifiers (identifier-splitting tokenizer).
+- hot tokens (``import``, ``return``, ``def``) in nearly every file
+  (hot-term salting path).
+- the golden phrase "interesting and amazing facts" planted in >=3 files
+  (reference e2e query, app/test/test.go:21).
+- ~5%% of (repo, path) keys appear at 2 commits -> last-write-wins upsert
+  (reference app/model/claim.go:142-157 upsert by _id).
+- log-normal sizes with a few large outliers (wide-record path).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+LANGS = ["python", "go", "js", "rust", "java", "md"]
+LANG_W = np.array([0.3, 0.15, 0.2, 0.1, 0.15, 0.1])
+EXT = {"python": "py", "go": "go", "js": "js", "rust": "rs", "java": "java", "md": "md"}
+
+_NOUNS = [
+    "parser", "index", "token", "shard", "merge", "query", "score", "batch",
+    "stream", "buffer", "cache", "config", "handler", "worker", "segment",
+    "vector", "matrix", "graph", "node", "edge", "block", "heap", "queue",
+    "socket", "channel", "claim", "result", "filter", "cursor", "record",
+]
+_VERBS = [
+    "get", "set", "build", "parse", "merge", "flush", "read", "write", "scan",
+    "encode", "decode", "split", "rank", "fetch", "apply", "resolve", "load",
+]
+_PHRASES = [
+    "interesting and amazing facts",
+    "fast and reliable pipeline",
+    "handle the edge case carefully",
+    "this function merges sorted runs",
+    "compute the final relevance score",
+    "temporary workaround for upstream bug",
+    "exact phrase matching support",
+    "the quick brown fox jumps",
+]
+
+GOLDEN_PHRASE = _PHRASES[0]
+
+
+def _stable_rng(i: int) -> np.random.RandomState:
+    return np.random.RandomState((i * 2654435761 + 42) % (2**32))
+
+
+_NOUN_CAP = [n.capitalize() for n in _NOUNS]
+
+
+def _make_content(i: int, rng: np.random.RandomState, lang: str) -> str:
+    n_lines = max(4, int(rng.lognormal(2.6, 0.9)))
+    if i % 5000 == 1:  # MB-scale outlier
+        n_lines = 8000
+    lines: list[str] = []
+    kw_import, kw_def = ("import", "def") if lang == "python" else ("import", "func")
+    # draw everything in bulk (one rng call per stream, not per line)
+    ks = rng.randint(0, 5, size=n_lines)
+    vs = rng.randint(0, len(_VERBS), size=n_lines)
+    n1s = rng.randint(0, len(_NOUNS), size=n_lines)
+    n2s = rng.randint(0, len(_NOUNS), size=n_lines)
+    ph = rng.randint(1, len(_PHRASES), size=n_lines)
+    cn = rng.randint(0, 100, size=n_lines)
+    for _ in range(min(4, n_lines // 3 + 1)):
+        lines.append(f"{kw_import} {_NOUNS[n1s[len(lines) % n_lines]]}_{_VERBS[vs[len(lines) % n_lines]]}")
+    for j in range(n_lines):
+        k = ks[j]
+        v, n1, n2 = _VERBS[vs[j]], _NOUNS[n1s[j]], _NOUNS[n2s[j]]
+        if k == 0:
+            lines.append(f"{kw_def} {v}{_NOUN_CAP[n1s[j]]}{_NOUN_CAP[n2s[j]]}(self, {n2}_id):")
+        elif k == 1:
+            lines.append(f"    {n1}_{n2} = {v}_{n1}({n2}_count, {cn[j]})")
+        elif k == 2:
+            lines.append(f"    # {_PHRASES[ph[j]]}")
+        elif k == 3:
+            lines.append(f'    msg = "{v} {n1} done"')
+        else:
+            lines.append(f"    return {n1}{_NOUN_CAP[n2s[j]]}.{v}()")
+    if i % 97 == 0:
+        lines.append(f"# {GOLDEN_PHRASE}")
+    return "\n".join(lines)
+
+
+def gen_rows(n_docs: int) -> dict[str, list]:
+    """Generate the corpus row-by-row (pure function of the index)."""
+    repos, paths, commits, langs, contents = [], [], [], [], []
+
+    def emit(i: int, version: int) -> None:
+        rng = _stable_rng(i * 10 + version)
+        repo = f"org{i % 7}/repo{i % 53}"
+        lang = LANGS[int(_stable_rng(i).choice(len(LANGS), p=LANG_W))]
+        path = f"src/module_{i % 23}/file_{i}.{EXT[lang]}"
+        commit = hashlib.sha1(f"{repo}/{path}@{version}".encode()).hexdigest()
+        repos.append(repo)
+        paths.append(path)
+        commits.append(commit)
+        langs.append(lang)
+        contents.append(_make_content(i, rng, lang))
+
+    for i in range(n_docs):
+        emit(i, 1)
+        if i % 20 == 0:  # ~5% of files appear at a second commit
+            emit(i, 2)
+    return {
+        "repo": repos,
+        "path": paths,
+        "commit": commits,
+        "lang": langs,
+        "content": contents,
+    }
+
+
+def gen_corpus(n_docs: int) -> pa.Table:
+    return pa.table(gen_rows(n_docs))
+
+
+def write_corpus(path: str, n_docs: int) -> str:
+    import pyarrow.parquet as pq
+
+    pq.write_table(gen_corpus(n_docs), path)
+    return path
