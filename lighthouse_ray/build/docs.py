@@ -1,0 +1,178 @@
+"""Document identity, derived fields, doc-values, ordinals, doc-store.
+
+Pipeline stage A (SURVEY.md §7.1): ``read_parquet(corpus)`` →
+``map_batches(derive)`` → ``groupby(part).map_groups(finalize_part)``.
+
+- doc identity: ``doc_id = sha1(repo \\0 path \\0 commit)`` (the claimId
+  analog, reference app/model/claim.go:24,143); logical upsert key is
+  ``(repo, path)`` — the same file at a newer commit replaces the older
+  row (last-write-wins upsert by ``_id``, claim.go:142-157; winner =
+  lexicographically greatest commit, a deterministic tie-break).
+- delete routing: synthesized ``bid_state ∈ {Spent, Expired}`` rows are
+  dropped from the index and counted (chainquery.go:127-132).
+- **deterministic dense ordinals** at any parallelism: a document's
+  partition is ``stable_hash64(repo+path) % num_doc_parts`` (content-
+  addressed), documents are ranked by ``doc_id`` *within* their
+  partition, and the global ordinal is ``part_offset[part] + rank``
+  where the offsets come from the per-partition counts recorded in the
+  manifest.  Nothing depends on block arrival order or CPU count.
+- per-row invariant: ``content_sha256`` computed at ingest and stored in
+  the doc-store; a per-partition digest over the sorted row hashes goes
+  into the manifest (lineage; BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..config import IndexConfig
+from ..util import atomic_write_bytes
+
+# five-year release_time window ending at the frozen "now" (FIXTURES.md §1)
+_RELEASE_LO = 1_609_459_200  # 2021-01-01
+_RELEASE_SPAN = 157_766_400  # ~5 years
+
+BID_STATES = ("Controlling", "Accepted", "Spent", "Expired")
+
+
+def derive_batch(batch: pa.Table, cfg: IndexConfig) -> pa.Table:
+    """Identity + derived fields + synthetic doc-values for one Arrow batch.
+
+    String hashing (sha1/sha256) is inherently per-row; everything
+    derivable from the 64-bit id hash is vectorized with numpy.
+    """
+    repo = batch["repo"].to_pylist()
+    path = batch["path"].to_pylist()
+    commit = batch["commit"].to_pylist()
+    content = batch["content"]
+
+    n = len(repo)
+    doc_id = [None] * n
+    key_h = np.empty(n, dtype=np.uint64)
+    h64 = np.empty(n, dtype=np.uint64)
+    for i in range(n):
+        doc_id[i] = hashlib.sha1(
+            f"{repo[i]}\0{path[i]}\0{commit[i]}".encode()
+        ).hexdigest()
+        key_h[i] = int.from_bytes(
+            hashlib.sha1(f"{repo[i]}\0{path[i]}".encode()).digest()[:8], "big"
+        )
+        h64[i] = int(doc_id[i][:16], 16)
+
+    content_sha = [hashlib.sha256(c.encode()).hexdigest() for c in content.to_pylist()]
+
+    part = (key_h % np.uint64(cfg.num_doc_parts)).astype(np.int32)
+
+    # synthetic scoring doc-values, pure function of doc_id
+    # (analogs of claim.go:28-53 fields; FIXTURES.md §1)
+    eff = (h64 % np.uint64(10**9)).astype(np.int64)
+    cert = ((h64 >> np.uint64(7)) % np.uint64(10**8)).astype(np.int64)
+    view = ((h64 >> np.uint64(13)) % np.uint64(10**6)).astype(np.int64)
+    sub = ((h64 >> np.uint64(17)) % np.uint64(10**5)).astype(np.int64)
+    claim_cnt = ((h64 >> np.uint64(21)) % np.uint64(500)).astype(np.int64)
+    fee = np.where(h64 % np.uint64(3) == 0, ((h64 >> np.uint64(23)) % np.uint64(100)).astype(np.int64), 0)
+    hb = h64 % np.uint64(20)
+    bid = np.full(n, 1, dtype=np.int8)                  # Accepted
+    bid[(h64 % np.uint64(3) == 0).nonzero()[0]] = 0     # Controlling
+    bid[hb == 18] = 2                                    # Spent
+    bid[hb == 19] = 3                                    # Expired
+    has_thumb = (h64 % np.uint64(4) != 0)
+    nsfw = (h64 % np.uint64(50) == 0)
+    release = (np.uint64(_RELEASE_LO) + (h64 >> np.uint64(3)) % np.uint64(_RELEASE_SPAN)).astype(np.int64)
+
+    name = pc.replace_substring_regex(batch["path"], pattern="^.*/", replacement="")
+
+    # claim_type analog (query.go:16-19 stream/channel): a repo-root README
+    # acts as the repo's "channel" document; everything else is a "stream".
+    is_channel = pc.match_substring_regex(batch["path"], "^README\\.").to_numpy(
+        zero_copy_only=False
+    )
+    kind = np.where(is_channel, "channel", "stream")
+    channel_claim_id = [hashlib.sha1(r.encode()).hexdigest() for r in repo]
+    # content_type analog: a MIME-ish string so prefix filters
+    # (query.go:320-334 `content_type.keyword` starts-with) are exercised
+    lang_list = batch["lang"].to_pylist()
+    mime = [("text/" + l) if l == "md" else ("application/" + l) for l in lang_list]
+
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_id, type=pa.string()),
+            "repo": batch["repo"],
+            "path": batch["path"],
+            "commit": batch["commit"],
+            "lang": batch["lang"],
+            "content": content,
+            "content_sha256": pa.array(content_sha, type=pa.string()),
+            "name": name,
+            "kind": pa.array(kind.tolist(), type=pa.string()),
+            "channel_claim_id": pa.array(channel_claim_id, type=pa.string()),
+            "mime": pa.array(mime, type=pa.string()),
+            "part": pa.array(part),
+            "effective_amount": pa.array(eff),
+            "certificate_amount": pa.array(cert),
+            "view_cnt": pa.array(view),
+            "sub_cnt": pa.array(sub),
+            "claim_cnt": pa.array(claim_cnt),
+            "fee": pa.array(fee),
+            "bid_state": pa.array(bid),
+            "has_thumbnail": pa.array(has_thumb),
+            "nsfw": pa.array(nsfw),
+            "release_time": pa.array(release),
+        }
+    )
+
+
+def make_finalize_part(index_dir: str, cfg: IndexConfig):
+    """Per-partition finalizer: dedup → delete-route → rank → write."""
+
+    def finalize_part(group: pa.Table) -> pa.Table:
+        part = group["part"][0].as_py()
+        df = group.to_pandas()
+        n_input = len(df)
+        # last-write-wins upsert by logical key (repo, path)
+        df = df.sort_values(["repo", "path", "commit"]).drop_duplicates(
+            ["repo", "path"], keep="last"
+        )
+        # delete routing: Spent(2) / Expired(3) are not indexed
+        n_deleted = int((df["bid_state"] >= 2).sum())
+        df = df[df["bid_state"] < 2]
+        # deterministic rank within partition
+        df = df.sort_values("doc_id").reset_index(drop=True)
+        df["rank"] = np.arange(len(df), dtype=np.int64)
+        digest = hashlib.sha256(
+            "".join(sorted(df["content_sha256"].tolist())).encode()
+        ).hexdigest()
+        out = pa.Table.from_pandas(df, preserve_index=False)
+        sink = pa.BufferOutputStream()
+        pq.write_table(out, sink, compression="zstd")
+        atomic_write_bytes(
+            os.path.join(index_dir, "docstore", f"part-{part:05d}.parquet"),
+            sink.getvalue().to_pybytes(),
+        )
+        return pa.table(
+            {
+                "part": pa.array([part], type=pa.int32()),
+                "rows": pa.array([len(df)], type=pa.int64()),
+                "input_rows": pa.array([n_input], type=pa.int64()),
+                "deleted": pa.array([n_deleted], type=pa.int64()),
+                "digest": pa.array([digest], type=pa.string()),
+            }
+        )
+
+    return finalize_part
+
+
+def part_offsets(part_rows: dict[int, int], num_parts: int) -> list[int]:
+    """Cumulative ordinal base per partition (dense, deterministic)."""
+    offsets = [0] * num_parts
+    acc = 0
+    for p in range(num_parts):
+        offsets[p] = acc
+        acc += part_rows.get(p, 0)
+    return offsets

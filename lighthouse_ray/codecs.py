@@ -43,6 +43,30 @@ def varbyte_encode(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def varbyte_sizes(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length of each value (int64 array)."""
+    a = np.ascontiguousarray(values, dtype=np.uint64)
+    nb = np.ones(a.shape, dtype=np.int64)
+    for t in _THRESHOLDS:
+        nb += (a >= t).astype(np.int64)
+    return nb
+
+
+def position_gaps(positions: np.ndarray, tfs: np.ndarray) -> np.ndarray:
+    """Per-doc delta gaps for a concatenated position stream (see
+    :func:`encode_position_lists`)."""
+    p = np.ascontiguousarray(positions, dtype=np.uint64)
+    if p.size == 0:
+        return p
+    gaps = np.empty_like(p)
+    gaps[0] = p[0]
+    np.subtract(p[1:], p[:-1], out=gaps[1:])
+    tf64 = np.ascontiguousarray(tfs, dtype=np.int64)
+    starts = np.cumsum(tf64) - tf64
+    gaps[starts] = p[starts]
+    return gaps
+
+
 def varbyte_decode(buf: bytes | memoryview | np.ndarray) -> np.ndarray:
     """Decode LEB128 bytes back to a uint64 array."""
     b = np.frombuffer(buf, dtype=np.uint8)
@@ -96,15 +120,9 @@ def encode_position_lists(positions: np.ndarray, tfs: np.ndarray) -> bytes:
     then the whole stream is varbyte-encoded.  Decode with
     :func:`decode_position_lists` using the same ``tfs``.
     """
-    p = np.ascontiguousarray(positions, dtype=np.uint64)
-    if p.size == 0:
+    if np.asarray(positions).size == 0:
         return b""
-    gaps = np.empty_like(p)
-    gaps[0] = p[0]
-    np.subtract(p[1:], p[:-1], out=gaps[1:])
-    starts = np.cumsum(tfs.astype(np.int64)) - tfs.astype(np.int64)
-    gaps[starts] = p[starts]  # reset deltas at each doc boundary
-    return varbyte_encode(gaps)
+    return varbyte_encode(position_gaps(positions, tfs))
 
 
 def decode_position_lists(buf: bytes, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

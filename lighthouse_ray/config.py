@@ -1,0 +1,67 @@
+"""Index build configuration.
+
+Values are sized so the same plan works from the pytest fixtures (1k
+docs, 4 CPUs) up to a multi-node cluster: ``num_doc_parts`` and
+``num_term_shards`` are *content-addressed* partition counts fixed in
+the config — never derived from the CPU count — so ordinals, shard
+layout and therefore top-k results are identical at any parallelism
+(fixture x01, SURVEY.md §7.3 determinism requirement).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# Indexed full-text fields and their document-source columns.
+# Analog of the reference's dynamically-mapped text fields
+# (app/es/index/claims.go:9-32): name <- basename(path), title <- path,
+# channel <- repo, content <- file body (the `description` analog).
+FIELDS = ("name", "title", "channel", "content")
+
+
+@dataclass
+class IndexConfig:
+    # partitioning (content-addressed, parallelism-independent)
+    num_doc_parts: int = 32          # doc-store partitions; at 100 TB: O(50k)
+    num_term_shards: int = 64        # posting segment shards; at 100 TB: O(100k)
+
+    # BM25 (ES 6.x defaults, reference app/es/index/claims.go:9-32)
+    k1: float = 1.2
+    b: float = 0.75
+
+    # postings layout
+    block_size: int = 128            # postings per block-max block
+
+    # hot-term salting (SURVEY.md §4 skew row): terms whose estimated df
+    # exceeds hot_df_ratio * N get their posting lists split by ordinal
+    # range (salt buckets of salt_range docs each) across shards.
+    hot_df_ratio: float = 0.10
+    salt_range: int = 1 << 16        # docs per salt bucket
+    df_sample_mod: int = 50          # 1/50 of docs sampled for df estimation
+
+    # execution sizing
+    tokenize_batch_size: int = 256   # docs per tokenize batch (content can be MBs)
+    tokenize_concurrency: int | None = None  # None -> stateless tasks sizing by Ray
+
+    # frozen "now" for time-decay scoring fixtures (FIXTURES.md §1)
+    now_ts: int = 1_767_225_600      # 2026-01-01T00:00:00Z
+
+    extra: dict = field(default_factory=dict)
+
+    def to_json(self) -> dict:
+        return {
+            "num_doc_parts": self.num_doc_parts,
+            "num_term_shards": self.num_term_shards,
+            "k1": self.k1,
+            "b": self.b,
+            "block_size": self.block_size,
+            "hot_df_ratio": self.hot_df_ratio,
+            "salt_range": self.salt_range,
+            "df_sample_mod": self.df_sample_mod,
+            "now_ts": self.now_ts,
+        }
+
+    @classmethod
+    def from_json(cls, d: dict) -> "IndexConfig":
+        return cls(**{k: v for k, v in d.items() if k in cls.__dataclass_fields__})

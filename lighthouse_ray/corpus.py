@@ -101,8 +101,13 @@ def gen_rows(n_docs: int) -> dict[str, list]:
     def emit(i: int, version: int) -> None:
         rng = _stable_rng(i * 10 + version)
         repo = f"org{i % 7}/repo{i % 53}"
-        lang = LANGS[int(_stable_rng(i).choice(len(LANGS), p=LANG_W))]
-        path = f"src/module_{i % 23}/file_{i}.{EXT[lang]}"
+        if i % 40 == 7:
+            # repo-root README: the "channel document" analog (claim_type)
+            lang = "md"
+            path = "README.md"
+        else:
+            lang = LANGS[int(_stable_rng(i).choice(len(LANGS), p=LANG_W))]
+            path = f"src/module_{i % 23}/file_{i}.{EXT[lang]}"
         commit = hashlib.sha1(f"{repo}/{path}@{version}".encode()).hexdigest()
         repos.append(repo)
         paths.append(path)

@@ -1,0 +1,209 @@
+"""Segment reader: term dictionary lookups, postings decode, doc metadata.
+
+Serving-side analog of the reference's ES client singleton
+(app/app.go:48-53, app/es/es.go:9): holds mmap-ish state (parsed shard
+tables, dense doclen arrays, the doc-metadata frame) that is loaded once
+and shared across queries.  In a cluster deployment each serving actor
+holds a subset of shards; in-process here.
+
+Hot (salted) terms: a hot term's posting list is split across salt
+buckets of ``salt_range`` ordinals each, bucket ``b`` living in shard
+``stable_hash64(f"{term}#{b}") % S`` (build side:
+build/postings.py).  ``lookup`` re-concatenates the buckets in ordinal
+order — ranges are disjoint and increasing so the result stays sorted.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from ..codecs import decode_position_lists, varbyte_decode
+from ..config import FIELDS
+from ..util import read_json, stable_hash64
+
+
+@dataclass
+class Chunk:
+    ords: np.ndarray        # absolute ordinals, uint64, sorted
+    tfs: np.ndarray         # uint64
+    pos_blob: bytes
+    blk_last: np.ndarray    # uint64 per block: last ordinal
+    blk_maxtf: np.ndarray   # uint32 per block: max tf
+
+
+class TermPostings:
+    """Decoded posting list for one (field, term); possibly multi-chunk."""
+
+    def __init__(self, chunks: list[Chunk]):
+        self.chunks = chunks
+        self.df = int(sum(len(c.ords) for c in chunks))
+        self.cf = int(sum(int(c.tfs.sum()) for c in chunks))
+
+    @property
+    def ordinals(self) -> np.ndarray:
+        if len(self.chunks) == 1:
+            return self.chunks[0].ords
+        return np.concatenate([c.ords for c in self.chunks])
+
+    @property
+    def tfs(self) -> np.ndarray:
+        if len(self.chunks) == 1:
+            return self.chunks[0].tfs
+        return np.concatenate([c.tfs for c in self.chunks])
+
+    def positions(self) -> tuple[np.ndarray, np.ndarray]:
+        """Flat absolute token positions + offsets (len = df + 1)."""
+        blob = b"".join(c.pos_blob for c in self.chunks)
+        return decode_position_lists(blob, self.tfs)
+
+
+class IndexReader:
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        self.stats = read_json(os.path.join(index_dir, "stats.json"))
+        self.n_docs: int = self.stats["n_docs"]
+        self.k1: float = self.stats["k1"]
+        self.b: float = self.stats["b"]
+        self.now_ts: int = self.stats["now_ts"]
+        self.hot: set[str] = set(self.stats["hot_terms"])
+        self.salt_range: int = self.stats["salt_range"]
+        self.num_shards: int = self.stats["num_term_shards"]
+        self.offsets = np.asarray(self.stats["part_offsets"], dtype=np.int64)
+        self._shards: dict[int, dict] = {}
+        self._doclens: dict[str, np.ndarray] = {}
+        self._docmeta: pd.DataFrame | None = None
+        self._dictionary: dict[str, np.ndarray] | None = None
+
+    # -- collection stats ---------------------------------------------------
+
+    def avgdl(self, field: str) -> float:
+        return max(self.stats["fields"][field]["avgdl"], 1e-9)
+
+    def doclens(self, field: str) -> np.ndarray:
+        dl = self._doclens.get(field)
+        if dl is None:
+            ds = pads.dataset(os.path.join(self.index_dir, "postings"))
+            t = ds.to_table(
+                columns=["ordinal", "tf"],
+                filter=(pads.field("shard") == -1) & (pads.field("field") == field),
+            )
+            dl = np.zeros(self.n_docs, dtype=np.int64)
+            ords = t["ordinal"].to_numpy()
+            dl[ords] = t["tf"].to_numpy()
+            self._doclens[field] = dl
+        return dl
+
+    # -- postings -----------------------------------------------------------
+
+    def _shard_index(self, shard: int) -> dict:
+        si = self._shards.get(shard)
+        if si is None:
+            path = os.path.join(self.index_dir, "segments", f"shard-{shard:05d}.parquet")
+            if not os.path.exists(path):
+                si = {}
+            else:
+                t = pq.read_table(path)
+                si = {
+                    (f, term): i
+                    for i, (f, term) in enumerate(zip(t["field"].to_pylist(), t["term"].to_pylist()))
+                }
+                si["__table__"] = t
+            self._shards[shard] = si
+        return si
+
+    def _chunk_at(self, shard: int, field: str, term: str) -> Chunk | None:
+        si = self._shard_index(shard)
+        i = si.get((field, term))
+        if i is None:
+            return None
+        t = si["__table__"]
+        ords = np.cumsum(varbyte_decode(t["ords"][i].as_py()), dtype=np.uint64)
+        tfs = varbyte_decode(t["tfs"][i].as_py())
+        return Chunk(
+            ords=ords,
+            tfs=tfs,
+            pos_blob=t["pos"][i].as_py(),
+            blk_last=np.frombuffer(t["blk_last"][i].as_py(), dtype=np.uint64),
+            blk_maxtf=np.frombuffer(t["blk_maxtf"][i].as_py(), dtype=np.uint32),
+        )
+
+    def lookup(self, field: str, term: str) -> TermPostings | None:
+        if field not in FIELDS or not term:
+            return None
+        if term in self.hot:
+            n_buckets = (self.n_docs + self.salt_range - 1) // self.salt_range
+            chunks = []
+            for b in range(max(n_buckets, 1)):
+                c = self._chunk_at(
+                    stable_hash64(f"{term}#{b}") % self.num_shards,
+                    field,
+                    f"{term}\x01{b}",
+                )
+                if c is not None:
+                    chunks.append(c)
+            return TermPostings(chunks) if chunks else None
+        c = self._chunk_at(stable_hash64(term) % self.num_shards, field, term)
+        return TermPostings([c]) if c is not None else None
+
+    # -- term dictionary (prefix expansion, fuzzy) ---------------------------
+
+    def field_dictionary(self, field: str) -> np.ndarray:
+        """Sorted array of all terms of a field (loaded once; used for
+        prefix expansion — autocomplete A4 — and fuzzy edit-distance scans)."""
+        if self._dictionary is None:
+            self._dictionary = {}
+        arr = self._dictionary.get(field)
+        if arr is None:
+            ds = pads.dataset(os.path.join(self.index_dir, "segments"))
+            t = ds.to_table(columns=["field", "term"], filter=pads.field("field") == field)
+            terms = [s.split("\x01", 1)[0] for s in t["term"].to_pylist()]
+            arr = np.unique(np.asarray(terms, dtype=object))
+            self._dictionary[field] = arr
+        return arr
+
+    def expand_prefix(self, field: str, prefix: str, limit: int = 50) -> list[str]:
+        d = self.field_dictionary(field)
+        lo = np.searchsorted(d, prefix, side="left")
+        out = []
+        for i in range(lo, len(d)):
+            if not d[i].startswith(prefix):
+                break
+            out.append(d[i])
+            if len(out) >= limit:
+                break
+        return out
+
+    # -- doc metadata ---------------------------------------------------------
+
+    _META_COLS = [
+        "part", "rank", "doc_id", "repo", "path", "commit", "lang", "name",
+        "content_sha256", "kind", "channel_claim_id", "mime",
+        "effective_amount", "certificate_amount", "view_cnt", "sub_cnt",
+        "claim_cnt", "fee", "bid_state", "has_thumbnail", "nsfw", "release_time",
+    ]
+
+    def docmeta(self) -> pd.DataFrame:
+        """All doc metadata (no content), indexed by ordinal (row i == ordinal i)."""
+        if self._docmeta is None:
+            ds = pads.dataset(os.path.join(self.index_dir, "docstore"))
+            cols = [c for c in self._META_COLS if c in ds.schema.names]
+            t = ds.to_table(columns=cols)
+            df = t.to_pandas()
+            df["ordinal"] = self.offsets[df["part"].to_numpy()] + df["rank"].to_numpy()
+            df = df.sort_values("ordinal").reset_index(drop=True)
+            assert (df["ordinal"].to_numpy() == np.arange(len(df))).all()
+            self._docmeta = df
+        return self._docmeta
+
+    def doc_content(self, ordinal: int) -> str:
+        part = int(np.searchsorted(self.offsets, ordinal, side="right") - 1)
+        rank = ordinal - int(self.offsets[part])
+        path = os.path.join(self.index_dir, "docstore", f"part-{part:05d}.parquet")
+        t = pq.read_table(path, columns=["rank", "content"], filters=[("rank", "==", rank)])
+        return t["content"][0].as_py()

@@ -1,0 +1,160 @@
+"""Index build: correctness vs brute force, invariants, determinism, resume."""
+
+import hashlib
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow.dataset as pads
+import pytest
+
+from lighthouse_ray.analysis import tokenize_text
+from lighthouse_ray.config import IndexConfig
+from lighthouse_ray.corpus import gen_corpus
+
+N_DOCS = 400
+CFG = IndexConfig(num_doc_parts=8, num_term_shards=16, salt_range=64, df_sample_mod=10)
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    from lighthouse_ray.build import build_index
+
+    idx = str(tmp_path_factory.mktemp("idx") / "index")
+    res = build_index(rd.from_arrow(gen_corpus(N_DOCS)), idx, CFG)
+    return idx, res
+
+
+@pytest.fixture(scope="module")
+def brute(built):
+    """Reference doc set: dedup by (repo,path) keep max commit, drop Spent/Expired."""
+    tbl = gen_corpus(N_DOCS)
+    rows = {}
+    for r in tbl.to_pylist():
+        key = (r["repo"], r["path"])
+        if key not in rows or r["commit"] > rows[key]["commit"]:
+            rows[key] = r
+    out = []
+    for r in rows.values():
+        doc_id = hashlib.sha1(
+            f"{r['repo']}\0{r['path']}\0{r['commit']}".encode()
+        ).hexdigest()
+        h64 = int(doc_id[:16], 16)
+        hb = h64 % 20
+        if hb in (18, 19):  # Spent / Expired -> delete-routed
+            continue
+        r = dict(r, doc_id=doc_id)
+        out.append(r)
+    return out
+
+
+def test_n_docs_matches_brute(built, brute):
+    _idx, res = built
+    assert res.n_docs == len(brute)
+
+
+def test_df_parity(built, brute):
+    from lighthouse_ray.index import IndexReader
+
+    idx, _res = built
+    rd_ = IndexReader(idx)
+    for term in ["return", "import", "interesting", "segment", "nonexistenttoken"]:
+        want = sum(1 for r in brute if term in tokenize_text(r["content"]))
+        tp = rd_.lookup("content", term)
+        got = tp.df if tp else 0
+        assert got == want, term
+        if tp:
+            o = tp.ordinals.astype(np.int64)
+            assert (np.diff(o) > 0).all(), f"postings not strictly sorted for {term}"
+
+
+def test_tf_and_positions_parity(built, brute):
+    from lighthouse_ray.index import IndexReader
+
+    idx, _res = built
+    rd_ = IndexReader(idx)
+    dm = rd_.docmeta()
+    tp = rd_.lookup("content", "interesting")
+    assert tp is not None
+    pos, off = tp.positions()
+    by_id = {r["doc_id"]: r for r in brute}
+    for i, o in enumerate(tp.ordinals):
+        doc = by_id[dm["doc_id"].iloc[int(o)]]
+        toks = tokenize_text(doc["content"])
+        want_pos = [j for j, t in enumerate(toks) if t == "interesting"]
+        assert tp.tfs[i] == len(want_pos)
+        assert pos[off[i] : off[i + 1]].tolist() == want_pos
+
+
+def test_doclen_parity(built, brute):
+    from lighthouse_ray.index import IndexReader
+
+    idx, _res = built
+    rd_ = IndexReader(idx)
+    dm = rd_.docmeta()
+    dl = rd_.doclens("content")
+    by_id = {r["doc_id"]: r for r in brute}
+    for o in [0, 1, len(dm) // 2, len(dm) - 1]:
+        doc = by_id[dm["doc_id"].iloc[o]]
+        assert dl[o] == len(tokenize_text(doc["content"]))
+    # name-field doclen
+    dln = rd_.doclens("name")
+    doc = by_id[dm["doc_id"].iloc[0]]
+    assert dln[0] == len(tokenize_text(os.path.basename(doc["path"])))
+
+
+def test_content_sha256_invariant(built):
+    """Per-row invariant (BASELINE.json input_hint): sha256(content) equality."""
+    idx, _res = built
+    t = pads.dataset(os.path.join(idx, "docstore")).to_table(
+        columns=["content", "content_sha256"]
+    )
+    for c, h in zip(t["content"].to_pylist(), t["content_sha256"].to_pylist()):
+        assert hashlib.sha256(c.encode()).hexdigest() == h
+
+
+def test_deterministic_across_parallelism(ray_session, built, tmp_path):
+    """x01: same logical input at different block counts -> identical segments."""
+    import ray.data as rd
+
+    from lighthouse_ray.build import build_index
+
+    idx, res = built
+    tbl = gen_corpus(N_DOCS)
+    idx2 = str(tmp_path / "index2")
+    res2 = build_index(rd.from_arrow(tbl).repartition(7), idx2, CFG)
+    a = res.manifest["stages"]["segments"]["shards"]
+    b = res2.manifest["stages"]["segments"]["shards"]
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k]["sha256"] == b[k]["sha256"], f"shard {k} differs"
+    assert res.manifest["stages"]["docstore"]["digests"] == res2.manifest["stages"]["docstore"]["digests"]
+
+
+def test_resume_mid_shuffle(ray_session, built, tmp_path):
+    """x02: kill after some segments are written -> resume completes the rest."""
+    import ray.data as rd
+
+    from lighthouse_ray.build import build_index
+
+    idx, res = built
+    idx3 = str(tmp_path / "index3")
+    shutil.copytree(idx, idx3)
+    # simulate a crash: two shards missing, manifest says so
+    mpath = os.path.join(idx3, "manifest.json")
+    man = json.load(open(mpath))
+    shards = man["stages"]["segments"]["shards"]
+    victims = sorted(shards)[:2]
+    for v in victims:
+        os.remove(os.path.join(idx3, "segments", f"shard-{int(v):05d}.parquet"))
+        del shards[v]
+    json.dump(man, open(mpath, "w"))
+    res3 = build_index(rd.from_arrow(gen_corpus(N_DOCS)), idx3, CFG, resume=True)
+    got = res3.manifest["stages"]["segments"]["shards"]
+    want = res.manifest["stages"]["segments"]["shards"]
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k]["sha256"] == want[k]["sha256"]
