@@ -1,0 +1,432 @@
+"""SearchEngine: the reference's /search and /autocomplete surface.
+
+Mirrors the compound query the reference builds per request
+(app/actions/search/query.go:21-71 ``newQuery``):
+
+    function_score(score_mode=sum, boost_mode=multiply):
+      query: bool(
+        should: 7 boost clauses           # func_score.go
+        must:   bool(should: 11 matchers, min_should_match=1)
+        filter: getFilters()              # non-scoring
+      )
+      functions: 4 gauss decays on release_time (frozen "now")
+
+    related_to variant: bool(should: more_like_this(doc), filter: ...)
+    with no decay functions.
+
+Field mapping (SURVEY.md §1.3): name <- basename(path), title <- path,
+channel <- repo, description <- content, claim_type <- kind
+(README-at-root = "channel" doc), content_type <- mime, claimId <- doc_id.
+
+Documented deviations from ES internals (our in-memory oracle mirrors
+these exactly; see tests/oracle.py):
+- a ``match`` on the single-token ``kind``/``mime`` fields contributes no
+  score (pure predicate) where Lucene would add a small BM25 term score;
+- sloppy-phrase freq uses a greedy alignment (scoring.py);
+- doclen norms are exact (Lucene 6 quantizes them to 1 byte).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+from ..analysis import tokenize_text
+from ..index import IndexReader
+from .scoring import DenseResult, Scorer
+
+QUOTED_RE = re.compile(r'"([^"]*)"$')
+MEDIA_TYPES = ("audio", "video", "text", "application", "image")
+CAD_TYPES = ("SKP", "simplify3d_stl")
+CLAIM_TYPE_MAP = {"channel": "channel", "file": "stream"}
+TRUNCATE_AT = 300  # special.go:43-50
+EFFECTIVE_FACTOR = 19.0  # func_score.go:9
+
+DAY = 86400.0
+
+RESOLVE_COLUMNS = [
+    "channel", "channel_claim_id", "title", "thumbnail_url", "release_time",
+    "fee", "nsfw", "duration",
+]
+
+
+class SearchError(ValueError):
+    """Request validation failure (HTTP 400 analog, search.go:56-63)."""
+
+
+class SearchEngine:
+    def __init__(
+        self,
+        reader: IndexReader,
+        special_map: dict[str, str] | None = None,
+        mlt_min_term_freq: int = 2,
+        mlt_min_doc_freq: int = 5,
+        mlt_max_terms: int = 25,
+    ):
+        self.r = reader
+        self.scorer = Scorer(reader)
+        self.special = special_map or {}
+        self.mlt_min_term_freq = mlt_min_term_freq
+        self.mlt_min_doc_freq = mlt_min_doc_freq
+        self.mlt_max_terms = mlt_max_terms
+        self._meta = reader.docmeta()
+
+    # ------------------------------------------------------------------ search
+
+    def search(
+        self,
+        s: str | None = None,
+        size: int | None = None,
+        from_: int | None = None,
+        channel: str | None = None,
+        channel_id: str | None = None,
+        related_to: str | None = None,
+        sort_by: str | None = None,
+        include: str | None = None,
+        content_type: str | None = None,
+        media_type: str | None = None,
+        claim_type: str | None = None,
+        nsfw: bool | None = None,
+        free_only: bool | None = None,
+        resolve: bool = False,
+        claim_id: str | None = None,
+        source: bool = False,
+        debug: bool = False,
+    ) -> pd.DataFrame:
+        # validation (search.go:56-63, app/validator/validator.go)
+        if s is None or len(s) < 3 or len(s) > 99999:
+            raise SearchError("s is required with length in [3, 99999]")
+        if size is not None and size > 10000:
+            raise SearchError("size must be <= 10000")
+        if from_ is not None and from_ > 9999:
+            raise SearchError("from must be <= 9999")
+        if media_type is not None:
+            for t in media_type.split(","):
+                if t not in MEDIA_TYPES and t not in ("cad", ""):
+                    raise SearchError(f"invalid media type {t!r}")
+
+        s = s[:TRUNCATE_AT]                      # truncate (special.go:43-50)
+        s = self.special.get(s.lower(), s)       # taylored rewrites (special.go:5-41)
+
+        n = self.r.n_docs
+        meta = self._meta
+
+        if related_to is not None:
+            base_scores, base_mask = self._related_scores(related_to)
+            decay = None
+        else:
+            base_scores, base_mask = self._general_scores(s)
+            decay = self._decay_multiplier()
+
+        fmask = self._filter_mask(
+            s=s, channel=channel, channel_id=channel_id, content_type=content_type,
+            media_type=media_type, claim_type=claim_type, nsfw=nsfw,
+            free_only=free_only, claim_id=claim_id, related_to=related_to,
+        )
+        cand = base_mask & fmask
+        scores = np.where(cand, base_scores, 0.0)
+        if decay is not None:
+            scores = scores * decay
+
+        ords = np.flatnonzero(cand)
+        if sort_by is not None:
+            field = sort_by.lstrip("^")
+            ascending = sort_by.startswith("^")  # search.go:113-116
+            if field not in meta.columns:
+                raise SearchError(f"unknown sort field {field!r}")
+            key = meta[field].to_numpy()[ords]
+            doc_ids = meta["doc_id"].to_numpy()[ords]
+            order = np.lexsort((doc_ids, key))  # (field, claimId) ascending
+            if not ascending:
+                order = order[::-1]
+            ords = ords[order]
+        else:
+            # score desc, claimId asc tie-break (deterministic at any
+            # parallelism; ES ties by internal doc order which is not)
+            doc_ids = meta["doc_id"].to_numpy()
+            order = np.lexsort((doc_ids[ords], -scores[ords]))
+            ords = ords[order]
+
+        k_from = from_ or 0
+        k_size = size if size is not None else 10
+        page = ords[k_from : k_from + k_size]
+
+        return self._project(page, scores, include, resolve, source, debug)
+
+    # -- clause assembly (query.go:21-71) --------------------------------------
+
+    def _general_scores(self, s: str) -> tuple[np.ndarray, np.ndarray]:
+        sc = self.scorer
+        n = self.r.n_docs
+        meta = self._meta
+        kind = meta["kind"].to_numpy()
+        is_channel = kind == "channel"
+        is_stream = ~is_channel
+
+        terms = tokenize_text(s)
+        compressed_terms = tokenize_text(s.replace(" ", ""))
+        at_boost = 10.0 if s.startswith("@") else 1.0
+
+        minc: list[DenseResult] = []
+        minc.append(self._mlt_text(s))                                            # more-like-this
+        minc.append(sc.phrase("name", terms).boosted(2.0 * at_boost))             # name-match-phrase
+        minc.append(sc.match_fuzzy("name", terms).boosted(1.0 * at_boost))        # name-match
+        minc.append(sc.phrase("name", terms).restrict(is_channel).boosted(10.0))  # channel-phrase-match
+        minc.append(sc.match_fuzzy("title", terms).boosted(1.0))                  # title-match
+        minc.append(sc.phrase("title", terms).boosted(10.0))                      # title-match-phrase
+        minc.append(sc.match("content", terms).boosted(1.0))                      # description-match
+        minc.append(sc.phrase("content", terms).boosted(2.0))                     # description-match-phrase
+        minc.append(                                                              # name-match-@compressed
+            sc.match_fuzzy("name", compressed_terms).boosted(10.0).restrict(is_channel)
+        )
+        minc.append(sc.match("channel", terms).restrict(is_stream).boosted(5.0))  # channel-match-@boost
+        minc.append(                                                              # channel-match-@compressed
+            sc.phrase("channel", compressed_terms).boosted(5.0).restrict(is_stream)
+        )
+
+        min_scores = np.zeros(n)
+        min_mask = np.zeros(n, dtype=bool)
+        for c in minc:
+            min_scores += c.scores
+            min_mask |= c.mask
+
+        boost = self._boost_should_scores(is_channel)
+        total = np.where(min_mask, min_scores + boost, 0.0)
+        return total, min_mask
+
+    def _boost_should_scores(self, is_channel: np.ndarray) -> np.ndarray:
+        """The 7 unconditional should clauses (func_score.go)."""
+        sc = self.scorer
+        meta = self._meta
+        out = sc.fvf_log1p(meta["effective_amount"].to_numpy(), EFFECTIVE_FACTOR)
+        out = out + sc.fvf_log1p(meta["certificate_amount"].to_numpy(), EFFECTIVE_FACTOR)
+        out = out + np.where(meta["bid_state"].to_numpy() == 0, 300.0, 0.0)  # Controlling
+        out = out + np.where(meta["has_thumbnail"].to_numpy(), 50.0, 0.0)
+        out = out + sc.fvf_log1p(meta["view_cnt"].to_numpy())
+        out = out + sc.fvf_log1p(meta["sub_cnt"].to_numpy())
+        out = out + np.where(is_channel & (meta["claim_cnt"].to_numpy() > 10), 2.0, 0.0)
+        return out
+
+    def _decay_multiplier(self) -> np.ndarray:
+        """4 stacked gauss decays, score_mode=sum, boost_mode=multiply
+        (query.go:63-70, func_score.go:44-88); "now" frozen at build."""
+        sc = self.scorer
+        ts = self._meta["release_time"].to_numpy().astype(np.float64)
+        now = float(self.r.now_ts)
+        m = sc.gauss(ts, now, 7 * DAY, 7 * DAY, 0.50, 0.11)
+        m = m + sc.gauss(ts, now, 30 * DAY, 30 * DAY, 0.50, 0.12)
+        m = m + sc.gauss(ts, now, 90 * DAY, 90 * DAY, 0.50, 0.13)
+        m = m + sc.gauss(ts, now, 365 * DAY, 1825 * DAY, 0.90, 1.0)
+        return m
+
+    # -- more-like-this (query.go:106-121) -------------------------------------
+
+    MLT_FIELDS = ("name", "title", "channel")
+
+    def _mlt_select_terms(self, text: str) -> list[str]:
+        tf: dict[str, int] = {}
+        for t in tokenize_text(text):
+            tf[t] = tf.get(t, 0) + 1
+        cands = []
+        for t, f in tf.items():
+            if f < self.mlt_min_term_freq or t == "https":  # IgnoreLikeText
+                continue
+            # df per queried field (ES analyzes/selects per field); use the
+            # max across the MLT fields for the frequency gate and ranking
+            df = 0
+            for fld in self.MLT_FIELDS:
+                tp = self.r.lookup(fld, t)
+                if tp and tp.df > df:
+                    df = tp.df
+            if df < self.mlt_min_doc_freq:
+                continue
+            cands.append((f * self.scorer.idf(df), t))
+        cands.sort(key=lambda x: (-x[0], x[1]))
+        return [t for _s, t in cands[: self.mlt_max_terms]]
+
+    def _mlt_text(self, s: str, boost: float = 1.0) -> DenseResult:
+        out = DenseResult.empty(self.r.n_docs)
+        for t in self._mlt_select_terms(s):
+            for f in self.MLT_FIELDS:
+                r = self.scorer.term_result(f, t)
+                out.scores += r.scores
+                out.mask |= r.mask
+        return out.boosted(boost)
+
+    def _related_scores(self, related_to: str) -> tuple[np.ndarray, np.ndarray]:
+        meta = self._meta
+        hit = meta.index[meta["doc_id"] == related_to]
+        if len(hit) == 0:
+            n = self.r.n_docs
+            return np.zeros(n), np.zeros(n, dtype=bool)
+        row = meta.iloc[int(hit[0])]
+        like = f"{row['name']} {row['path']} {row['repo']}"
+        r = self._mlt_text(like, boost=2.0)  # Boost(2), query.go:117-119
+        r.mask[int(hit[0])] = False          # a doc is not related to itself
+        r.scores[int(hit[0])] = 0.0
+        return r.scores, r.mask
+
+    # -- filters (query.go:258-410) ---------------------------------------------
+
+    def _filter_mask(
+        self, s: str, channel, channel_id, content_type, media_type,
+        claim_type, nsfw, free_only, claim_id, related_to,
+    ) -> np.ndarray:
+        meta = self._meta
+        n = self.r.n_docs
+        mask = np.ones(n, dtype=bool)
+
+        # bid_state must_not Expired (query.go:386-388); expired docs are
+        # delete-routed at build, so this is belt-and-braces parity
+        mask &= meta["bid_state"].to_numpy() != 3
+
+        # quoted exact phrases `"..."$` (query.go:230-254): bool-of-shoulds
+        m = QUOTED_RE.findall(s)
+        if m:
+            any_hit = np.zeros(n, dtype=bool)
+            for q in m:
+                qt = tokenize_text(q)
+                for f in ("channel", "name", "title", "content"):
+                    any_hit |= self.scorer.phrase(f, qt).mask
+            mask &= any_hit
+
+        if nsfw is not None:
+            col = meta["nsfw"].to_numpy().astype(bool)
+            mask &= col if nsfw else ~col
+
+        if free_only:
+            mask &= meta["fee"].to_numpy() == 0
+
+        if content_type is not None:
+            allowed = set(content_type.split(","))
+            mask &= np.isin(meta["mime"].to_numpy(), list(allowed))
+
+        if media_type is not None:
+            mtypes = [t for t in media_type.split(",") if t]
+            any_hit = np.zeros(n, dtype=bool)
+            valid = False
+            mime = meta["mime"].to_numpy()
+            for t in mtypes:
+                if t in MEDIA_TYPES:
+                    valid = True
+                    any_hit |= np.char.startswith(mime.astype(str), t + "/")
+                elif t == "cad":
+                    valid = True
+                    any_hit |= np.isin(mime, list(CAD_TYPES))
+            mask &= any_hit if valid else np.zeros(n, dtype=bool)  # match_none
+
+        if claim_type is not None:
+            mapped = CLAIM_TYPE_MAP.get(claim_type)
+            if mapped:
+                mask &= meta["kind"].to_numpy() == mapped
+
+        if channel_id is not None:
+            mask &= meta["channel_claim_id"].to_numpy() == channel_id
+
+        if channel is not None:
+            cterms = tokenize_text(channel)
+            mask &= self.scorer.match("channel", cterms).mask
+
+        if claim_id is not None:
+            mask &= meta["doc_id"].to_numpy() == claim_id
+
+        if related_to is not None:
+            mask &= meta["kind"].to_numpy() == "stream"  # relatedContentFilter
+
+        return mask
+
+    # -- projection (search.go:79-91) --------------------------------------------
+
+    def _project(self, ords: np.ndarray, scores: np.ndarray, include, resolve, source, debug) -> pd.DataFrame:
+        meta = self._meta
+        rows = meta.iloc[ords].copy()
+        rows["claimId"] = rows["doc_id"]
+        rows["thumbnail_url"] = np.where(
+            rows["has_thumbnail"], "https://thumbs/" + rows["doc_id"].str[:8] + ".png", ""
+        )
+        rows["channel"] = rows["repo"]
+        rows["title"] = rows["path"]
+        rows["duration"] = 0
+        cols = ["name", "claimId"]
+        if include:
+            cols += [c for c in include.split(",") if c]
+        if resolve:
+            cols += [c for c in RESOLVE_COLUMNS if c not in cols]
+        if source:
+            cols = [c for c in rows.columns if c != "content"]
+        missing = [c for c in cols if c not in rows.columns]
+        if missing:
+            raise SearchError(f"unknown include fields {missing}")
+        out = rows[cols].reset_index(drop=True)
+        out["score"] = scores[ords]
+        if debug:
+            out["ordinal"] = ords
+        return out
+
+    # ------------------------------------------------------------ autocomplete
+
+    def autocomplete(
+        self,
+        s: str | None = None,
+        size: int | None = None,
+        from_: int | None = None,
+        nsfw: bool | None = None,
+    ) -> list[str]:
+        """/autocomplete (app/actions/auto_complete.go): returns an
+        order-preserving first-occurrence-deduped list of names."""
+        if not s:
+            raise SearchError("s is required")
+        if size is not None and size > 10000:
+            raise SearchError("size must be <= 10000")
+        if from_ is not None and from_ > 9999:
+            raise SearchError("from must be <= 9999")
+
+        n = self.r.n_docs
+        meta = self._meta
+        sc = self.scorer
+        scores = np.zeros(n)
+        mask = np.zeros(n, dtype=bool)
+
+        if s.startswith("@"):
+            terms = tokenize_text(s)
+            r = sc.match("name", terms).restrict(meta["kind"].to_numpy() == "channel")
+            scores, mask = r.scores, r.mask
+        else:
+            terms = tokenize_text(s)
+            # should 1: phrase_prefix on name^4
+            r1 = sc.phrase_prefix("name", terms).boosted(4.0)
+            # should 2: nested multi_match author^3/title^5/description^2
+            # (value.* analogs: channel/title/content) — best_fields = max
+            r2a = sc.phrase_prefix("channel", terms).boosted(3.0)
+            r2b = sc.phrase_prefix("title", terms).boosted(5.0)
+            r2c = sc.phrase_prefix("content", terms).boosted(2.0)
+            r2 = DenseResult(
+                np.maximum(np.maximum(r2a.scores, r2b.scores), r2c.scores),
+                r2a.mask | r2b.mask | r2c.mask,
+            )
+            scores = r1.scores + r2.scores
+            mask = r1.mask | r2.mask
+
+        if nsfw is not None:
+            col = meta["nsfw"].to_numpy().astype(bool)
+            mask &= col if nsfw else ~col
+            scores = np.where(mask, scores, 0.0)
+
+        ords = np.flatnonzero(mask)
+        doc_ids = meta["doc_id"].to_numpy()
+        order = np.lexsort((doc_ids[ords], -scores[ords]))
+        ords = ords[order]
+        k_from = from_ or 0
+        k_size = size if size is not None else 10
+        ords = ords[k_from : k_from + k_size]
+
+        names = meta["name"].to_numpy()[ords]
+        seen: set[str] = set()
+        out: list[str] = []
+        for nm in names:
+            if nm not in seen:  # ordered dedup (auto_complete.go:126-131)
+                seen.add(nm)
+                out.append(nm)
+        return out
