@@ -140,8 +140,11 @@ def make_finalize_part(index_dir: str, cfg: IndexConfig):
             ["repo", "path"], keep="last"
         )
         # delete routing: Spent(2) / Expired(3) are not indexed
-        n_deleted = int((df["bid_state"] >= 2).sum())
-        df = df[df["bid_state"] < 2]
+        if cfg.route_deletes:
+            n_deleted = int((df["bid_state"] >= 2).sum())
+            df = df[df["bid_state"] < 2]
+        else:
+            n_deleted = 0
         # deterministic rank within partition
         df = df.sort_values("doc_id").reset_index(drop=True)
         df["rank"] = np.arange(len(df), dtype=np.int64)

@@ -44,6 +44,10 @@ class IndexConfig:
     tokenize_batch_size: int = 256   # docs per tokenize batch (content can be MBs)
     tokenize_concurrency: int | None = None  # None -> stateless tasks sizing by Ray
 
+    # delete-route Spent/Expired docs at build (chainquery.go:127-132);
+    # disable for corpora without upsert/delete semantics
+    route_deletes: bool = True
+
     # frozen "now" for time-decay scoring fixtures (FIXTURES.md §1)
     now_ts: int = 1_767_225_600      # 2026-01-01T00:00:00Z
 
@@ -59,6 +63,7 @@ class IndexConfig:
             "hot_df_ratio": self.hot_df_ratio,
             "salt_range": self.salt_range,
             "df_sample_mod": self.df_sample_mod,
+            "route_deletes": self.route_deletes,
             "now_ts": self.now_ts,
         }
 

@@ -1,0 +1,647 @@
+"""Driver-checked pipelines: Ray Data implementation + DuckDB oracle SQL.
+
+One entry per operator family from SURVEY.md §2, expressed over the
+driver's parquet tables (documents / events / embeddings / TPC-H-ish).
+Each Ray pipeline and its oracle SQL produce identical column names and
+values (scores rounded to 6 decimals; deterministic tie-breaks), so the
+driver's row-count + schema + order-insensitive value-hash comparison
+passes bit-for-bit.
+
+Design notes (100 TB posture):
+- reads always pass ``columns=``; per-batch work is pyarrow/numpy
+  vectorized; aggregations pre-combine per batch before the groupby
+  shuffle; small sides are broadcast via ``ray.put`` not joined.
+- ``bm25_topk`` is the flagship: it builds the real inverted index with
+  the full Ray pipeline (build_index) over ``documents`` and answers
+  with the engine's BM25 — checked against a closed-form SQL BM25.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..analysis import flat_tokens, sql_tokens_expr, tokenize_text
+
+TOK = sql_tokens_expr("text")
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+BM25_QUERY = "merge sort window"
+K1, B = 1.2, 0.75
+
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# tokenize / stats family (A1, G2, Q21)
+# ---------------------------------------------------------------------------
+
+def q_doc_token_stats(sf_dir: str):
+    """Per-doc token count (doc length bookkeeping for BM25; SURVEY G2)."""
+
+    def f(b: pa.Table) -> pa.Table:
+        parents, _pos, _terms, n = flat_tokens(b["text"])
+        counts = np.bincount(parents, minlength=n)
+        return pa.table({"doc_id": b["doc_id"], "n_tokens": pa.array(counts, type=pa.int64())})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+SQL_DOC_TOKEN_STATS = f"""
+SELECT doc_id, CAST(len({TOK}) AS BIGINT) AS n_tokens FROM documents
+"""
+
+
+def q_term_df(sf_dir: str):
+    """Document frequency per term — partial per-batch combine, then a
+    small groupby-sum shuffle (the BM25 df statistic; SURVEY G2)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        parents, _pos, terms, _n = flat_tokens(b["text"])
+        t = pa.table({"term": terms, "parent": pa.array(parents)})
+        uniq = t.group_by(["term", "parent"]).aggregate([])
+        agg = uniq.group_by("term").aggregate([("parent", "count")])
+        return pa.table({"term": agg["term"], "n": agg["parent_count"].cast(pa.int64())})
+
+    ds = _read(sf_dir, "documents", ["text"]).map_batches(partial, batch_format="pyarrow")
+    out = ds.groupby("term").aggregate(Sum("n", alias_name="df"))
+    return out.map_batches(
+        lambda b: pa.table({"term": b["term"], "df": b["df"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
+SQL_TERM_DF = f"""
+SELECT term, CAST(count(*) AS BIGINT) AS df
+FROM (SELECT doc_id, unnest(list_distinct({TOK})) AS term FROM documents)
+GROUP BY term
+"""
+
+
+def q_term_tf_total(sf_dir: str):
+    """Collection frequency per term (partial-agg + shuffle)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        _p, _pos, terms, _n = flat_tokens(b["text"])
+        t = pa.table({"term": terms})
+        agg = t.group_by("term").aggregate([([], "count_all")])
+        return pa.table({"term": agg["term"], "n": agg["count_all"].cast(pa.int64())})
+
+    ds = _read(sf_dir, "documents", ["text"]).map_batches(partial, batch_format="pyarrow")
+    out = ds.groupby("term").aggregate(Sum("n", alias_name="cf"))
+    return out.map_batches(
+        lambda b: pa.table({"term": b["term"], "cf": b["cf"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
+SQL_TERM_TF_TOTAL = f"""
+SELECT term, CAST(count(*) AS BIGINT) AS cf
+FROM (SELECT unnest({TOK}) AS term FROM documents)
+GROUP BY term
+"""
+
+
+def q_autocomplete_prefix(sf_dir: str):
+    """Prefix expansion over the term dictionary (autocomplete A4,
+    max_expansions analog): top-50 'ta%' terms by df desc, term asc."""
+    df = q_term_df(sf_dir)
+    out = df.map_batches(
+        lambda b: b.filter(pc.starts_with(b["term"], "ta")), batch_format="pyarrow"
+    )
+    return out.sort([("df"), ("term")], descending=[True, False]).limit(50)
+
+
+SQL_AUTOCOMPLETE_PREFIX = f"""
+SELECT term, CAST(count(*) AS BIGINT) AS df
+FROM (SELECT doc_id, unnest(list_distinct({TOK})) AS term FROM documents)
+GROUP BY term HAVING term LIKE 'ta%'
+ORDER BY df DESC, term LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# BM25 top-k via the real index + engine (the flagship; Q1/Q16/Q17)
+# ---------------------------------------------------------------------------
+
+def _documents_as_corpus(sf_dir: str):
+    """Adapt documents(doc_id,text,lang,source) to the corpus schema."""
+
+    def f(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "repo": b["source"],
+                "path": pa.array([f"{i}" for i in ids], type=pa.string()),
+                "commit": pa.array([f"{i:040d}" for i in ids], type=pa.string()),
+                "lang": b["lang"],
+                "content": b["text"],
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def _built_index(sf_dir: str) -> str:
+    from ..build import build_index
+    from ..config import IndexConfig
+
+    idx = _INDEX_CACHE.get(sf_dir)
+    if idx and os.path.exists(os.path.join(idx, "stats.json")):
+        return idx
+    key = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    idx = f"/tmp/lighthouse_ray_idx/{key}"
+    if not os.path.exists(os.path.join(idx, "stats.json")):
+        cfg = IndexConfig(num_doc_parts=16, num_term_shards=32, route_deletes=False)
+        build_index(_documents_as_corpus(sf_dir), idx, cfg)
+    _INDEX_CACHE[sf_dir] = idx
+    return idx
+
+
+def q_bm25_topk(sf_dir: str):
+    """Top-10 BM25 over documents.text for a fixed query, answered by the
+    distributed index + scorer; oracle is closed-form SQL BM25."""
+    from ..index import IndexReader
+    from ..query.scoring import Scorer
+
+    reader = IndexReader(_built_index(sf_dir))
+    sc = Scorer(reader)
+    res = sc.match("content", tokenize_text(BM25_QUERY))
+    ords = np.flatnonzero(res.mask)
+    meta = reader.docmeta()
+    doc_ids = meta["path"].to_numpy()[ords].astype(np.int64)
+    scores = res.scores[ords]
+    order = np.lexsort((doc_ids, -scores))[:10]
+    return pd.DataFrame(
+        {"doc_id": doc_ids[order], "score": np.round(scores[order], 6)}
+    )
+
+
+def _sql_bm25(query: str) -> str:
+    terms = tokenize_text(query)
+    terms_sql = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOK}) AS term FROM documents
+),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl
+),
+qt(term) AS (VALUES {terms_sql}),
+tf AS (
+  SELECT t.doc_id, t.term, CAST(count(*) AS DOUBLE) AS tf
+  FROM toks t JOIN qt ON t.term = qt.term GROUP BY t.doc_id, t.term
+),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * ({K1} + 1)
+           / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))
+         ) AS score
+  FROM tf, stats
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 6) AS score
+FROM scored ORDER BY scored.score DESC, doc_id LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# filters / sort / topk / counts (Q4-Q8, Q16, Q17, Q21)
+# ---------------------------------------------------------------------------
+
+def q_lang_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    out = _read(sf_dir, "documents", ["lang"]).groupby("lang").aggregate(Count(alias_name="n"))
+    return out.map_batches(
+        lambda b: pa.table({"lang": b["lang"], "n": b["n"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
+SQL_LANG_COUNTS = "SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang"
+
+
+def q_filter_terms_range(sf_dir: str):
+    """terms + range filter (Q5/Q6): en/de docs longer than 300 chars."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return ds.map_batches(
+        lambda b: b.filter(
+            pc.and_(pc.is_in(b["lang"], value_set=pa.array(["en", "de"])), pc.greater(b["n_chars"], 300))
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_FILTER_TERMS_RANGE = """
+SELECT doc_id, lang, n_chars FROM documents WHERE lang IN ('en','de') AND n_chars > 300
+"""
+
+
+def q_sort_topk(sf_dir: str):
+    """Global sort + limit (Q16/Q17): 20 longest docs."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(20)
+
+
+SQL_SORT_TOPK = """
+SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup / fingerprint (G4/G5 + training-data ops)
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(sf_dir: str):
+    """Exact dedup by content hash: hash-partition groupby, keep first
+    (min doc_id) — the distributed form of G4/G5."""
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        h = [hashlib.md5(t.encode()).hexdigest() for t in b["text"].to_pylist()]
+        return pa.table({"doc_id": b["doc_id"], "h": pa.array(h, type=pa.string())})
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": [g["doc_id"].min()], "dup_cnt": [np.int64(len(g))]}
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(add_hash, batch_format="pyarrow")
+    return ds.groupby("h").map_groups(keep_first, batch_format="pandas").select_columns(["doc_id", "dup_cnt"])
+
+
+SQL_EXACT_DEDUP = """
+SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS dup_cnt
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_fingerprint(sf_dir: str):
+    """Document fingerprinting: md5 over the normalized token stream."""
+
+    def f(b: pa.Table) -> pa.Table:
+        parents, _pos, terms, n = flat_tokens(b["text"])
+        terms_py = terms.to_pylist()
+        counts = np.bincount(parents, minlength=n)
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=offs[1:])
+        fps = [
+            hashlib.md5(" ".join(terms_py[offs[i] : offs[i + 1]]).encode()).hexdigest()
+            for i in range(n)
+        ]
+        return pa.table({"doc_id": b["doc_id"], "fingerprint": pa.array(fps, type=pa.string())})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+SQL_FINGERPRINT = f"""
+SELECT doc_id, md5(array_to_string({TOK}, ' ')) AS fingerprint FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# text quality / language stats (training-data ops; M2 analog)
+# ---------------------------------------------------------------------------
+
+def q_quality_stats(sf_dir: str):
+    """Quality scoring: token count, stopword ratio, mean token length."""
+
+    def f(b: pa.Table) -> pa.Table:
+        parents, _pos, terms, n = flat_tokens(b["text"])
+        counts = np.bincount(parents, minlength=n).astype(np.float64)
+        is_stop = np.isin(np.asarray(terms.to_pylist(), dtype=object), STOPWORDS)
+        stop_counts = np.bincount(parents[is_stop], minlength=n)
+        tok_lens = pc.utf8_length(terms).to_numpy(zero_copy_only=False).astype(np.float64)
+        len_sums = np.bincount(parents, weights=tok_lens, minlength=n)
+        safe = np.maximum(counts, 1.0)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_tokens": pa.array(counts.astype(np.int64)),
+                "stop_ratio": pa.array(np.round(stop_counts / safe, 6)),
+                "mean_tok_len": pa.array(np.round(len_sums / safe, 6)),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
+SQL_QUALITY_STATS = f"""
+WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents)
+SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  round(CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+        / greatest(len(toks), 1), 6) AS stop_ratio,
+  round(CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE))) AS DOUBLE)
+        / greatest(len(toks), 1), 6) AS mean_tok_len
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# incremental / upsert (S1 watermark, G5 last-write-wins) over events
+# ---------------------------------------------------------------------------
+
+WATERMARK = "2024-01-15 00:00:00"
+
+
+def q_events_watermark(sf_dir: str):
+    """Incremental-sync filter (chainquery.go:102 keyset analog):
+    events at/after the watermark, counted per type."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["ts"], pa.scalar(pd.Timestamp(WATERMARK)))),
+        batch_format="pyarrow",
+    )
+    out = ds.groupby("event_type").aggregate(Count(alias_name="n"))
+    return out.map_batches(
+        lambda b: pa.table({"event_type": b["event_type"], "n": b["n"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
+SQL_EVENTS_WATERMARK = f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events
+WHERE ts >= TIMESTAMP '{WATERMARK}' GROUP BY event_type
+"""
+
+
+def q_upsert_last_write(sf_dir: str):
+    """Last-write-wins upsert by key (claim.go:142-157 analog): latest
+    event per user, deterministic tie-break by event_id."""
+
+    def last(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).tail(1)
+        return g[["user_id", "event_id"]]
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    return ds.groupby("user_id").map_groups(last, batch_format="pandas")
+
+
+SQL_UPSERT_LAST_WRITE = """
+SELECT user_id, event_id FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# joins / group-concat (J1/J2/G1) over TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+def q_join_broadcast(sf_dir: str):
+    """Broadcast hash join (J1: claim <- publisher analog): orders joined
+    to the small customer dim via ray.put, pre-aggregated per batch."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    lut_ref = ray.put(
+        dict(zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist()))
+    )
+
+    class JoinAgg:
+        def __init__(self, ref):
+            import ray as _r
+
+            lut = _r.get(ref)
+            keys = np.fromiter(lut.keys(), dtype=np.int64)
+            vals = np.fromiter((lut[k] for k in keys), dtype=np.int64)
+            order = np.argsort(keys)
+            self.keys, self.vals = keys[order], vals[order]
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ck = b["o_custkey"].to_numpy()
+            idx = np.searchsorted(self.keys, ck)
+            nk = self.vals[idx]
+            t = pa.table(
+                {"nationkey": pa.array(nk), "price": b["o_totalprice"], "one": pa.array(np.ones(len(nk), dtype=np.int64))}
+            )
+            agg = t.group_by("nationkey").aggregate([("price", "sum"), ("one", "sum")])
+            return pa.table(
+                {
+                    "nationkey": agg["nationkey"],
+                    "total": agg["price_sum"],
+                    "n_orders": agg["one_sum"],
+                }
+            )
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    part = ds.map_batches(
+        JoinAgg, fn_constructor_kwargs={"ref": lut_ref}, batch_format="pyarrow", concurrency=4
+    )
+    out = part.groupby("nationkey").aggregate(
+        Sum("total", alias_name="total"), Sum("n_orders", alias_name="n_orders")
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "nationkey": b["nationkey"].cast(pa.int64()),
+                "total": pc.round(b["total"], 2),
+                "n_orders": b["n_orders"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_JOIN_BROADCAST = """
+SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
+       round(sum(o.o_totalprice), 2) AS total,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_nationkey
+"""
+
+
+def q_group_concat(sf_dir: str):
+    """GROUP_CONCAT analog (chainquery.go:63 tags aggregation): supplier
+    names per nation, sorted and comma-joined."""
+
+    def cat(g: pd.DataFrame) -> pd.DataFrame:
+        names = ",".join(sorted(g["s_name"].tolist()))
+        return pd.DataFrame(
+            {"nationkey": [np.int64(g["s_nationkey"].iloc[0])], "suppliers": [names]}
+        )
+
+    ds = _read(sf_dir, "supplier", ["s_nationkey", "s_name"])
+    return ds.groupby("s_nationkey").map_groups(cat, batch_format="pandas")
+
+
+SQL_GROUP_CONCAT = """
+SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+       string_agg(s_name, ',' ORDER BY s_name) AS suppliers
+FROM supplier GROUP BY s_nationkey
+"""
+
+
+def q_lineitem_agg(sf_dir: str):
+    """Wide aggregate with per-batch partials (TPC-H Q1 shape)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        t = pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "qty": b["l_quantity"],
+                "rev": rev,
+                "one": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            }
+        )
+        agg = t.group_by("l_returnflag").aggregate([("qty", "sum"), ("rev", "sum"), ("one", "sum")])
+        return pa.table(
+            {
+                "l_returnflag": agg["l_returnflag"],
+                "qty": agg["qty_sum"],
+                "rev": agg["rev_sum"],
+                "n": agg["one_sum"],
+            }
+        )
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice", "l_discount"])
+    out = ds.map_batches(partial, batch_format="pyarrow").groupby("l_returnflag").aggregate(
+        Sum("qty", alias_name="sum_qty"), Sum("rev", alias_name="sum_rev"), Sum("n", alias_name="n")
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "sum_qty": pc.round(b["sum_qty"], 2),
+                "sum_rev": pc.round(b["sum_rev"], 2),
+                "n": b["n"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_LINEITEM_AGG = """
+SELECT l_returnflag,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_rev,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings (ANN baseline)
+# ---------------------------------------------------------------------------
+
+def q_ann_cosine_topk(sf_dir: str):
+    """Brute-force cosine top-10 against a broadcast query vector
+    (numpy matmul per batch; the IVF/LSH variants live in
+    lighthouse_ray.functions.similarity)."""
+    import ray
+
+    import pyarrow.parquet as pq
+
+    q = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    qvec = np.asarray(q.filter(pc.equal(q["vec_id"], 0))["embedding"][0].as_py(), dtype=np.float64)
+    qref = ray.put(qvec / np.linalg.norm(qvec))
+
+    class Cos:
+        def __init__(self, ref):
+            import ray as _r
+
+            self.q = _r.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            emb = b["embedding"]
+            flat = np.asarray(emb.combine_chunks().flatten(), dtype=np.float64)
+            m = flat.reshape(len(b), -1)
+            norms = np.linalg.norm(m, axis=1)
+            cos = (m @ self.q) / np.maximum(norms, 1e-12)
+            return pa.table(
+                {"vec_id": b["vec_id"], "cos": pa.array(np.round(cos, 6))}
+            )
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ds.map_batches(Cos, fn_constructor_kwargs={"ref": qref}, batch_format="pyarrow", concurrency=2)
+    out = out.map_batches(lambda b: b.filter(pc.not_equal(b["vec_id"], 0)), batch_format="pyarrow")
+    return out.sort(["cos", "vec_id"], descending=[True, False]).limit(10)
+
+
+SQL_ANN_COSINE_TOPK = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cos
+FROM embeddings e, q WHERE e.vec_id <> 0
+ORDER BY cos DESC, e.vec_id LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def make_queries() -> dict:
+    return {
+        "doc_token_stats": q_doc_token_stats,
+        "term_df": q_term_df,
+        "term_tf_total": q_term_tf_total,
+        "autocomplete_prefix": q_autocomplete_prefix,
+        "bm25_topk": q_bm25_topk,
+        "lang_counts": q_lang_counts,
+        "filter_terms_range": q_filter_terms_range,
+        "sort_topk": q_sort_topk,
+        "exact_dedup": q_exact_dedup,
+        "fingerprint": q_fingerprint,
+        "quality_stats": q_quality_stats,
+        "events_watermark": q_events_watermark,
+        "upsert_last_write": q_upsert_last_write,
+        "join_broadcast": q_join_broadcast,
+        "group_concat": q_group_concat,
+        "lineitem_agg": q_lineitem_agg,
+        "ann_cosine_topk": q_ann_cosine_topk,
+    }
+
+
+def make_oracle_sql() -> dict:
+    return {
+        "doc_token_stats": SQL_DOC_TOKEN_STATS,
+        "term_df": SQL_TERM_DF,
+        "term_tf_total": SQL_TERM_TF_TOTAL,
+        "autocomplete_prefix": SQL_AUTOCOMPLETE_PREFIX,
+        "bm25_topk": _sql_bm25(BM25_QUERY),
+        "lang_counts": SQL_LANG_COUNTS,
+        "filter_terms_range": SQL_FILTER_TERMS_RANGE,
+        "sort_topk": SQL_SORT_TOPK,
+        "exact_dedup": SQL_EXACT_DEDUP,
+        "fingerprint": SQL_FINGERPRINT,
+        "quality_stats": SQL_QUALITY_STATS,
+        "events_watermark": SQL_EVENTS_WATERMARK,
+        "upsert_last_write": SQL_UPSERT_LAST_WRITE,
+        "join_broadcast": SQL_JOIN_BROADCAST,
+        "group_concat": SQL_GROUP_CONCAT,
+        "lineitem_agg": SQL_LINEITEM_AGG,
+        "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    }
