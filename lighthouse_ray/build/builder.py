@@ -33,7 +33,7 @@ from ray.data.aggregate import Count, Sum
 
 from ..analysis import flat_tokens
 from ..config import FIELDS, IndexConfig
-from ..util import atomic_write_json, read_json
+from ..util import atomic_write_json, limit_worker_threads, read_json
 from .docs import derive_batch, make_finalize_part, part_offsets
 from .postings import TokenizerStage, make_merge_shard
 
@@ -72,7 +72,7 @@ def build_index(
     os.makedirs(index_dir, exist_ok=True)
     manifest = _load_manifest(index_dir) if resume else {"stages": {}}
     if not resume:
-        for sub in ("docstore", "postings", "segments"):
+        for sub in ("docstore", "postings", "segments", "doclens", "payload", "payload_dfsample"):
             shutil.rmtree(os.path.join(index_dir, sub), ignore_errors=True)
     manifest.setdefault("config", cfg.to_json())
     stages = manifest["stages"]
@@ -80,11 +80,15 @@ def build_index(
     ds = source if isinstance(source, rd.Dataset) else rd.read_parquet(source)
 
     # ---- Stage A: docstore ------------------------------------------------
+    payload_dir = os.path.join(index_dir, "payload")
     if "docstore" not in stages:
         t0 = time.time()
+        os.makedirs(payload_dir, exist_ok=True)
         rows = (
-            ds.map_batches(lambda b: derive_batch(b, cfg), batch_format="pyarrow")
-            .groupby("part")
+            ds.map_batches(
+                lambda b: derive_batch(b, cfg, payload_dir), batch_format="pyarrow"
+            )
+            .groupby("part")  # shuffles ~150 B/row of metadata, never content
             .map_groups(make_finalize_part(index_dir, cfg), batch_format="pyarrow")
             .take_all()
         )  # one small manifest row per partition
@@ -113,16 +117,15 @@ def build_index(
     if "hot_terms" not in stages:
         t0 = time.time()
         mod = cfg.df_sample_mod
-        sample = rd.read_parquet(docstore_paths, columns=["rank", "content"]).map_batches(
-            lambda b: _sample_df_partial(b, mod), batch_format="pyarrow"
-        )
-        agg = sample.groupby("term").aggregate(Sum("n", alias_name="n_docs"))
         thresh = max(4.0, cfg.hot_df_ratio * n_docs / mod)
-        hot = [
-            r["term"]
-            for r in agg.take_all()
-            if r["n_docs"] >= thresh
-        ]
+        if os.path.isdir(payload_dir + "_dfsample") and os.listdir(payload_dir + "_dfsample"):
+            sample = rd.read_parquet(
+                payload_dir + "_dfsample", columns=["content"]
+            ).map_batches(_sample_df_partial, batch_format="pyarrow")
+            agg = sample.groupby("term").aggregate(Sum("n", alias_name="n_docs"))
+            hot = [r["term"] for r in agg.take_all() if r["n_docs"] >= thresh]
+        else:
+            hot = []
         stages["hot_terms"] = {"sec": round(time.time() - t0, 3), "terms": sorted(hot), "threshold": thresh}
         atomic_write_json(_manifest_path(index_dir), manifest)
     hot_terms = stages["hot_terms"]["terms"]
@@ -132,18 +135,32 @@ def build_index(
     if "postings" not in stages:
         t0 = time.time()
         shutil.rmtree(postings_dir, ignore_errors=True)
-        docstore = rd.read_parquet(
-            docstore_paths, columns=["part", "rank", "name", "path", "repo", "content"]
-        )
         import ray as _ray
 
-        concurrency = cfg.tokenize_concurrency or max(
-            2, int(_ray.cluster_resources().get("CPU", 4)) - 1
+        # doc_id -> ordinal broadcast map from the (small) doc-store meta
+        import pyarrow.dataset as pads
+
+        from .docs import build_ordinal_map
+
+        meta = pads.dataset(docstore_paths).to_table(columns=["doc_id", "part", "rank"])
+        off = np.asarray(offsets, dtype=np.int64)
+        ords = off[meta["part"].to_numpy()] + meta["rank"].to_numpy()
+        ord_map_ref = _ray.put(build_ordinal_map(meta["doc_id"].to_pylist(), ords))
+
+        # payload read in file order — content is never shuffled
+        payload = rd.read_parquet(
+            payload_dir, columns=["doc_id", "repo", "path", "name", "content"]
         )
-        postings = docstore.map_batches(
+        # autoscaling actor pool: ramps with backlog, so small builds don't
+        # pay the spawn cost of a full-width pool
+        concurrency = cfg.tokenize_concurrency or (
+            1,
+            max(2, int(_ray.cluster_resources().get("CPU", 4)) - 1),
+        )
+        postings = payload.map_batches(
             TokenizerStage,
             fn_constructor_kwargs={
-                "offsets": offsets,
+                "ord_map_ref": ord_map_ref,
                 "hot_terms": hot_terms,
                 "cfg_json": cfg.to_json(),
             },
@@ -155,57 +172,15 @@ def build_index(
         stages["postings"] = {"sec": round(time.time() - t0, 3)}
         atomic_write_json(_manifest_path(index_dir), manifest)
 
-    # ---- Stage C: collection stats (doclen rows: shard == -1) ---------------
-    if "stats" not in stages:
-        t0 = time.time()
-        import pyarrow.compute as pc
-        import pyarrow.dataset as pads
-
-        dl = rd.read_parquet(
-            postings_dir,
-            columns=["field", "tf"],
-            filter=(pads.field("shard") == -1),
-        )
-        agg = dl.groupby("field").aggregate(Sum("tf", alias_name="total"), Count(alias_name="n"))
-        field_stats = {
-            r["field"]: {"total_len": int(r["total"]), "n_docs_with": int(r["n"])}
-            for r in agg.take_all()
-        }
-        stats = {
-            "n_docs": n_docs,
-            "fields": {
-                f: {
-                    **field_stats.get(f, {"total_len": 0, "n_docs_with": 0}),
-                    "avgdl": (field_stats.get(f, {}).get("total_len", 0) / n_docs) if n_docs else 0.0,
-                }
-                for f in FIELDS
-            },
-            "hot_terms": hot_terms,
-            "salt_range": cfg.salt_range,
-            "num_term_shards": cfg.num_term_shards,
-            "num_doc_parts": cfg.num_doc_parts,
-            "part_offsets": offsets,
-            "k1": cfg.k1,
-            "b": cfg.b,
-            "now_ts": cfg.now_ts,
-        }
-        atomic_write_json(os.path.join(index_dir, "stats.json"), stats)
-        stages["stats"] = {"sec": round(time.time() - t0, 3)}
-        atomic_write_json(_manifest_path(index_dir), manifest)
-
-    # ---- Stage D: segments ----------------------------------------------------
+    # ---- Stage D: segments + doclens (one shuffle pass) ----------------------
     seg_done: dict = stages.get("segments", {}).get("shards", {})
     t0 = time.time()
-    import pyarrow.dataset as pads
-
-    flt = pads.field("shard") >= 0
-    done_ids = sorted(int(k) for k in seg_done)
-    post = rd.read_parquet(postings_dir, filter=flt)
+    done_ids = {int(k) for k in seg_done}
+    post = rd.read_parquet(postings_dir)
     if done_ids:
-        done_arr = set(done_ids)
         post = post.map_batches(
             lambda b: b.filter(
-                pa.array([s not in done_arr for s in b["shard"].to_pylist()])
+                pa.array(~np.isin(b["shard"].to_numpy(zero_copy_only=False), list(done_ids)))
             ),
             batch_format="pyarrow",
         )
@@ -220,6 +195,7 @@ def build_index(
             "n_postings": int(r["n_postings"]),
             "bytes": int(r["bytes"]),
             "sha256": r["sha256"],
+            "extra": r.get("extra", ""),
         }
     stages["segments"] = {
         "sec": round(time.time() - t0, 3) + stages.get("segments", {}).get("sec", 0.0),
@@ -228,15 +204,40 @@ def build_index(
     manifest["n_docs"] = n_docs
     atomic_write_json(_manifest_path(index_dir), manifest)
 
+    # ---- stats.json from the doclen-bucket manifest rows ---------------------
+    import json as _json
+
+    totals = {f: 0 for f in FIELDS}
+    for k, v in seg_done.items():
+        if int(k) < 0 and v.get("extra"):
+            for f, t in _json.loads(v["extra"]).items():
+                totals[f] = totals.get(f, 0) + int(t)
+    stats = {
+        "n_docs": n_docs,
+        "fields": {
+            f: {"total_len": totals.get(f, 0), "avgdl": (totals.get(f, 0) / n_docs) if n_docs else 0.0}
+            for f in FIELDS
+        },
+        "hot_terms": hot_terms,
+        "salt_range": cfg.salt_range,
+        "num_term_shards": cfg.num_term_shards,
+        "num_doc_parts": cfg.num_doc_parts,
+        "part_offsets": offsets,
+        "k1": cfg.k1,
+        "b": cfg.b,
+        "now_ts": cfg.now_ts,
+    }
+    atomic_write_json(os.path.join(index_dir, "stats.json"), stats)
+
     n_postings = sum(v["n_postings"] for v in seg_done.values())
     return BuildResult(index_dir=index_dir, n_docs=n_docs, n_postings=n_postings, manifest=manifest)
 
 
-def _sample_df_partial(batch: pa.Table, mod: int) -> pa.Table:
-    """Per-batch partial df counts over a deterministic 1/mod doc sample."""
-    keep = batch.filter(
-        pa.array((batch["rank"].to_numpy(zero_copy_only=False) % mod) == 0)
-    )
+def _sample_df_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch partial df counts over the pre-spilled doc sample
+    (1/df_sample_mod by doc_id hash, written during stage A)."""
+    limit_worker_threads()
+    keep = batch
     if keep.num_rows == 0:
         return pa.table({"term": pa.array([], type=pa.string()), "n": pa.array([], type=pa.int64())})
     parents, _pos, terms, _n = flat_tokens(keep["content"])

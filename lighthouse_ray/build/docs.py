@@ -32,7 +32,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..config import IndexConfig
-from ..util import atomic_write_bytes
+from ..util import atomic_write_bytes, limit_worker_threads
 
 # five-year release_time window ending at the frozen "now" (FIXTURES.md §1)
 _RELEASE_LO = 1_609_459_200  # 2021-01-01
@@ -41,12 +41,19 @@ _RELEASE_SPAN = 157_766_400  # ~5 years
 BID_STATES = ("Controlling", "Accepted", "Spent", "Expired")
 
 
-def derive_batch(batch: pa.Table, cfg: IndexConfig) -> pa.Table:
+def derive_batch(batch: pa.Table, cfg: IndexConfig, payload_dir: str | None = None) -> pa.Table:
     """Identity + derived fields + synthetic doc-values for one Arrow batch.
 
     String hashing (sha1/sha256) is inherently per-row; everything
     derivable from the 64-bit id hash is vectorized with numpy.
+
+    When ``payload_dir`` is given, the heavy ``content`` column is spilled
+    map-side to a content-addressed payload parquet (doc_id, repo, path,
+    name, content) and only ~150 B/row of metadata (plus payload
+    file/row pointers) continues into the partitioning shuffle — at scale
+    the shuffle moves keys, never document payloads.
     """
+    limit_worker_threads()
     repo = batch["repo"].to_pylist()
     path = batch["path"].to_pylist()
     commit = batch["commit"].to_pylist()
@@ -100,38 +107,69 @@ def derive_batch(batch: pa.Table, cfg: IndexConfig) -> pa.Table:
     lang_list = batch["lang"].to_pylist()
     mime = [("text/" + l) if l == "md" else ("application/" + l) for l in lang_list]
 
-    return pa.table(
+    cols = {
+        "doc_id": pa.array(doc_id, type=pa.string()),
+        "repo": batch["repo"],
+        "path": batch["path"],
+        "commit": batch["commit"],
+        "lang": batch["lang"],
+        "content_sha256": pa.array(content_sha, type=pa.string()),
+        "name": name,
+        "kind": pa.array(kind.tolist(), type=pa.string()),
+        "channel_claim_id": pa.array(channel_claim_id, type=pa.string()),
+        "mime": pa.array(mime, type=pa.string()),
+        "part": pa.array(part),
+        "effective_amount": pa.array(eff),
+        "certificate_amount": pa.array(cert),
+        "view_cnt": pa.array(view),
+        "sub_cnt": pa.array(sub),
+        "claim_cnt": pa.array(claim_cnt),
+        "fee": pa.array(fee),
+        "bid_state": pa.array(bid),
+        "has_thumbnail": pa.array(has_thumb),
+        "nsfw": pa.array(nsfw),
+        "release_time": pa.array(release),
+    }
+    if payload_dir is None:
+        cols["content"] = content
+        return pa.table(cols)
+
+    # content-addressed payload spill (idempotent under task retries)
+    fname = hashlib.sha1("".join(doc_id).encode()).hexdigest()[:20] + ".parquet"
+    payload = pa.table(
         {
-            "doc_id": pa.array(doc_id, type=pa.string()),
+            "doc_id": cols["doc_id"],
             "repo": batch["repo"],
             "path": batch["path"],
-            "commit": batch["commit"],
-            "lang": batch["lang"],
-            "content": content,
-            "content_sha256": pa.array(content_sha, type=pa.string()),
             "name": name,
-            "kind": pa.array(kind.tolist(), type=pa.string()),
-            "channel_claim_id": pa.array(channel_claim_id, type=pa.string()),
-            "mime": pa.array(mime, type=pa.string()),
-            "part": pa.array(part),
-            "effective_amount": pa.array(eff),
-            "certificate_amount": pa.array(cert),
-            "view_cnt": pa.array(view),
-            "sub_cnt": pa.array(sub),
-            "claim_cnt": pa.array(claim_cnt),
-            "fee": pa.array(fee),
-            "bid_state": pa.array(bid),
-            "has_thumbnail": pa.array(has_thumb),
-            "nsfw": pa.array(nsfw),
-            "release_time": pa.array(release),
+            "content": content,
         }
     )
+    sink = pa.BufferOutputStream()
+    pq.write_table(payload, sink, compression="zstd")
+    atomic_write_bytes(os.path.join(payload_dir, fname), sink.getvalue().to_pybytes())
+
+    # deterministic 1/df_sample_mod content sample, spilled alongside so the
+    # hot-term estimate never re-reads the full payload (membership by
+    # doc_id hash -> independent of block layout)
+    sample_mask = (h64 % np.uint64(cfg.df_sample_mod)) == 0
+    if sample_mask.any():
+        sample = payload.filter(pa.array(sample_mask)).select(["doc_id", "content"])
+        sink2 = pa.BufferOutputStream()
+        pq.write_table(sample, sink2, compression="zstd")
+        atomic_write_bytes(
+            os.path.join(payload_dir + "_dfsample", fname), sink2.getvalue().to_pybytes()
+        )
+    cols["payload_file"] = pa.array([fname] * n, type=pa.string())
+    cols["payload_row"] = pa.array(np.arange(n, dtype=np.int64))
+    return pa.table(cols)
 
 
 def make_finalize_part(index_dir: str, cfg: IndexConfig):
     """Per-partition finalizer: dedup → delete-route → rank → write."""
 
     def finalize_part(group: pa.Table) -> pa.Table:
+        limit_worker_threads()
         part = group["part"][0].as_py()
         df = group.to_pandas()
         n_input = len(df)
@@ -169,6 +207,46 @@ def make_finalize_part(index_dir: str, cfg: IndexConfig):
         )
 
     return finalize_part
+
+
+def _ids_to_u64_pairs(doc_ids: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    n = len(doc_ids)
+    hi = np.empty(n, dtype=np.uint64)
+    lo = np.empty(n, dtype=np.uint64)
+    for i, d in enumerate(doc_ids):
+        hi[i] = int(d[:16], 16)
+        lo[i] = int(d[16:32], 16)
+    return hi, lo
+
+
+def build_ordinal_map(doc_ids: list[str], ordinals: np.ndarray):
+    """Pack doc_id -> ordinal as sorted numpy arrays (128-bit sha1-prefix
+    keys).  Broadcast via ray.put: plasma gives actors the arrays
+    zero-copy, unlike a Python dict which would be re-pickled per actor."""
+    hi, lo = _ids_to_u64_pairs(doc_ids)
+    order = np.lexsort((lo, hi))
+    return hi[order], lo[order], np.ascontiguousarray(ordinals, dtype=np.int64)[order]
+
+
+def lookup_ordinals(packed, doc_ids: list[str]) -> np.ndarray:
+    """Vectorized map lookup; -1 for ids not present (dedup losers)."""
+    hi_s, lo_s, ord_s = packed
+    hi, lo = _ids_to_u64_pairs(doc_ids)
+    left = np.searchsorted(hi_s, hi, side="left")
+    right = np.searchsorted(hi_s, hi, side="right")
+    out = np.full(len(hi), -1, dtype=np.int64)
+    simple = (right - left == 1)
+    idx = left[simple]
+    ok = (hi_s[idx] == hi[simple]) & (lo_s[idx] == lo[simple])
+    tmp = np.full(int(simple.sum()), -1, dtype=np.int64)
+    tmp[ok] = ord_s[idx[ok]]
+    out[simple] = tmp
+    for i in np.flatnonzero(~simple):  # rare: equal 64-bit prefixes
+        for j in range(left[i], right[i]):
+            if lo_s[j] == lo[i]:
+                out[i] = ord_s[j]
+                break
+    return out
 
 
 def part_offsets(part_rows: dict[int, int], num_parts: int) -> list[int]:

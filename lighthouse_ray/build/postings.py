@@ -44,7 +44,7 @@ from ..codecs import (
     varbyte_sizes,
 )
 from ..config import FIELDS, IndexConfig
-from ..util import atomic_write_bytes, stable_hash64
+from ..util import atomic_write_bytes, limit_worker_threads, stable_hash64
 
 # doc-store column feeding each indexed field
 FIELD_SOURCE = {"name": "name", "title": "path", "channel": "repo", "content": "content"}
@@ -62,12 +62,22 @@ POSTINGS_SCHEMA = pa.schema(
 
 
 class TokenizerStage:
-    """Actor-pool tokenize stage: state (offsets, hot set, salt memo)
-    built once per actor in ``__init__``, per-batch work in ``__call__``."""
+    """Actor-pool tokenize stage: state (ordinal map, hot set, salt memo)
+    built once per actor in ``__init__``, per-batch work in ``__call__``.
 
-    def __init__(self, offsets: list[int], hot_terms: list[str], cfg_json: dict):
+    Consumes payload files in their own order (content never shuffled);
+    the doc_id -> ordinal map is broadcast via ``ray.put`` (sandbox
+    scale).  At 10^12 docs the map would be range-partitioned by doc_id
+    and fetched per batch instead of held whole."""
+
+    def __init__(self, ord_map_ref, hot_terms: list[str], cfg_json: dict):
+        limit_worker_threads()
+        import ray as _ray
+
         self.cfg = IndexConfig.from_json(cfg_json)
-        self.offsets = np.asarray(offsets, dtype=np.int64)
+        self.ord_map = (
+            _ray.get(ord_map_ref) if not isinstance(ord_map_ref, tuple) else ord_map_ref
+        )
         self.hot = set(hot_terms)
         self._shard_memo: dict[str, int] = {}
         self._salt_memo: dict[tuple[str, int], int] = {}
@@ -88,10 +98,13 @@ class TokenizerStage:
         return s
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ordinals = (
-            self.offsets[batch["part"].to_numpy(zero_copy_only=False)]
-            + batch["rank"].to_numpy(zero_copy_only=False)
-        ).astype(np.int64)
+        from .docs import lookup_ordinals
+
+        ordinals = lookup_ordinals(self.ord_map, batch["doc_id"].to_pylist())
+        keep = ordinals >= 0  # dedup losers / delete-routed docs
+        if not keep.all():
+            batch = batch.filter(pa.array(keep))
+            ordinals = ordinals[keep]
         pieces = [self._field_postings(batch, f, ordinals) for f in FIELDS]
         pieces.append(self._doclen_rows(pieces))
         return pa.concat_tables([p for p in pieces if p is not None])
@@ -179,7 +192,9 @@ class TokenizerStage:
         )
 
     def _doclen_rows(self, field_tables: list[pa.Table]):
-        """One row per (field, doc): term='', tf=doclen, shard=-1."""
+        """One row per (field, doc): term='', tf=doclen.  Routed to a
+        negative shard bucketed by ordinal range, so doclens are merged
+        (into small doclens/ files) in the same shuffle pass as postings."""
         outs = []
         for ft in field_tables:
             if ft is None or ft.num_rows == 0:
@@ -190,6 +205,8 @@ class TokenizerStage:
                 .aggregate([("tf", "sum")])
             )
             n = agg.num_rows
+            ords = agg["ordinal"].to_numpy(zero_copy_only=False)
+            shard = (-1 - (ords >> self.cfg.dl_shift)).astype(np.int32)
             outs.append(
                 pa.table(
                     {
@@ -198,7 +215,7 @@ class TokenizerStage:
                         "ordinal": agg["ordinal"],
                         "tf": agg["tf_sum"].cast(pa.int32()),
                         "pos_blob": pa.array([b""] * n, type=pa.large_binary()),
-                        "shard": pa.array(np.full(n, -1, dtype=np.int32)),
+                        "shard": pa.array(shard),
                     }
                 )
             )
@@ -228,19 +245,19 @@ def make_merge_shard(index_dir: str, cfg: IndexConfig):
     block = cfg.block_size
 
     def merge_shard(group: pa.Table) -> pa.Table:
+        limit_worker_threads()
         shard = group["shard"][0].as_py()
+        if shard < 0:
+            return _merge_doclen_bucket(group, shard, index_dir)
         idx = pc.sort_indices(
             group,
             sort_keys=[("field", "ascending"), ("term", "ascending"), ("ordinal", "ascending")],
         )
         g = group.take(idx)
-        fields = g["field"].to_pylist()
-        terms = g["term"].to_pylist()
         ords = g["ordinal"].to_numpy(zero_copy_only=False).astype(np.uint64)
         tfs = g["tf"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        blobs = g["pos_blob"].to_pylist()
 
-        n = len(terms)
+        n = len(ords)
         fcodes = g["field"].combine_chunks().dictionary_encode().indices.to_numpy(zero_copy_only=False)
         tcodes = g["term"].combine_chunks().dictionary_encode().indices.to_numpy(zero_copy_only=False)
         change = np.empty(n, dtype=bool)
@@ -248,28 +265,81 @@ def make_merge_shard(index_dir: str, cfg: IndexConfig):
         np.logical_or(fcodes[1:] != fcodes[:-1], tcodes[1:] != tcodes[:-1], out=change[1:])
         starts = np.flatnonzero(change)
         ends = np.append(starts[1:], n)
+        lens = ends - starts
+        n_runs = len(starts)
+        run_ends_m1 = ends - 1
 
-        out = {k: [] for k in SEGMENT_SCHEMA.names}
-        n_postings = 0
-        for s, e in zip(starts, ends):
+        # delta-gap ALL ordinals in one pass (reset to absolute at each run
+        # start), varbyte-encode once, slice per run by byte offsets
+        gaps = np.empty_like(ords)
+        gaps[0] = ords[0]
+        np.subtract(ords[1:], ords[:-1], out=gaps[1:])
+        gaps[starts] = ords[starts]
+        ords_buf = varbyte_encode(gaps)
+        ords_nb = np.cumsum(varbyte_sizes(gaps))
+        ords_offs = np.zeros(n_runs + 1, dtype=np.int64)
+        ords_offs[1:] = ords_nb[run_ends_m1]
+
+        tfs_buf = varbyte_encode(tfs)
+        tfs_nb = np.cumsum(varbyte_sizes(tfs))
+        tfs_offs = np.zeros(n_runs + 1, dtype=np.int64)
+        tfs_offs[1:] = tfs_nb[run_ends_m1]
+
+        # positions: rows are contiguous after take -> per-run bytes are a
+        # contiguous slice of the binary column's data buffer
+        pos_col_in = g["pos_blob"].combine_chunks()
+        off_dtype = np.int64 if pa.types.is_large_binary(pos_col_in.type) else np.int32
+        pos_in_offs = np.frombuffer(pos_col_in.buffers()[1], dtype=off_dtype)[
+            pos_col_in.offset : pos_col_in.offset + n + 1
+        ].astype(np.int64)
+        pos_buf = pos_col_in.buffers()[2]
+        pos_offs = pos_in_offs[np.append(starts, n)]
+        base = int(pos_in_offs[0])
+        pos_offs = pos_offs - base
+
+        # block-max metadata
+        df64 = lens.astype(np.int64)
+        cf = np.add.reduceat(tfs.astype(np.int64), starts)
+        n_blocks = (df64 + block - 1) // block
+        blk_last_parts = []
+        blk_maxtf_parts = []
+        for r in range(n_runs):
+            s, e = starts[r], ends[r]
             o = ords[s:e]
             t = tfs[s:e]
-            n_postings += len(o)
-            out["field"].append(fields[s])
-            out["term"].append(terms[s])
-            out["df"].append(int(e - s))
-            out["cf"].append(int(t.sum()))
-            out["ords"].append(varbyte_encode(np.diff(o, prepend=np.uint64(0))))
-            out["tfs"].append(varbyte_encode(t))
-            out["pos"].append(b"".join(blobs[s:e]))
-            lasts = np.append(o[block - 1 :: block], o[-1]) if (e - s) % block else o[block - 1 :: block]
-            out["blk_last"].append(np.ascontiguousarray(lasts, dtype=np.uint64).tobytes())
-            nb_blocks = len(lasts)
-            pad = nb_blocks * block - (e - s)
-            tpad = np.append(t, np.zeros(pad, dtype=np.uint64)).reshape(nb_blocks, block)
-            out["blk_maxtf"].append(tpad.max(axis=1).astype(np.uint32).tobytes())
+            lasts = o[block - 1 :: block]
+            if (e - s) % block:
+                lasts = np.append(lasts, o[-1])
+            blk_last_parts.append(np.ascontiguousarray(lasts, dtype=np.uint64))
+            pad = int(n_blocks[r]) * block - int(e - s)
+            tpad = np.concatenate([t, np.zeros(pad, dtype=np.uint64)]).reshape(int(n_blocks[r]), block)
+            blk_maxtf_parts.append(tpad.max(axis=1).astype(np.uint32))
+        blk_last_flat = np.concatenate(blk_last_parts) if blk_last_parts else np.zeros(0, dtype=np.uint64)
+        blk_maxtf_flat = np.concatenate(blk_maxtf_parts) if blk_maxtf_parts else np.zeros(0, dtype=np.uint32)
+        blk_offs = np.zeros(n_runs + 1, dtype=np.int64)
+        np.cumsum(n_blocks, out=blk_offs[1:])
 
-        seg = pa.table({k: pa.array(v, type=ty) for (k, ty), v in zip(zip(SEGMENT_SCHEMA.names, SEGMENT_SCHEMA.types), out.values())})
+        def bin_col(offsets_elems: np.ndarray, buf, elem_size: int = 1) -> pa.Array:
+            return pa.LargeBinaryArray.from_buffers(
+                pa.large_binary(),
+                n_runs,
+                [None, pa.py_buffer((offsets_elems * elem_size).astype(np.int64).tobytes()), buf],
+            )
+
+        n_postings = int(n)
+        seg = pa.table(
+            {
+                "field": pc.take(g["field"], pa.array(starts)),
+                "term": pc.take(g["term"], pa.array(starts)),
+                "df": pa.array(df64),
+                "cf": pa.array(cf),
+                "ords": bin_col(ords_offs, pa.py_buffer(ords_buf)),
+                "tfs": bin_col(tfs_offs, pa.py_buffer(tfs_buf)),
+                "pos": bin_col(pos_offs, pa.py_buffer(pos_buf.to_pybytes()[base : base + int(pos_offs[-1])])),
+                "blk_last": bin_col(blk_offs, pa.py_buffer(blk_last_flat.tobytes()), 8),
+                "blk_maxtf": bin_col(blk_offs, pa.py_buffer(blk_maxtf_flat.tobytes()), 4),
+            }
+        ).cast(SEGMENT_SCHEMA)
         sink = pa.BufferOutputStream()
         pq.write_table(seg, sink, compression="zstd")
         data = sink.getvalue().to_pybytes()
@@ -281,7 +351,40 @@ def make_merge_shard(index_dir: str, cfg: IndexConfig):
                 "n_postings": pa.array([n_postings], type=pa.int64()),
                 "bytes": pa.array([len(data)], type=pa.int64()),
                 "sha256": pa.array([hashlib.sha256(data).hexdigest()], type=pa.string()),
+                "extra": pa.array([""], type=pa.string()),
             }
         )
 
     return merge_shard
+
+
+def _merge_doclen_bucket(group: pa.Table, shard: int, index_dir: str) -> pa.Table:
+    """Negative shard = doclen bucket: write a sorted doclens file and
+    report per-field length totals (for avgdl) in the manifest row."""
+    import json
+
+    g = group.take(
+        pc.sort_indices(group, sort_keys=[("field", "ascending"), ("ordinal", "ascending")])
+    )
+    out = pa.table({"field": g["field"], "ordinal": g["ordinal"], "dl": g["tf"]})
+    sink = pa.BufferOutputStream()
+    pq.write_table(out, sink, compression="zstd")
+    data = sink.getvalue().to_pybytes()
+    bucket = -1 - shard
+    atomic_write_bytes(os.path.join(index_dir, "doclens", f"bucket-{bucket:05d}.parquet"), data)
+    totals = (
+        out.select(["field", "dl"]).group_by("field").aggregate([("dl", "sum")])
+    )
+    extra = json.dumps(
+        dict(zip(totals["field"].to_pylist(), [int(x) for x in totals["dl_sum"].to_pylist()]))
+    )
+    return pa.table(
+        {
+            "shard": pa.array([shard], type=pa.int32()),
+            "n_terms": pa.array([0], type=pa.int64()),
+            "n_postings": pa.array([out.num_rows], type=pa.int64()),
+            "bytes": pa.array([len(data)], type=pa.int64()),
+            "sha256": pa.array([hashlib.sha256(data).hexdigest()], type=pa.string()),
+            "extra": pa.array([extra], type=pa.string()),
+        }
+    )

@@ -40,9 +40,14 @@ class IndexConfig:
     salt_range: int = 1 << 16        # docs per salt bucket
     df_sample_mod: int = 50          # 1/50 of docs sampled for df estimation
 
+    # doclen rows are routed to negative shards bucketed by ordinal range
+    # (one doclens file per 2^dl_shift docs), merged in the same shuffle
+    # pass as the postings — no separate stats scan over the postings.
+    dl_shift: int = 16
+
     # execution sizing
-    tokenize_batch_size: int = 256   # docs per tokenize batch (content can be MBs)
-    tokenize_concurrency: int | None = None  # None -> stateless tasks sizing by Ray
+    tokenize_batch_size: int = 1024  # docs per tokenize batch (drop for MB-scale payloads)
+    tokenize_concurrency: int | None = None  # None -> autoscaling actor pool (1, cpus-1)
 
     # delete-route Spent/Expired docs at build (chainquery.go:127-132);
     # disable for corpora without upsert/delete semantics
@@ -63,6 +68,7 @@ class IndexConfig:
             "hot_df_ratio": self.hot_df_ratio,
             "salt_range": self.salt_range,
             "df_sample_mod": self.df_sample_mod,
+            "dl_shift": self.dl_shift,
             "route_deletes": self.route_deletes,
             "now_ts": self.now_ts,
         }

@@ -96,13 +96,22 @@ def _make_content(i: int, rng: np.random.RandomState, lang: str) -> str:
 
 def gen_rows(n_docs: int) -> dict[str, list]:
     """Generate the corpus row-by-row (pure function of the index)."""
+    return gen_rows_range(0, n_docs)
+
+
+def gen_corpus(n_docs: int) -> pa.Table:
+    return pa.table(gen_rows(n_docs))
+
+
+def gen_rows_range(lo: int, hi: int) -> dict[str, list]:
+    """Rows for doc indices [lo, hi) — content is a pure function of the
+    index, so any range partition generates identical rows."""
     repos, paths, commits, langs, contents = [], [], [], [], []
 
     def emit(i: int, version: int) -> None:
         rng = _stable_rng(i * 10 + version)
         repo = f"org{i % 7}/repo{i % 53}"
         if i % 40 == 7:
-            # repo-root README: the "channel document" analog (claim_type)
             lang = "md"
             path = "README.md"
         else:
@@ -115,9 +124,9 @@ def gen_rows(n_docs: int) -> dict[str, list]:
         langs.append(lang)
         contents.append(_make_content(i, rng, lang))
 
-    for i in range(n_docs):
+    for i in range(lo, hi):
         emit(i, 1)
-        if i % 20 == 0:  # ~5% of files appear at a second commit
+        if i % 20 == 0:
             emit(i, 2)
     return {
         "repo": repos,
@@ -128,12 +137,35 @@ def gen_rows(n_docs: int) -> dict[str, list]:
     }
 
 
-def gen_corpus(n_docs: int) -> pa.Table:
-    return pa.table(gen_rows(n_docs))
-
-
 def write_corpus(path: str, n_docs: int) -> str:
     import pyarrow.parquet as pq
 
     pq.write_table(gen_corpus(n_docs), path)
     return path
+
+
+def write_corpus_parallel(dir_path: str, n_docs: int, chunk: int = 10_000) -> str:
+    """Generate the corpus as a directory of parquet files using Ray tasks
+    (deterministic: file k covers indices [k*chunk, (k+1)*chunk))."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+
+    os.makedirs(dir_path, exist_ok=True)
+
+    @ray.remote
+    def gen_part(k: int, lo: int, hi: int) -> str:
+        out = os.path.join(dir_path, f"part-{k:05d}.parquet")
+        if not os.path.exists(out):
+            tbl = pa.table(gen_rows_range(lo, hi))
+            pq.write_table(tbl, out + ".tmp")
+            os.replace(out + ".tmp", out)
+        return out
+
+    futs = [
+        gen_part.remote(k, lo, min(lo + chunk, n_docs))
+        for k, lo in enumerate(range(0, n_docs, chunk))
+    ]
+    ray.get(futs)
+    return dir_path

@@ -88,14 +88,10 @@ class IndexReader:
     def doclens(self, field: str) -> np.ndarray:
         dl = self._doclens.get(field)
         if dl is None:
-            ds = pads.dataset(os.path.join(self.index_dir, "postings"))
-            t = ds.to_table(
-                columns=["ordinal", "tf"],
-                filter=(pads.field("shard") == -1) & (pads.field("field") == field),
-            )
+            ds = pads.dataset(os.path.join(self.index_dir, "doclens"))
+            t = ds.to_table(columns=["ordinal", "dl"], filter=pads.field("field") == field)
             dl = np.zeros(self.n_docs, dtype=np.int64)
-            ords = t["ordinal"].to_numpy()
-            dl[ords] = t["tf"].to_numpy()
+            dl[t["ordinal"].to_numpy()] = t["dl"].to_numpy()
             self._doclens[field] = dl
         return dl
 
@@ -167,6 +163,50 @@ class IndexReader:
             self._dictionary[field] = arr
         return arr
 
+    def fuzzy_candidates(self, field: str, term: str, maxd: int) -> list[str]:
+        """Dictionary terms within edit distance ``maxd`` of ``term``, in
+        dictionary (sorted) order — vectorized banded Levenshtein DP over
+        a padded codepoint matrix (no Python loop over the vocabulary)."""
+        if self._dictionary is None:
+            self._dictionary = {}
+        key = ("__mat__", field)
+        packed = self._dictionary.get(key)
+        if packed is None:
+            d = self.field_dictionary(field)
+            lens = np.array([len(t) for t in d], dtype=np.int32)
+            maxlen = int(lens.max()) if len(lens) else 0
+            mat = np.zeros((len(d), maxlen), dtype=np.uint32)
+            for i, t in enumerate(d):
+                mat[i, : len(t)] = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+            packed = (d, lens, mat)
+            self._dictionary[key] = packed
+        d, lens, mat = packed
+        if len(d) == 0:
+            return []
+        sel = np.abs(lens - len(term)) <= maxd
+        cand_idx = np.flatnonzero(sel)
+        if len(cand_idx) == 0:
+            return []
+        C = mat[cand_idx]
+        L = lens[cand_idx]
+        n = len(term)
+        width = C.shape[1]
+        tcodes = np.frombuffer(term.encode("utf-32-le"), dtype=np.uint32)
+        prev = np.broadcast_to(
+            np.arange(width + 1, dtype=np.int32), (len(cand_idx), width + 1)
+        ).copy()
+        for i in range(1, n + 1):
+            cur = np.empty_like(prev)
+            cur[:, 0] = i
+            sub = (C != tcodes[i - 1]).astype(np.int32)
+            for j in range(1, width + 1):
+                np.minimum(prev[:, j] + 1, prev[:, j - 1] + sub[:, j - 1], out=cur[:, j])
+                np.minimum(cur[:, j], cur[:, j - 1] + 1, out=cur[:, j])
+            prev = cur
+        dist = prev[np.arange(len(cand_idx)), L]
+        hits = cand_idx[dist <= maxd]
+        return [d[i] for i in hits]
+
     def expand_prefix(self, field: str, prefix: str, limit: int = 50) -> list[str]:
         d = self.field_dictionary(field)
         lo = np.searchsorted(d, prefix, side="left")
@@ -186,6 +226,7 @@ class IndexReader:
         "content_sha256", "kind", "channel_claim_id", "mime",
         "effective_amount", "certificate_amount", "view_cnt", "sub_cnt",
         "claim_cnt", "fee", "bid_state", "has_thumbnail", "nsfw", "release_time",
+        "payload_file", "payload_row",
     ]
 
     def docmeta(self) -> pd.DataFrame:
@@ -202,8 +243,8 @@ class IndexReader:
         return self._docmeta
 
     def doc_content(self, ordinal: int) -> str:
-        part = int(np.searchsorted(self.offsets, ordinal, side="right") - 1)
-        rank = ordinal - int(self.offsets[part])
-        path = os.path.join(self.index_dir, "docstore", f"part-{part:05d}.parquet")
-        t = pq.read_table(path, columns=["rank", "content"], filters=[("rank", "==", rank)])
-        return t["content"][0].as_py()
+        meta = self.docmeta()
+        row = meta.iloc[int(ordinal)]
+        path = os.path.join(self.index_dir, "payload", row["payload_file"])
+        t = pq.read_table(path, columns=["content"])
+        return t["content"][int(row["payload_row"])].as_py()

@@ -58,6 +58,7 @@ class Scorer:
         self.n = reader.n_docs
         self.k1 = reader.k1
         self.b = reader.b
+        self._fuzzy_cache: dict[tuple[str, str], list[str]] = {}
 
     def idf(self, df: int) -> float:
         return math.log(1.0 + (self.n - df + 0.5) / (df + 0.5))
@@ -105,19 +106,28 @@ class Scorer:
         return out
 
     def fuzzy_expand(self, field: str, term: str, max_expansions: int = 50) -> list[str]:
+        """AUTO expansions: exact term first, then dictionary-order
+        candidates within the AUTO distance, capped at max_expansions.
+        Vectorized DP in the reader; memoized per (field, term)."""
+        key = (field, term)
+        cached = self._fuzzy_cache.get(key)
+        if cached is not None:
+            return cached
         maxd = 0 if len(term) < 3 else (1 if len(term) < 6 else 2)
         if maxd == 0:
-            return [term]
-        d = self.r.field_dictionary(field)
-        out = [term] if term in set(d.tolist()) else []
-        for cand in d.tolist():
-            if cand == term or abs(len(cand) - len(term)) > maxd:
-                continue
-            if _edit_distance_le(term, cand, maxd):
-                out.append(cand)
-                if len(out) >= max_expansions:
-                    break
-        return out or [term]
+            out = [term]
+        else:
+            cands = self.r.fuzzy_candidates(field, term, maxd)
+            in_dict = term in cands
+            out = [term] if in_dict else []
+            for cand in cands:
+                if cand != term:
+                    out.append(cand)
+                    if len(out) >= max_expansions:
+                        break
+            out = out or [term]
+        self._fuzzy_cache[key] = out
+        return out
 
     # -- phrases --------------------------------------------------------------
 
@@ -147,22 +157,33 @@ class Scorer:
             cand = cand[np.isin(cand, ords)]
         if len(cand) == 0:
             return out
-        # per-term slices of positions for the candidate docs
-        slices: list[list[np.ndarray]] = []
-        for ords, _tfs, pos, off in resolved:
-            idx = np.searchsorted(ords, cand)
-            slices.append([pos[off[i] : off[i + 1]] for i in idx])
-        freqs = np.zeros(len(cand))
-        for d in range(len(cand)):
-            if slop == 0:
-                base = slices[0][d].astype(np.int64)
-                for i in range(1, len(slices)):
-                    nxt = slices[i][d].astype(np.int64)
-                    base = base[np.isin(base + i, nxt)]
-                    if len(base) == 0:
-                        break
-                freqs[d] = len(base)
-            else:
+        if slop == 0:
+            # fully vectorized: tag each position with its candidate-doc
+            # index in the high bits, then chain np.isin over flat arrays
+            gpos = []
+            for ords, _tfs, pos, off in resolved:
+                idx = np.searchsorted(ords, cand)
+                starts = off[idx]
+                lens = off[idx + 1] - starts
+                total = int(lens.sum())
+                cum = np.zeros(len(lens), dtype=np.int64)
+                np.cumsum(lens[:-1], out=cum[1:])
+                flat_idx = np.arange(total, dtype=np.int64) + np.repeat(starts - cum, lens)
+                docrep = np.repeat(np.arange(len(cand), dtype=np.int64), lens)
+                gpos.append(pos[flat_idx].astype(np.int64) + (docrep << 32))
+            base = gpos[0]
+            for i in range(1, len(gpos)):
+                base = base[np.isin(base + i, gpos[i])]
+                if len(base) == 0:
+                    return out
+            freqs = np.bincount(base >> 32, minlength=len(cand)).astype(np.float64)
+        else:
+            slices: list[list[np.ndarray]] = []
+            for ords, _tfs, pos, off in resolved:
+                idx = np.searchsorted(ords, cand)
+                slices.append([pos[off[i] : off[i + 1]] for i in idx])
+            freqs = np.zeros(len(cand))
+            for d in range(len(cand)):
                 freqs[d] = _sloppy_freq([s[d].astype(np.int64) for s in slices], slop)
         hit = freqs > 0
         if not hit.any():

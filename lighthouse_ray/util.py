@@ -8,6 +8,29 @@ import os
 import tempfile
 
 
+_THREADS_LIMITED = False
+
+
+def limit_worker_threads(n: int = 1) -> None:
+    """Clamp pyarrow's intra-process thread pools inside Ray workers.
+
+    Each Ray worker process gets an Arrow CPU pool sized to the machine
+    (32), so 32 workers x 32 threads thrash the node; Ray already owns
+    process-level parallelism.  Call at the top of every build UDF /
+    actor __init__ (idempotent, once per process)."""
+    global _THREADS_LIMITED
+    if _THREADS_LIMITED:
+        return
+    import pyarrow as pa
+
+    try:
+        pa.set_cpu_count(n)
+        pa.set_io_thread_count(max(2, n))
+    except Exception:
+        pass
+    _THREADS_LIMITED = True
+
+
 def stable_hash64(s: str) -> int:
     """Process-independent 64-bit hash (sha1 prefix). Python's builtin
     ``hash`` is salted per process and MUST NOT be used for partitioning."""

@@ -107,13 +107,21 @@ def test_doclen_parity(built, brute):
 
 
 def test_content_sha256_invariant(built):
-    """Per-row invariant (BASELINE.json input_hint): sha256(content) equality."""
+    """Per-row invariant (BASELINE.json input_hint): sha256(content) equality
+    end-to-end — meta hash vs recomputed hash of the payload content."""
     idx, _res = built
-    t = pads.dataset(os.path.join(idx, "docstore")).to_table(
-        columns=["content", "content_sha256"]
+    meta = pads.dataset(os.path.join(idx, "docstore")).to_table(
+        columns=["doc_id", "content_sha256"]
     )
-    for c, h in zip(t["content"].to_pylist(), t["content_sha256"].to_pylist()):
-        assert hashlib.sha256(c.encode()).hexdigest() == h
+    payload = pads.dataset(os.path.join(idx, "payload")).to_table(
+        columns=["doc_id", "content"]
+    )
+    by_id = dict(zip(payload["doc_id"].to_pylist(), payload["content"].to_pylist()))
+    n = 0
+    for d, h in zip(meta["doc_id"].to_pylist(), meta["content_sha256"].to_pylist()):
+        assert hashlib.sha256(by_id[d].encode()).hexdigest() == h
+        n += 1
+    assert n > 0
 
 
 def test_deterministic_across_parallelism(ray_session, built, tmp_path):
@@ -147,9 +155,13 @@ def test_resume_mid_shuffle(ray_session, built, tmp_path):
     mpath = os.path.join(idx3, "manifest.json")
     man = json.load(open(mpath))
     shards = man["stages"]["segments"]["shards"]
-    victims = sorted(shards)[:2]
-    for v in victims:
+    pos = sorted((k for k in shards if int(k) >= 0), key=int)[:2]
+    neg = sorted((k for k in shards if int(k) < 0), key=int)[:1]
+    for v in pos:
         os.remove(os.path.join(idx3, "segments", f"shard-{int(v):05d}.parquet"))
+        del shards[v]
+    for v in neg:
+        os.remove(os.path.join(idx3, "doclens", f"bucket-{-1 - int(v):05d}.parquet"))
         del shards[v]
     json.dump(man, open(mpath, "w"))
     res3 = build_index(rd.from_arrow(gen_corpus(N_DOCS)), idx3, CFG, resume=True)
