@@ -600,6 +600,156 @@ ORDER BY cos DESC, e.vec_id LIMIT 10
 
 
 # ---------------------------------------------------------------------------
+# training-data ops: language-ID, near-dup dedup, multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def q_lang_id(sf_dir: str):
+    """Marker-stopword language-ID heuristic (deterministic; the SQL
+    oracle mirrors the rule exactly — this checks the distributed
+    computation, not langid accuracy)."""
+    from ..functions.textstats import lang_id
+
+    return lang_id(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_ngram_jaccard(sf_dir: str):
+    """Exact token-3-gram Jaccard pairs via a shingle inverted index
+    (near-dup dedup family, oracle-checked)."""
+    from ..functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), n=3, min_inter=5
+    )
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH toks AS (SELECT doc_id, {TOK} AS t FROM documents),
+sizes AS (
+  SELECT doc_id,
+         CAST(len(list_distinct(list_transform(range(1, len(t) - 1),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS BIGINT) AS nsh
+  FROM toks
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+  FROM toks
+),
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS inter
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT p.a, p.b, p.inter,
+       round(CAST(p.inter AS DOUBLE) / (sa.nsh + sb.nsh - p.inter), 6) AS jaccard
+FROM pairs p JOIN sizes sa ON p.a = sa.doc_id JOIN sizes sb ON p.b = sb.doc_id
+WHERE p.inter >= 5
+"""
+
+
+def q_embedding_near_dup(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs against a broadcast
+    normalized matrix (oracle: SQL self-join on list_cosine_similarity)."""
+    import ray
+
+    import pyarrow.parquet as pq
+
+    from ..functions.dedup import embedding_cosine_pairs
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    m = np.asarray(t["embedding"].combine_chunks().flatten(), dtype=np.float64).reshape(len(t), -1)
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((ids.astype(np.int64), m))
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_cosine_pairs(ds, threshold=0.4, matrix_ref=ref)
+
+
+SQL_EMBEDDING_NEAR_DUP = """
+SELECT x.vec_id AS a, y.vec_id AS b,
+       round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                    CAST(y.embedding AS DOUBLE[])), 6) AS cos
+FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                             CAST(y.embedding AS DOUBLE[])) >= 0.4
+"""
+
+
+def q_multimodal_meta(sf_dir: str):
+    """Multimodal plumbing: documents' text bytes as stand-in binary
+    payloads -> actor-pool metadata extraction (deterministic fake
+    decode; schema/batching/actor shape are the real thing)."""
+    import pyarrow.compute as pc2
+
+    from ..functions.multimodal import extract_media_meta
+
+    def to_payload(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": pc2.cast(b["doc_id"], pa.string()),
+                "payload": pc2.cast(b["text"], pa.large_binary()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        to_payload, batch_format="pyarrow"
+    )
+    out = extract_media_meta(ds)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "media_id": b["media_id"],
+                "n_bytes": b["n_bytes"],
+                "width": b["width"].cast(pa.int64()),
+                "height": b["height"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_MULTIMODAL_META = """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CAST(64 + strlen(text) % 1856 AS BIGINT) AS width,
+       CAST(64 + (strlen(text) * 7) % 1856 AS BIGINT) AS height
+FROM documents
+"""
+
+
+def q_minhash_lsh(sf_dir: str):
+    """MinHash+LSH near-dup candidates (rows-only driver check; the
+    estimator math is pinned by unit tests against exact Jaccard)."""
+    from ..functions.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(
+        _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.3, k=3
+    )
+
+
+def q_simhash_dedup(sf_dir: str):
+    """SimHash hamming<=3 candidates (rows-only driver check)."""
+    from ..functions.dedup import simhash_candidates
+
+    return simhash_candidates(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_ann_ivf_topk(sf_dir: str):
+    """IVF approximate top-k (rows-only; recall vs brute force is
+    asserted in tests/test_functions.py)."""
+    from ..functions.similarity import ivf_index, ivf_topk
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    q = np.asarray(t.filter(pc.equal(t["vec_id"], 0))["embedding"][0].as_py(), dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    idx = ivf_index(ds, n_clusters=8)
+    out = ivf_topk(idx, q, k=11, nprobe=4)
+    return out[out["vec_id"] != 0].head(10).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -622,6 +772,13 @@ def make_queries() -> dict:
         "group_concat": q_group_concat,
         "lineitem_agg": q_lineitem_agg,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "lang_id": q_lang_id,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_near_dup": q_embedding_near_dup,
+        "multimodal_meta": q_multimodal_meta,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_dedup": q_simhash_dedup,
+        "ann_ivf_topk": q_ann_ivf_topk,
     }
 
 
@@ -644,4 +801,16 @@ def make_oracle_sql() -> dict:
         "group_concat": SQL_GROUP_CONCAT,
         "lineitem_agg": SQL_LINEITEM_AGG,
         "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+        "lang_id": _sql_lang_id(),
+        "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+        "multimodal_meta": SQL_MULTIMODAL_META,
+        # minhash_lsh / simhash_dedup / ann_ivf_topk are approximate ->
+        # rows-only driver check; pinned in tests/test_functions.py
     }
+
+
+def _sql_lang_id() -> str:
+    from ..functions.textstats import sql_lang_id
+
+    return sql_lang_id()

@@ -1,0 +1,154 @@
+"""Training-data ops: dedup estimators, IVF recall, multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs_table(rows):
+    return pa.table(
+        {
+            "doc_id": pa.array(list(range(len(rows))), type=pa.int64()),
+            "text": pa.array(rows, type=pa.string()),
+        }
+    )
+
+
+BASE = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight again"
+NEAR = BASE.replace("lazy", "sleepy")
+OTHER = "completely different content about database engines and vectorized execution pipelines"
+
+
+def test_minhash_estimates_jaccard():
+    from lighthouse_ray.analysis import tokenize_text
+    from lighthouse_ray.functions.dedup import minhash_signatures
+
+    t = _docs_table([BASE, NEAR, OTHER])
+    sig = minhash_signatures(t, num_perm=128, k=3)
+    sigs = np.asarray(sig["sig"].combine_chunks().flatten()).reshape(3, 128)
+
+    def shingle_set(s, k=3):
+        toks = tokenize_text(s)
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    true_j = len(shingle_set(BASE) & shingle_set(NEAR)) / len(shingle_set(BASE) | shingle_set(NEAR))
+    est = (sigs[0] == sigs[1]).mean()
+    assert abs(est - true_j) < 0.15
+    assert (sigs[0] == sigs[2]).mean() < 0.2
+
+
+def test_minhash_lsh_finds_near_dups(ray_session):
+    import ray.data as rd
+
+    from lighthouse_ray.functions.dedup import minhash_lsh_candidates
+
+    rows = [BASE, NEAR, OTHER, "unrelated text about parquet readers and arrow batches ok"]
+    out = minhash_lsh_candidates(
+        rd.from_arrow(_docs_table(rows)), threshold=0.3, k=3
+    ).to_pandas()
+    pairs = set(zip(out["a"], out["b"]))
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_near_dup(ray_session):
+    import ray.data as rd
+
+    from lighthouse_ray.functions.dedup import simhash_candidates, simhash_signatures
+
+    t = _docs_table([BASE, NEAR, OTHER])
+    sig = simhash_signatures(t)
+    s = sig["simhash"].to_numpy(zero_copy_only=False)
+    ham01 = bin(int(s[0]) ^ int(s[1])).count("1")
+    ham02 = bin(int(s[0]) ^ int(s[2])).count("1")
+    assert ham01 < ham02
+
+    out = simhash_candidates(
+        rd.from_arrow(_docs_table([BASE, BASE + " x", OTHER])), max_hamming=3
+    ).to_pandas()
+    assert (0, 1) in set(zip(out["a"], out["b"]))
+
+
+def test_ngram_jaccard_exact(ray_session):
+    import ray.data as rd
+
+    from lighthouse_ray.analysis import tokenize_text
+    from lighthouse_ray.functions.dedup import ngram_jaccard_pairs
+
+    rows = [BASE, NEAR, OTHER]
+    out = ngram_jaccard_pairs(rd.from_arrow(_docs_table(rows)), n=3, min_inter=1).to_pandas()
+
+    def shset(s):
+        toks = tokenize_text(s)
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    want = len(shset(BASE) & shset(NEAR)) / len(shset(BASE) | shset(NEAR))
+    row = out[(out["a"] == 0) & (out["b"] == 1)]
+    assert len(row) == 1
+    assert row["jaccard"].iloc[0] == pytest.approx(want, abs=1e-6)
+
+
+def test_ivf_recall_vs_brute_force(ray_session):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from lighthouse_ray.functions.similarity import brute_force_topk, ivf_index, ivf_topk
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    q = np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    brute = brute_force_topk(ds, q, k=10).to_pandas()
+    brute_ids = set(brute["vec_id"].tolist())
+
+    idx = ivf_index(rd.read_parquet(f"{SF}/embeddings.parquet"), n_clusters=8)
+    # probing every bucket must reproduce brute force exactly
+    approx_all = ivf_topk(idx, q, k=10, nprobe=8)
+    assert set(approx_all["vec_id"].tolist()) == brute_ids
+    # nprobe=4 should still get decent recall
+    approx = ivf_topk(idx, q, k=10, nprobe=4)
+    recall = len(set(approx["vec_id"]) & brute_ids) / 10
+    assert recall >= 0.5
+
+
+def test_lang_id_deterministic(ray_session):
+    import ray.data as rd
+
+    from lighthouse_ray.functions.textstats import lang_id
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "the cat and the dog is in the house",
+                    "der Hund und die Katze ist nicht da",
+                    "zzz qqq www",
+                ]
+            ),
+        }
+    )
+    out = lang_id(rd.from_arrow(t)).to_pandas().sort_values("doc_id")
+    assert out["pred_lang"].tolist() == ["en", "de", "und"]
+
+
+def test_multimodal_stage(ray_session):
+    import ray.data as rd
+
+    from lighthouse_ray.functions.multimodal import ImageMetaStage, extract_media_meta
+
+    t = pa.table(
+        {
+            "media_id": pa.array(["a", "b"], type=pa.string()),
+            "payload": pa.array([b"\x89PNG123456", b"xx"], type=pa.large_binary()),
+        }
+    )
+    out = extract_media_meta(rd.from_arrow(t)).to_pandas().sort_values("media_id")
+    assert out["n_bytes"].tolist() == [10, 2]
+    assert (out["width"] >= 64).all() and (out["format"] == "fake").all()
+
+    stage = ImageMetaStage(strict=True)
+    if not stage.have_real:
+        with pytest.raises(NotImplementedError):
+            stage(t)
