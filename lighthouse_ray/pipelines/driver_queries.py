@@ -174,17 +174,21 @@ def _built_index(sf_dir: str) -> str:
 
 def q_bm25_topk(sf_dir: str):
     """Top-10 BM25 over documents.text for a fixed query, answered by the
-    distributed index + scorer; oracle is closed-form SQL BM25."""
+    distributed index via block-max WAND; oracle is closed-form SQL BM25.
+
+    Note on ties: WAND's tie-break is the internal ordinal while the SQL
+    orders by doc_id, so we fetch a safety margin and re-rank by
+    (score desc, doc_id asc) before cutting to 10.
+    """
     from ..index import IndexReader
-    from ..query.scoring import Scorer
+    from ..query.wand import wand_topk
 
     reader = IndexReader(_built_index(sf_dir))
-    sc = Scorer(reader)
-    res = sc.match("content", tokenize_text(BM25_QUERY))
-    ords = np.flatnonzero(res.mask)
+    hits = wand_topk(reader, "content", tokenize_text(BM25_QUERY), k=30)
     meta = reader.docmeta()
+    ords = np.array([d for d, _ in hits], dtype=np.int64)
+    scores = np.array([s for _, s in hits])
     doc_ids = meta["path"].to_numpy()[ords].astype(np.int64)
-    scores = res.scores[ords]
     order = np.lexsort((doc_ids, -scores))[:10]
     return pd.DataFrame(
         {"doc_id": doc_ids[order], "score": np.round(scores[order], 6)}

@@ -1,0 +1,69 @@
+"""Block-max WAND must be result-identical to the exhaustive scorer.
+
+Same engine, two traversal modes = built-in conformance check
+(SURVEY.md §7.2 step 7).
+"""
+
+import numpy as np
+import pytest
+
+from lighthouse_ray.analysis import tokenize_text
+from lighthouse_ray.config import IndexConfig
+from lighthouse_ray.corpus import GOLDEN_PHRASE, gen_corpus
+
+CFG = IndexConfig(num_doc_parts=8, num_term_shards=16, salt_range=64, df_sample_mod=10)
+
+QUERIES = [
+    "interesting and amazing facts",
+    "merge sorted runs",
+    "import",                      # hot salted term
+    "return import def",           # several hot terms
+    "buffer flush segment claim",
+    "nonexistent zzz",
+    "fingerprint rolling the a",
+    "window sort key value table",
+]
+
+
+@pytest.fixture(scope="module")
+def reader(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    from lighthouse_ray.build import build_index
+    from lighthouse_ray.index import IndexReader
+
+    idx = str(tmp_path_factory.mktemp("widx") / "index")
+    build_index(rd.from_arrow(gen_corpus(400)), idx, CFG)
+    return IndexReader(idx)
+
+
+@pytest.mark.parametrize("q", QUERIES)
+@pytest.mark.parametrize("k", [1, 5, 10, 50])
+def test_wand_matches_exhaustive(reader, q, k):
+    from lighthouse_ray.query.wand import exhaustive_topk, wand_topk
+
+    terms = tokenize_text(q)
+    want = exhaustive_topk(reader, "content", terms, k)
+    got = wand_topk(reader, "content", terms, k)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    np.testing.assert_allclose([s for _, s in got], [s for _, s in want], rtol=1e-12)
+
+
+@pytest.mark.parametrize("q", QUERIES[:4])
+def test_wand_without_blockmax_matches(reader, q):
+    from lighthouse_ray.query.wand import exhaustive_topk, wand_topk
+
+    terms = tokenize_text(q)
+    want = exhaustive_topk(reader, "content", terms, 10)
+    got = wand_topk(reader, "content", terms, 10, use_block_max=False)
+    assert [d for d, _ in got] == [d for d, _ in want]
+
+
+def test_wand_other_fields(reader):
+    from lighthouse_ray.query.wand import exhaustive_topk, wand_topk
+
+    for field, q in [("name", "file 10 py"), ("title", "src module file"), ("channel", "org1 repo14")]:
+        terms = tokenize_text(q)
+        want = exhaustive_topk(reader, field, terms, 10)
+        got = wand_topk(reader, field, terms, 10)
+        assert [d for d, _ in got] == [d for d, _ in want], field
