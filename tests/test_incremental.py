@@ -1,0 +1,125 @@
+"""Incremental sync: watermark checkpoint, delta upsert/delete/shadow,
+compaction == full rebuild (bit-identical segments)."""
+
+import os
+
+import pyarrow as pa
+import pytest
+
+from lighthouse_ray.config import IndexConfig
+from lighthouse_ray.corpus import gen_corpus
+from lighthouse_ray.state import IncrementalIndex, SyncState
+
+CFG = IndexConfig(num_doc_parts=8, num_term_shards=16, salt_range=64, df_sample_mod=10)
+
+
+def test_sync_state_lifecycle(tmp_path):
+    p = str(tmp_path / "sync_state.json")
+    s = SyncState.load(p)
+    assert not s.needs_resume
+    s.begin(now=1000)
+    s.checkpoint(last_id=500)
+    # crash here -> reload resumes mid-run with the cursor intact
+    s2 = SyncState.load(p)
+    assert s2.needs_resume and s2.last_id == 500 and s2.start_sync_time == 1000
+    s2.complete()
+    s3 = SyncState.load(p)
+    assert not s3.needs_resume
+    assert s3.last_sync_time == 1000 and s3.last_id == 0
+
+
+@pytest.fixture(scope="module")
+def inc(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    root = str(tmp_path_factory.mktemp("inc") / "root")
+    ii = IncrementalIndex(root, CFG)
+    ii.build_base(rd.from_arrow(gen_corpus(200)), CFG)
+    return ii
+
+
+def _delta_rows():
+    # one brand-new doc + one upsert of an existing (repo,path)
+    base = gen_corpus(200).to_pylist()
+    upsert = dict(base[5])
+    upsert["commit"] = "f" * 40  # newer commit, lexicographically last
+    upsert["content"] = "totally rewritten contents with zebrastripe token"
+    new = {
+        "repo": "org9/new",
+        "path": "src/new/xenofile.py",
+        "commit": "a" * 40,
+        "lang": "python",
+        "content": "def xenofile_marker(): return 'zebrastripe'",
+    }
+    return base[5], upsert, new
+
+
+def test_delta_upsert_and_delete(inc, ray_session):
+    import ray.data as rd
+
+    old5, upsert, new = _delta_rows()
+    delta = pa.table(
+        {k: pa.array([upsert[k], new[k]], type=pa.string()) for k in ("repo", "path", "commit", "lang", "content")}
+    )
+    victim = gen_corpus(200).to_pylist()[30]
+    inc.apply_delta(rd.from_arrow(delta), tombstone_keys=[(victim["repo"], victim["path"])])
+
+    hits = inc.search_topk("content", ["zebrastripe"], k=10)
+    assert len(hits) == 2  # the upserted doc and the new doc
+    assert set(hits["path"]) == {upsert["path"], new["path"]}
+
+    live = inc.live_rows()
+    keys = set(zip(live["repo"], live["path"]))
+    assert (victim["repo"], victim["path"]) not in keys       # deleted
+    assert (new["repo"], new["path"]) in keys                 # inserted
+    # upserted key appears exactly once, from the delta segment
+    matches = live[(live["repo"] == upsert["repo"]) & (live["path"] == upsert["path"])]
+    assert len(matches) == 1
+    assert "delta" in matches["__segment__"].iloc[0]
+
+
+def test_tombstone_resurrection(inc, ray_session):
+    import ray.data as rd
+
+    _old5, _upsert, new = _delta_rows()
+    # delete the new doc, then re-insert it in a later delta
+    inc.apply_delta(None, tombstone_keys=[(new["repo"], new["path"])])
+    live = inc.live_rows()
+    assert (new["repo"], new["path"]) not in set(zip(live["repo"], live["path"]))
+    reborn = dict(new, commit="b" * 40, content="reborn zebrastripe doc")
+    inc.apply_delta(
+        rd.from_arrow(pa.table({k: pa.array([reborn[k]], type=pa.string()) for k in reborn}))
+    )
+    live2 = inc.live_rows()
+    assert (new["repo"], new["path"]) in set(zip(live2["repo"], live2["path"]))
+
+
+def test_compaction_equals_full_rebuild(inc, ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    from lighthouse_ray.build import build_index
+
+    # the logical row set after all deltas/tombstones, built from scratch
+    old5, upsert, new = _delta_rows()
+    victim = gen_corpus(200).to_pylist()[30]
+    rows = [r for r in gen_corpus(200).to_pylist()
+            if (r["repo"], r["path"]) != (victim["repo"], victim["path"])]
+    reborn = dict(new, commit="b" * 40, content="reborn zebrastripe doc")
+    rows += [upsert, reborn]
+    full_dir = str(tmp_path_factory.mktemp("full") / "index")
+    res_full = build_index(
+        rd.from_arrow(pa.table({k: pa.array([r[k] for r in rows], type=pa.string())
+                                for k in ("repo", "path", "commit", "lang", "content")})),
+        full_dir, CFG,
+    )
+
+    compact_root = str(tmp_path_factory.mktemp("compact") / "root")
+    compacted = inc.compact(compact_root, CFG)
+    import json
+
+    man_c = json.load(open(os.path.join(compact_root, "base", "manifest.json")))
+    a = man_c["stages"]["segments"]["shards"]
+    b = res_full.manifest["stages"]["segments"]["shards"]
+    assert set(a) == set(b)
+    for kk in b:
+        assert a[kk]["sha256"] == b[kk]["sha256"], f"shard {kk} differs"
