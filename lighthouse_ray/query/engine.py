@@ -56,6 +56,37 @@ class SearchError(ValueError):
     """Request validation failure (HTTP 400 analog, search.go:56-63)."""
 
 
+class _TTLCache:
+    """Request cache: max_size entries, TTL seconds, keyed by the request
+    (ccache analog — search.go:24,117 / auto_complete.go:32,103:
+    10,000 entries, 5-minute TTL, keyed by request URI)."""
+
+    def __init__(self, max_size: int = 10000, ttl: float = 300.0, clock=None):
+        import time as _time
+
+        self.max_size = max_size
+        self.ttl = ttl
+        self.clock = clock or _time.monotonic
+        self._d: dict = {}
+
+    def get(self, key):
+        hit = self._d.get(key)
+        if hit is None:
+            return None
+        ts, val = hit
+        if self.clock() - ts > self.ttl:
+            del self._d[key]
+            return None
+        return val
+
+    def put(self, key, val) -> None:
+        if len(self._d) >= self.max_size:
+            # drop the oldest entries (insertion order approximates LRU)
+            for k in list(self._d)[: max(1, self.max_size // 100)]:
+                del self._d[k]
+        self._d[key] = (self.clock(), val)
+
+
 class SearchEngine:
     def __init__(
         self,
@@ -72,6 +103,8 @@ class SearchEngine:
         self.mlt_min_doc_freq = mlt_min_doc_freq
         self.mlt_max_terms = mlt_max_terms
         self._meta = reader.docmeta()
+        self._cache = _TTLCache()
+        self._ac_cache = _TTLCache()
 
     # ------------------------------------------------------------------ search
 
@@ -110,14 +143,26 @@ class SearchEngine:
         s = s[:TRUNCATE_AT]                      # truncate (special.go:43-50)
         s = self.special.get(s.lower(), s)       # taylored rewrites (special.go:5-41)
 
+        # request cache (search.go:117); debug requests bypass it
+        cache_key = (
+            s, size, from_, channel, channel_id, related_to, sort_by, include,
+            content_type, media_type, claim_type, nsfw, free_only, resolve,
+            claim_id, source,
+        )
+        if not debug:
+            hit = self._cache.get(cache_key)
+            if hit is not None:
+                return hit.copy()
+
         n = self.r.n_docs
         meta = self._meta
 
+        explain_clauses = None
         if related_to is not None:
             base_scores, base_mask = self._related_scores(related_to)
             decay = None
         else:
-            base_scores, base_mask = self._general_scores(s)
+            base_scores, base_mask, explain_clauses = self._general_scores_explained(s)
             decay = self._decay_multiplier()
 
         fmask = self._filter_mask(
@@ -153,11 +198,27 @@ class SearchEngine:
         k_size = size if size is not None else 10
         page = ords[k_from : k_from + k_size]
 
-        return self._project(page, scores, include, resolve, source, debug)
+        out = self._project(page, scores, include, resolve, source, debug)
+        if debug and explain_clauses is not None:
+            # ES Explain analog (search.go:103-112): per-clause score
+            # contributions for the returned docs — the parity-debug tool
+            out["explain"] = [
+                {
+                    name: float(c.scores[o])
+                    for name, c in explain_clauses
+                    if c.mask[o]
+                }
+                for o in page
+            ]
+        if not debug:
+            self._cache.put(cache_key, out.copy())
+        return out
 
     # -- clause assembly (query.go:21-71) --------------------------------------
 
-    def _general_scores(self, s: str) -> tuple[np.ndarray, np.ndarray]:
+    def _general_scores_explained(
+        self, s: str
+    ) -> tuple[np.ndarray, np.ndarray, list[tuple[str, DenseResult]]]:
         sc = self.scorer
         n = self.r.n_docs
         meta = self._meta
@@ -169,32 +230,35 @@ class SearchEngine:
         compressed_terms = tokenize_text(s.replace(" ", ""))
         at_boost = 10.0 if s.startswith("@") else 1.0
 
-        minc: list[DenseResult] = []
-        minc.append(self._mlt_text(s))                                            # more-like-this
-        minc.append(sc.phrase("name", terms).boosted(2.0 * at_boost))             # name-match-phrase
-        minc.append(sc.match_fuzzy("name", terms).boosted(1.0 * at_boost))        # name-match
-        minc.append(sc.phrase("name", terms).restrict(is_channel).boosted(10.0))  # channel-phrase-match
-        minc.append(sc.match_fuzzy("title", terms).boosted(1.0))                  # title-match
-        minc.append(sc.phrase("title", terms).boosted(10.0))                      # title-match-phrase
-        minc.append(sc.match("content", terms).boosted(1.0))                      # description-match
-        minc.append(sc.phrase("content", terms).boosted(2.0))                     # description-match-phrase
-        minc.append(                                                              # name-match-@compressed
-            sc.match_fuzzy("name", compressed_terms).boosted(10.0).restrict(is_channel)
-        )
-        minc.append(sc.match("channel", terms).restrict(is_stream).boosted(5.0))  # channel-match-@boost
-        minc.append(                                                              # channel-match-@compressed
-            sc.phrase("channel", compressed_terms).boosted(5.0).restrict(is_stream)
-        )
+        # clause names = the reference's QueryName strings (query.go)
+        minc: list[tuple[str, DenseResult]] = [
+            ("more-like-this", self._mlt_text(s)),
+            ("name-match-phrase", sc.phrase("name", terms).boosted(2.0 * at_boost)),
+            ("name-match", sc.match_fuzzy("name", terms).boosted(1.0 * at_boost)),
+            ("channel-phrase-match", sc.phrase("name", terms).restrict(is_channel).boosted(10.0)),
+            ("title-match", sc.match_fuzzy("title", terms).boosted(1.0)),
+            ("title-match-phrase", sc.phrase("title", terms).boosted(10.0)),
+            ("description-match", sc.match("content", terms).boosted(1.0)),
+            ("description-match-phrase", sc.phrase("content", terms).boosted(2.0)),
+            ("name-match-@compressed", sc.match_fuzzy("name", compressed_terms).boosted(10.0).restrict(is_channel)),
+            ("channel-match-@boost", sc.match("channel", terms).restrict(is_stream).boosted(5.0)),
+            ("channel-match-@compressed", sc.phrase("channel", compressed_terms).boosted(5.0).restrict(is_stream)),
+        ]
 
         min_scores = np.zeros(n)
         min_mask = np.zeros(n, dtype=bool)
-        for c in minc:
+        for _name, c in minc:
             min_scores += c.scores
             min_mask |= c.mask
 
         boost = self._boost_should_scores(is_channel)
         total = np.where(min_mask, min_scores + boost, 0.0)
-        return total, min_mask
+        clauses = minc + [("boost-clauses", DenseResult(boost, min_mask.copy()))]
+        return total, min_mask, clauses
+
+    def _general_scores(self, s: str) -> tuple[np.ndarray, np.ndarray]:
+        total, mask, _clauses = self._general_scores_explained(s)
+        return total, mask
 
     def _boost_should_scores(self, is_channel: np.ndarray) -> np.ndarray:
         """The 7 unconditional should clauses (func_score.go)."""
@@ -365,6 +429,22 @@ class SearchEngine:
             out["ordinal"] = ords
         return out
 
+    # ------------------------------------------------------------ status
+
+    def status(self) -> dict:
+        """/status analog (app/actions/status.go:34-45): doc count +
+        index stats (CatCount / IndexStats)."""
+        stats = self.r.stats
+        return {
+            "count": self.r.n_docs,
+            "index_stats": {
+                "fields": stats["fields"],
+                "num_term_shards": stats["num_term_shards"],
+                "num_doc_parts": stats["num_doc_parts"],
+                "hot_terms": len(stats["hot_terms"]),
+            },
+        }
+
     # ------------------------------------------------------------ autocomplete
 
     def autocomplete(
@@ -382,6 +462,11 @@ class SearchEngine:
             raise SearchError("size must be <= 10000")
         if from_ is not None and from_ > 9999:
             raise SearchError("from must be <= 9999")
+
+        ac_key = (s, size, from_, nsfw)
+        hit = self._ac_cache.get(ac_key)
+        if hit is not None:
+            return list(hit)
 
         n = self.r.n_docs
         meta = self._meta
@@ -429,4 +514,5 @@ class SearchEngine:
             if nm not in seen:  # ordered dedup (auto_complete.go:126-131)
                 seen.add(nm)
                 out.append(nm)
+        self._ac_cache.put(ac_key, list(out))
         return out

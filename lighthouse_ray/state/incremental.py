@@ -159,6 +159,36 @@ class IncrementalIndex:
             .reset_index(drop=True)
         )
 
+    # -- blocklists (J4, app/jobs/blocked/blocked.go) ------------------------
+
+    def apply_blocklist(
+        self,
+        claim_ids: list[str] | None = None,
+        channels: list[str] | None = None,
+    ) -> int:
+        """Blocklist deletion: doc-level ids, plus *channel expansion* —
+        every live doc of a blocked channel/repo is tombstoned
+        (blocked.go:96-141 point deletes; 154-171 publisher expansion).
+        Implemented as an anti-join against the broadcast blocked sets.
+        Returns the number of tombstones written."""
+        blocked_ids = set(claim_ids or [])
+        blocked_repos = set(channels or [])
+        n = 0
+        live = self.live_rows()
+        for _i, row in live.iterrows():
+            if row["doc_id"] in blocked_ids or row["repo"] in blocked_repos:
+                self.state["tombstones"].append(
+                    {
+                        "repo": row["repo"],
+                        "path": row["path"],
+                        "after_delta": len(self.state["deltas"]),
+                    }
+                )
+                n += 1
+        self._save()
+        self._readers = None
+        return n
+
     # -- compaction ---------------------------------------------------------
 
     def compact(self, new_root: str, cfg: IndexConfig | None = None) -> "IncrementalIndex":
