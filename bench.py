@@ -101,7 +101,7 @@ def run_bench() -> dict:
     docs_per_sec = res.n_docs / build_sec
 
     # ---- BM25 query latency p50 over the built index ----
-    engine = SearchEngine(IndexReader(idx_dir))
+    engine = SearchEngine(IndexReader(idx_dir), cache_ttl=0)  # measure scoring, not the cache
     for q in QUERY_SUITE:  # warm (loads shards/doclens)
         engine.search(**q)
     lat = []

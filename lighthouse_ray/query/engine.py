@@ -95,6 +95,7 @@ class SearchEngine:
         mlt_min_term_freq: int = 2,
         mlt_min_doc_freq: int = 5,
         mlt_max_terms: int = 25,
+        cache_ttl: float = 300.0,
     ):
         self.r = reader
         self.scorer = Scorer(reader)
@@ -103,8 +104,9 @@ class SearchEngine:
         self.mlt_min_doc_freq = mlt_min_doc_freq
         self.mlt_max_terms = mlt_max_terms
         self._meta = reader.docmeta()
-        self._cache = _TTLCache()
-        self._ac_cache = _TTLCache()
+        self._use_cache = cache_ttl > 0
+        self._cache = _TTLCache(ttl=cache_ttl or 1.0)
+        self._ac_cache = _TTLCache(ttl=cache_ttl or 1.0)
 
     # ------------------------------------------------------------------ search
 
@@ -149,7 +151,7 @@ class SearchEngine:
             content_type, media_type, claim_type, nsfw, free_only, resolve,
             claim_id, source,
         )
-        if not debug:
+        if not debug and self._use_cache:
             hit = self._cache.get(cache_key)
             if hit is not None:
                 return hit.copy()
@@ -210,7 +212,7 @@ class SearchEngine:
                 }
                 for o in page
             ]
-        if not debug:
+        if not debug and self._use_cache:
             self._cache.put(cache_key, out.copy())
         return out
 
@@ -464,9 +466,10 @@ class SearchEngine:
             raise SearchError("from must be <= 9999")
 
         ac_key = (s, size, from_, nsfw)
-        hit = self._ac_cache.get(ac_key)
-        if hit is not None:
-            return list(hit)
+        if self._use_cache:
+            hit = self._ac_cache.get(ac_key)
+            if hit is not None:
+                return list(hit)
 
         n = self.r.n_docs
         meta = self._meta
