@@ -118,14 +118,29 @@ def build_index(
         t0 = time.time()
         mod = cfg.df_sample_mod
         thresh = max(4.0, cfg.hot_df_ratio * n_docs / mod)
-        if os.path.isdir(payload_dir + "_dfsample") and os.listdir(payload_dir + "_dfsample"):
-            sample = rd.read_parquet(
-                payload_dir + "_dfsample", columns=["content"]
-            ).map_batches(_sample_df_partial, batch_format="pyarrow")
-            agg = sample.groupby("term").aggregate(Sum("n", alias_name="n_docs"))
-            hot = [r["term"] for r in agg.take_all() if r["n_docs"] >= thresh]
-        else:
-            hot = []
+        sample_dir = payload_dir + "_dfsample"
+        hot: list[str] = []
+        if os.path.isdir(sample_dir) and os.listdir(sample_dir):
+            sample_bytes = sum(
+                os.path.getsize(os.path.join(sample_dir, f)) for f in os.listdir(sample_dir)
+            )
+            if sample_bytes < 256 << 20:
+                # small sample: one driver-side pyarrow pass beats a Ray
+                # job's scheduling barrier
+                import pyarrow.dataset as pads
+
+                t = pads.dataset(sample_dir).to_table(columns=["content"])
+                agg = _sample_df_partial(t)
+                tot: dict[str, int] = {}
+                for term, cnt in zip(agg["term"].to_pylist(), agg["n"].to_pylist()):
+                    tot[term] = tot.get(term, 0) + cnt
+                hot = [t_ for t_, c in tot.items() if c >= thresh]
+            else:
+                sample = rd.read_parquet(sample_dir, columns=["content"]).map_batches(
+                    _sample_df_partial, batch_format="pyarrow"
+                )
+                agg = sample.groupby("term").aggregate(Sum("n", alias_name="n_docs"))
+                hot = [r["term"] for r in agg.take_all() if r["n_docs"] >= thresh]
         stages["hot_terms"] = {"sec": round(time.time() - t0, 3), "terms": sorted(hot), "threshold": thresh}
         atomic_write_json(_manifest_path(index_dir), manifest)
     hot_terms = stages["hot_terms"]["terms"]
@@ -168,7 +183,9 @@ def build_index(
             batch_size=cfg.tokenize_batch_size,
             concurrency=concurrency,
         )
-        postings.write_parquet(postings_dir)
+        # lz4: the postings parquet is a read-once intermediate (shuffle
+        # input + resume checkpoint); decode speed beats ratio here
+        postings.write_parquet(postings_dir, compression="lz4")
         stages["postings"] = {"sec": round(time.time() - t0, 3)}
         atomic_write_json(_manifest_path(index_dir), manifest)
 

@@ -146,7 +146,7 @@ def derive_batch(batch: pa.Table, cfg: IndexConfig, payload_dir: str | None = No
         }
     )
     sink = pa.BufferOutputStream()
-    pq.write_table(payload, sink, compression="zstd")
+    pq.write_table(payload, sink, compression="lz4")
     atomic_write_bytes(os.path.join(payload_dir, fname), sink.getvalue().to_pybytes())
 
     # deterministic 1/df_sample_mod content sample, spilled alongside so the
@@ -156,7 +156,7 @@ def derive_batch(batch: pa.Table, cfg: IndexConfig, payload_dir: str | None = No
     if sample_mask.any():
         sample = payload.filter(pa.array(sample_mask)).select(["doc_id", "content"])
         sink2 = pa.BufferOutputStream()
-        pq.write_table(sample, sink2, compression="zstd")
+        pq.write_table(sample, sink2, compression="lz4")
         atomic_write_bytes(
             os.path.join(payload_dir + "_dfsample", fname), sink2.getvalue().to_pybytes()
         )

@@ -107,3 +107,18 @@ def test_blocklist_channel_expansion(ray_session, tmp_path):
     assert n == n_docs_repo
     live2 = ii.live_rows()
     assert (live2["repo"] == repo).sum() == 0
+
+
+def test_search_service_replicas(built):
+    from lighthouse_ray.query.serving import SearchService
+
+    idx, e = built
+    svc = SearchService(idx, num_replicas=2)
+    try:
+        a = svc.search(s="merge segment", size=5)
+        b = e.search(s="merge segment", size=5)
+        assert a[["claimId", "score"]].equals(b[["claimId", "score"]])
+        assert svc.status()["count"] == e.r.n_docs
+        assert svc.autocomplete(s="imp", size=5) == e.autocomplete(s="imp", size=5)
+    finally:
+        svc.shutdown()
