@@ -48,7 +48,9 @@ QUERY_SUITE = [
 
 def corpus_dir(n_docs: int) -> str:
     """Deterministic synthetic corpus as a parquet dir (Ray-parallel gen)."""
-    path = f"/tmp/lighthouse_bench_corpus_d{n_docs}"
+    from lighthouse_ray.corpus import CORPUS_VERSION
+
+    path = f"/tmp/lighthouse_bench_corpus_v{CORPUS_VERSION}_d{n_docs}"
     marker = os.path.join(path, ".complete")
     if not os.path.exists(marker):
         from lighthouse_ray.corpus import write_corpus_parallel

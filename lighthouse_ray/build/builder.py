@@ -113,6 +113,18 @@ def build_index(
         if part_rows[p] > 0
     ]
 
+    # doc_id -> ordinal broadcast map from the (small) doc-store meta;
+    # used to filter the df sample to live winners and by the tokenizer
+    import pyarrow.dataset as pads
+
+    from .docs import build_ordinal_map, lookup_ordinals
+
+    meta = pads.dataset(docstore_paths).to_table(columns=["doc_id", "part", "rank"])
+    off = np.asarray(offsets, dtype=np.int64)
+    ord_map = build_ordinal_map(
+        meta["doc_id"].to_pylist(), off[meta["part"].to_numpy()] + meta["rank"].to_numpy()
+    )
+
     # ---- Stage H: hot-term estimate ----------------------------------------
     if "hot_terms" not in stages:
         t0 = time.time()
@@ -124,21 +136,37 @@ def build_index(
             sample_bytes = sum(
                 os.path.getsize(os.path.join(sample_dir, f)) for f in os.listdir(sample_dir)
             )
+
+            def live_only(t: pa.Table) -> pa.Table:
+                # restrict the sample to live winners so the hot set (and
+                # therefore the segment layout) is a pure function of the
+                # logical row set — a compacted index and a from-scratch
+                # build estimate over identical docs
+                keep = lookup_ordinals(ord_map, t["doc_id"].to_pylist()) >= 0
+                return t.filter(pa.array(keep))
+
             if sample_bytes < 256 << 20:
                 # small sample: one driver-side pyarrow pass beats a Ray
                 # job's scheduling barrier
-                import pyarrow.dataset as pads
-
-                t = pads.dataset(sample_dir).to_table(columns=["content"])
+                t = live_only(pads.dataset(sample_dir).to_table(columns=["doc_id", "content"]))
                 agg = _sample_df_partial(t)
                 tot: dict[str, int] = {}
                 for term, cnt in zip(agg["term"].to_pylist(), agg["n"].to_pylist()):
                     tot[term] = tot.get(term, 0) + cnt
                 hot = [t_ for t_, c in tot.items() if c >= thresh]
             else:
-                sample = rd.read_parquet(sample_dir, columns=["content"]).map_batches(
-                    _sample_df_partial, batch_format="pyarrow"
-                )
+                import ray as _ray
+
+                map_ref = _ray.put(ord_map)
+
+                def live_partial(t: pa.Table) -> pa.Table:
+                    m = _ray.get(map_ref)
+                    keep = lookup_ordinals(m, t["doc_id"].to_pylist()) >= 0
+                    return _sample_df_partial(t.filter(pa.array(keep)))
+
+                sample = rd.read_parquet(
+                    sample_dir, columns=["doc_id", "content"]
+                ).map_batches(live_partial, batch_format="pyarrow")
                 agg = sample.groupby("term").aggregate(Sum("n", alias_name="n_docs"))
                 hot = [r["term"] for r in agg.take_all() if r["n_docs"] >= thresh]
         stages["hot_terms"] = {"sec": round(time.time() - t0, 3), "terms": sorted(hot), "threshold": thresh}
@@ -152,15 +180,7 @@ def build_index(
         shutil.rmtree(postings_dir, ignore_errors=True)
         import ray as _ray
 
-        # doc_id -> ordinal broadcast map from the (small) doc-store meta
-        import pyarrow.dataset as pads
-
-        from .docs import build_ordinal_map
-
-        meta = pads.dataset(docstore_paths).to_table(columns=["doc_id", "part", "rank"])
-        off = np.asarray(offsets, dtype=np.int64)
-        ords = off[meta["part"].to_numpy()] + meta["rank"].to_numpy()
-        ord_map_ref = _ray.put(build_ordinal_map(meta["doc_id"].to_pylist(), ords))
+        ord_map_ref = _ray.put(ord_map)
 
         # payload read in file order — content is never shuffled
         payload = rd.read_parquet(

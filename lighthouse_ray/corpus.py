@@ -26,11 +26,13 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
+CORPUS_VERSION = 2  # bump when generator output changes (invalidates bench caches)
+
 LANGS = ["python", "go", "js", "rust", "java", "md"]
 LANG_W = np.array([0.3, 0.15, 0.2, 0.1, 0.15, 0.1])
 EXT = {"python": "py", "go": "go", "js": "js", "rust": "rs", "java": "java", "md": "md"}
 
-_NOUNS = [
+_BASE_NOUNS = [
     "parser", "index", "token", "shard", "merge", "query", "score", "batch",
     "stream", "buffer", "cache", "config", "handler", "worker", "segment",
     "vector", "matrix", "graph", "node", "edge", "block", "heap", "queue",
@@ -40,6 +42,24 @@ _VERBS = [
     "get", "set", "build", "parse", "merge", "flush", "read", "write", "scan",
     "encode", "decode", "split", "rank", "fetch", "apply", "resolve", "load",
 ]
+
+# Zipf-ish identifier vocabulary: the base nouns stay ubiquitous (hot
+# terms) while thousands of seeded syllable compounds give the corpus a
+# realistic long-tail term distribution (df concentrated in few docs).
+_SYL = ["ba", "co", "de", "fi", "gu", "ha", "ji", "ka", "lo", "mi",
+        "ne", "po", "qu", "ra", "su", "ta", "vo", "wi", "xe", "zo"]
+
+
+def _gen_vocab(n: int, seed: int = 7) -> list[str]:
+    rng = np.random.RandomState(seed)
+    out = []
+    for _ in range(n):
+        k = rng.randint(2, 5)
+        out.append("".join(_SYL[i] for i in rng.randint(0, len(_SYL), size=k)))
+    return out
+
+
+_NOUNS = _BASE_NOUNS + _gen_vocab(4000)
 _PHRASES = [
     "interesting and amazing facts",
     "fast and reliable pipeline",
@@ -70,8 +90,10 @@ def _make_content(i: int, rng: np.random.RandomState, lang: str) -> str:
     # draw everything in bulk (one rng call per stream, not per line)
     ks = rng.randint(0, 5, size=n_lines)
     vs = rng.randint(0, len(_VERBS), size=n_lines)
-    n1s = rng.randint(0, len(_NOUNS), size=n_lines)
-    n2s = rng.randint(0, len(_NOUNS), size=n_lines)
+    # log-uniform noun draws: base nouns stay hot, syllable compounds
+    # form the Zipf tail
+    n1s = (np.power(float(len(_NOUNS)), rng.rand(n_lines)) - 1).astype(np.int64)
+    n2s = (np.power(float(len(_NOUNS)), rng.rand(n_lines)) - 1).astype(np.int64)
     ph = rng.randint(1, len(_PHRASES), size=n_lines)
     cn = rng.randint(0, 100, size=n_lines)
     for _ in range(min(4, n_lines // 3 + 1)):

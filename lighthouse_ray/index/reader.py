@@ -28,6 +28,18 @@ from ..config import FIELDS
 from ..util import read_json, stable_hash64
 
 
+def _popcount64(a: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR)."""
+    x = a.astype(np.uint64)
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
+_MISS = object()  # cached negative lookup
+
+
 @dataclass
 class Chunk:
     ords: np.ndarray        # absolute ordinals, uint64, sorted
@@ -57,10 +69,15 @@ class TermPostings:
             return self.chunks[0].tfs
         return np.concatenate([c.tfs for c in self.chunks])
 
+    _pos_cache: tuple[np.ndarray, np.ndarray] | None = None
+
     def positions(self) -> tuple[np.ndarray, np.ndarray]:
-        """Flat absolute token positions + offsets (len = df + 1)."""
-        blob = b"".join(c.pos_blob for c in self.chunks)
-        return decode_position_lists(blob, self.tfs)
+        """Flat absolute token positions + offsets (len = df + 1);
+        memoized — the index is immutable."""
+        if self._pos_cache is None:
+            blob = b"".join(c.pos_blob for c in self.chunks)
+            self._pos_cache = decode_position_lists(blob, self.tfs)
+        return self._pos_cache
 
 
 class IndexReader:
@@ -76,6 +93,7 @@ class IndexReader:
         self.num_shards: int = self.stats["num_term_shards"]
         self.offsets = np.asarray(self.stats["part_offsets"], dtype=np.int64)
         self._shards: dict[int, dict] = {}
+        self._postings_cache: dict = {}
         self._doclens: dict[str, np.ndarray] = {}
         self._docmeta: pd.DataFrame | None = None
         self._dictionary: dict[str, np.ndarray] | None = None
@@ -132,6 +150,17 @@ class IndexReader:
     def lookup(self, field: str, term: str) -> TermPostings | None:
         if field not in FIELDS or not term:
             return None
+        key = (field, term)
+        cached = self._postings_cache.get(key)
+        if cached is not None:
+            return cached if cached is not _MISS else None
+        tp = self._lookup_uncached(field, term)
+        if len(self._postings_cache) >= 8192:
+            self._postings_cache.clear()  # simple bound; index is immutable
+        self._postings_cache[key] = tp if tp is not None else _MISS
+        return tp
+
+    def _lookup_uncached(self, field: str, term: str) -> TermPostings | None:
         if term in self.hot:
             n_buckets = (self.n_docs + self.salt_range - 1) // self.salt_range
             chunks = []
@@ -176,14 +205,30 @@ class IndexReader:
             lens = np.array([len(t) for t in d], dtype=np.int32)
             maxlen = int(lens.max()) if len(lens) else 0
             mat = np.zeros((len(d), maxlen), dtype=np.uint32)
+            charmask = np.zeros(len(d), dtype=np.uint64)
             for i, t in enumerate(d):
-                mat[i, : len(t)] = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
-            packed = (d, lens, mat)
+                codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+                mat[i, : len(t)] = codes
+                charmask[i] = np.bitwise_or.reduce(
+                    np.uint64(1) << (codes.astype(np.uint64) % np.uint64(64))
+                )
+            packed = (d, lens, mat, charmask)
             self._dictionary[key] = packed
-        d, lens, mat = packed
+        d, lens, mat, charmask = packed
         if len(d) == 0:
             return []
         sel = np.abs(lens - len(term)) <= maxd
+        # cheap lower bound: each distinct character class present in one
+        # string but not the other costs >= 1 edit -> popcount of the
+        # symmetric charmask difference (per side) must stay <= maxd
+        qcodes = np.frombuffer(term.encode("utf-32-le"), dtype=np.uint32)
+        qmask = np.uint64(
+            np.bitwise_or.reduce(np.uint64(1) << (qcodes.astype(np.uint64) % np.uint64(64)))
+        ) if len(qcodes) else np.uint64(0)
+        diff_a = charmask & ~qmask
+        diff_b = ~charmask & qmask
+        lb = np.maximum(_popcount64(diff_a), _popcount64(diff_b))
+        sel &= lb <= maxd
         cand_idx = np.flatnonzero(sel)
         if len(cand_idx) == 0:
             return []
