@@ -77,7 +77,15 @@ def build_index(
     manifest.setdefault("config", cfg.to_json())
     stages = manifest["stages"]
 
-    ds = source if isinstance(source, rd.Dataset) else rd.read_parquet(source)
+    if isinstance(source, rd.Dataset):
+        ds = source
+    else:
+        import ray as _ray0
+
+        ds = rd.read_parquet(
+            source,
+            override_num_blocks=max(int(_ray0.cluster_resources().get("CPU", 4)) * 4, 16),
+        )
 
     # ---- Stage A: docstore ------------------------------------------------
     payload_dir = os.path.join(index_dir, "payload")
@@ -182,9 +190,13 @@ def build_index(
 
         ord_map_ref = _ray.put(ord_map)
 
-        # payload read in file order — content is never shuffled
+        # payload read in file order — content is never shuffled; force
+        # enough blocks that the actor pool is never capped by file count
+        n_cpus = int(_ray.cluster_resources().get("CPU", 4))
         payload = rd.read_parquet(
-            payload_dir, columns=["doc_id", "repo", "path", "name", "content"]
+            payload_dir,
+            columns=["doc_id", "repo", "path", "name", "content"],
+            override_num_blocks=max(n_cpus * 4, len(os.listdir(payload_dir))),
         )
         # autoscaling actor pool: ramps with backlog, so small builds don't
         # pay the spawn cost of a full-width pool
@@ -213,7 +225,17 @@ def build_index(
     seg_done: dict = stages.get("segments", {}).get("shards", {})
     t0 = time.time()
     done_ids = {int(k) for k in seg_done}
-    post = rd.read_parquet(postings_dir)
+    # Ray's sort-based shuffle costs grow with input block count; clamp
+    # blocks to the CPU count, floored so one block still fits in a
+    # worker heap (~256 MB compressed)
+    import ray as _ray1
+
+    n_cpus = int(_ray1.cluster_resources().get("CPU", 4))
+    post_bytes = sum(
+        os.path.getsize(os.path.join(postings_dir, f)) for f in os.listdir(postings_dir)
+    )
+    nb = max(n_cpus, (post_bytes >> 28) + 1)
+    post = rd.read_parquet(postings_dir, override_num_blocks=nb)
     if done_ids:
         post = post.map_batches(
             lambda b: b.filter(
