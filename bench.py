@@ -181,6 +181,42 @@ def _machine_ceiling() -> dict:
     }
 
 
+def _disk_task(i: int) -> float:
+    import os as _os
+
+    path = f"/tmp/lighthouse_diskcal_{i}.bin"
+    data = b"\xab" * (32 << 20)
+    with open(path, "wb") as f:
+        f.write(data)
+        f.flush()
+        _os.fsync(f.fileno())
+    with open(path, "rb") as f:
+        while f.read(1 << 22):
+            pass
+    _os.remove(path)
+    return 64.0  # MB moved (32 write + 32 read)
+
+
+def _disk_ceiling() -> dict:
+    """Parallel disk write+read throughput at 8 vs 32 workers: the
+    sandbox shares ONE disk across all workers, so IO-bound stages
+    cannot scale with CPUs here (they would scale with nodes on a real
+    cluster, where each node brings its own disks and object store)."""
+    import multiprocessing as mp
+
+    out = {}
+    for n in (8, 32):
+        with mp.Pool(n) as p:
+            t0 = time.time()
+            mb = sum(p.map(_disk_task, range(n)))
+            out[n] = mb / (time.time() - t0)
+    return {
+        "mb_per_sec_8": round(out[8], 1),
+        "mb_per_sec_32": round(out[32], 1),
+        "ceiling": round((out[32] / out[8]) / (32 / 8), 3),
+    }
+
+
 def run_scaling() -> dict:
     # generate the corpus once (own Ray session), then fresh processes per level
     import ray
@@ -212,7 +248,9 @@ def run_scaling() -> dict:
     lo, hi = run(8), run(32)
     eff = (lo["value"] / hi["value"]) / (32 / 8)
     ceil = _machine_ceiling()
+    disk = _disk_ceiling()
     return {
+        "disk_ceiling": disk,
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
