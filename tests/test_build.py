@@ -170,3 +170,37 @@ def test_resume_mid_shuffle(ray_session, built, tmp_path):
     assert set(got) == set(want)
     for k in want:
         assert got[k]["sha256"] == want[k]["sha256"]
+
+
+def test_resume_skips_completed_stages(ray_session, built, tmp_path):
+    """Killing after stage B: resume must reuse docstore + postings
+    (stage entries untouched) and rebuild only the missing segments."""
+    import ray.data as rd
+
+    from lighthouse_ray.build import build_index
+
+    idx, res = built
+    idx4 = str(tmp_path / "index4")
+    shutil.copytree(idx, idx4)
+    mpath = os.path.join(idx4, "manifest.json")
+    man = json.load(open(mpath))
+    before_doc = man["stages"]["docstore"]
+    before_post = man["stages"]["postings"]
+    # simulate: crash before ANY segment completed
+    del man["stages"]["segments"]
+    json.dump(man, open(mpath, "w"))
+    shutil.rmtree(os.path.join(idx4, "segments"))
+    shutil.rmtree(os.path.join(idx4, "doclens"))
+    payload_mtimes = {
+        f: os.path.getmtime(os.path.join(idx4, "payload", f))
+        for f in os.listdir(os.path.join(idx4, "payload"))
+    }
+    res4 = build_index(rd.from_arrow(gen_corpus(N_DOCS)), idx4, CFG, resume=True)
+    man4 = res4.manifest
+    assert man4["stages"]["docstore"] == before_doc      # stage A reused
+    assert man4["stages"]["postings"] == before_post     # stage B reused
+    for f, mt in payload_mtimes.items():                 # no payload rewrite
+        assert os.path.getmtime(os.path.join(idx4, "payload", f)) == mt
+    want = res.manifest["stages"]["segments"]["shards"]
+    got = man4["stages"]["segments"]["shards"]
+    assert {k: v["sha256"] for k, v in got.items()} == {k: v["sha256"] for k, v in want.items()}
