@@ -104,6 +104,9 @@ class SearchEngine:
         self.mlt_min_doc_freq = mlt_min_doc_freq
         self.mlt_max_terms = mlt_max_terms
         self._meta = reader.docmeta()
+        self._decay_cache: np.ndarray | None = None
+        self._boost_cache: np.ndarray | None = None
+        self._bid_mask_cache: np.ndarray | None = None
         self._use_cache = cache_ttl > 0
         self._cache = _TTLCache(ttl=cache_ttl or 1.0)
         self._ac_cache = _TTLCache(ttl=cache_ttl or 1.0)
@@ -191,9 +194,19 @@ class SearchEngine:
             ords = ords[order]
         else:
             # score desc, claimId asc tie-break (deterministic at any
-            # parallelism; ES ties by internal doc order which is not)
+            # parallelism; ES ties by internal doc order which is not).
+            # argpartition first: lexsorting all candidates' doc_id
+            # strings costs ~100 ms at 1M candidates.
             doc_ids = meta["doc_id"].to_numpy()
-            order = np.lexsort((doc_ids[ords], -scores[ords]))
+            need = (from_ or 0) + (size if size is not None else 10)
+            cand_scores = scores[ords]
+            if len(ords) > 4 * max(need, 1) and need > 0:
+                part = np.argpartition(-cand_scores, need - 1)
+                kth = cand_scores[part[need - 1]]
+                keep = np.flatnonzero(cand_scores >= kth)  # ties kept
+                ords = ords[keep]
+                cand_scores = cand_scores[keep]
+            order = np.lexsort((doc_ids[ords], -cand_scores))
             ords = ords[order]
 
         k_from = from_ or 0
@@ -263,7 +276,10 @@ class SearchEngine:
         return total, mask
 
     def _boost_should_scores(self, is_channel: np.ndarray) -> np.ndarray:
-        """The 7 unconditional should clauses (func_score.go)."""
+        """The 7 unconditional should clauses (func_score.go) — doc-value
+        only, query-independent: computed once per engine."""
+        if self._boost_cache is not None:
+            return self._boost_cache
         sc = self.scorer
         meta = self._meta
         out = sc.fvf_log1p(meta["effective_amount"].to_numpy(), EFFECTIVE_FACTOR)
@@ -273,11 +289,15 @@ class SearchEngine:
         out = out + sc.fvf_log1p(meta["view_cnt"].to_numpy())
         out = out + sc.fvf_log1p(meta["sub_cnt"].to_numpy())
         out = out + np.where(is_channel & (meta["claim_cnt"].to_numpy() > 10), 2.0, 0.0)
+        self._boost_cache = out
         return out
 
     def _decay_multiplier(self) -> np.ndarray:
         """4 stacked gauss decays, score_mode=sum, boost_mode=multiply
-        (query.go:63-70, func_score.go:44-88); "now" frozen at build."""
+        (query.go:63-70, func_score.go:44-88); "now" frozen at build —
+        query-independent, computed once per engine."""
+        if self._decay_cache is not None:
+            return self._decay_cache
         sc = self.scorer
         ts = self._meta["release_time"].to_numpy().astype(np.float64)
         now = float(self.r.now_ts)
@@ -285,6 +305,7 @@ class SearchEngine:
         m = m + sc.gauss(ts, now, 30 * DAY, 30 * DAY, 0.50, 0.12)
         m = m + sc.gauss(ts, now, 90 * DAY, 90 * DAY, 0.50, 0.13)
         m = m + sc.gauss(ts, now, 365 * DAY, 1825 * DAY, 0.90, 1.0)
+        self._decay_cache = m
         return m
 
     # -- more-like-this (query.go:106-121) -------------------------------------
@@ -316,9 +337,7 @@ class SearchEngine:
         out = DenseResult.empty(self.r.n_docs)
         for t in self._mlt_select_terms(s):
             for f in self.MLT_FIELDS:
-                r = self.scorer.term_result(f, t)
-                out.scores += r.scores
-                out.mask |= r.mask
+                self.scorer._accumulate_term(f, t, out.scores, out.mask)
         return out.boosted(boost)
 
     def _related_scores(self, related_to: str) -> tuple[np.ndarray, np.ndarray]:
@@ -342,11 +361,12 @@ class SearchEngine:
     ) -> np.ndarray:
         meta = self._meta
         n = self.r.n_docs
-        mask = np.ones(n, dtype=bool)
-
         # bid_state must_not Expired (query.go:386-388); expired docs are
-        # delete-routed at build, so this is belt-and-braces parity
-        mask &= meta["bid_state"].to_numpy() != 3
+        # delete-routed at build, so this is belt-and-braces parity —
+        # constant per index, cached
+        if self._bid_mask_cache is None:
+            self._bid_mask_cache = meta["bid_state"].to_numpy() != 3
+        mask = self._bid_mask_cache.copy()
 
         # quoted exact phrases `"..."$` (query.go:230-254): bool-of-shoulds
         m = QUOTED_RE.findall(s)

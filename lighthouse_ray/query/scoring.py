@@ -79,13 +79,22 @@ class Scorer:
         out.mask[ords] = True
         return out
 
+    def _accumulate_term(self, field: str, term: str, scores: np.ndarray, mask: np.ndarray) -> None:
+        """Add one term's BM25 into dense accumulators (no allocation)."""
+        tp = self.r.lookup(field, term)
+        if tp is None or tp.df == 0:
+            return
+        ords = tp.ordinals.astype(np.int64)
+        tf = tp.tfs.astype(np.float64)
+        s = self.idf(tp.df) * tf * (self.k1 + 1.0) / (tf + self._norm(field, ords))
+        scores[ords] += s
+        mask[ords] = True
+
     def match(self, field: str, terms: list[str]) -> DenseResult:
         """ES ``match``: sum of per-term BM25, OR semantics."""
         out = DenseResult.empty(self.n)
         for t in terms:
-            r = self.term_result(field, t)
-            out.scores += r.scores
-            out.mask |= r.mask
+            self._accumulate_term(field, t, out.scores, out.mask)
         return out
 
     def match_fuzzy(self, field: str, terms: list[str]) -> DenseResult:
@@ -94,15 +103,21 @@ class Scorer:
         (len<3 -> 0, len<6 -> 1, else 2); each expansion scores BM25
         at its own idf (no prefix-length optimization; dictionary scan)."""
         out = DenseResult.empty(self.n)
+        best: np.ndarray | None = None
         for t in terms:
             exps = self.fuzzy_expand(field, t)
-            best = DenseResult.empty(self.n)
+            if len(exps) == 1:
+                self._accumulate_term(field, exps[0], out.scores, out.mask)
+                continue
+            if best is None:
+                best = np.zeros(self.n)
+            else:
+                best.fill(0.0)
             for e in exps:
                 r = self.term_result(field, e)
-                np.maximum(best.scores, r.scores, out=best.scores)
-                best.mask |= r.mask
-            out.scores += best.scores
-            out.mask |= best.mask
+                np.maximum(best, r.scores, out=best)
+                out.mask |= r.mask
+            out.scores += best
         return out
 
     def fuzzy_expand(self, field: str, term: str, max_expansions: int = 50) -> list[str]:
