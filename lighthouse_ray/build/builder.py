@@ -271,7 +271,10 @@ def build_index(
         if int(k) < 0 and v.get("extra"):
             for f, t in _json.loads(v["extra"]).items():
                 totals[f] = totals.get(f, 0) + int(t)
+    from ..config import FORMAT_VERSION
+
     stats = {
+        "format_version": FORMAT_VERSION,
         "n_docs": n_docs,
         "fields": {
             f: {"total_len": totals.get(f, 0), "avgdl": (totals.get(f, 0) / n_docs) if n_docs else 0.0}

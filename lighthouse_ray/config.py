@@ -20,6 +20,11 @@ from dataclasses import dataclass, field
 FIELDS = ("name", "title", "channel", "content")
 
 
+# bump when the on-disk segment/docstore layout changes: readers refuse
+# mismatched indexes and cached builds are keyed by this
+FORMAT_VERSION = 3
+
+
 @dataclass
 class IndexConfig:
     # partitioning (content-addressed, parallelism-independent)

@@ -84,6 +84,14 @@ class IndexReader:
     def __init__(self, index_dir: str):
         self.index_dir = index_dir
         self.stats = read_json(os.path.join(index_dir, "stats.json"))
+        from ..config import FORMAT_VERSION
+
+        found = self.stats.get("format_version")
+        if found != FORMAT_VERSION:
+            raise ValueError(
+                f"index at {index_dir} has format_version={found}, "
+                f"reader expects {FORMAT_VERSION}; rebuild the index"
+            )
         self.n_docs: int = self.stats["n_docs"]
         self.k1: float = self.stats["k1"]
         self.b: float = self.stats["b"]

@@ -163,8 +163,10 @@ def _built_index(sf_dir: str) -> str:
     idx = _INDEX_CACHE.get(sf_dir)
     if idx and os.path.exists(os.path.join(idx, "stats.json")):
         return idx
+    from ..config import FORMAT_VERSION
+
     key = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
-    idx = f"/tmp/lighthouse_ray_idx/{key}"
+    idx = f"/tmp/lighthouse_ray_idx/v{FORMAT_VERSION}-{key}"
     if not os.path.exists(os.path.join(idx, "stats.json")):
         cfg = IndexConfig(num_doc_parts=16, num_term_shards=32, route_deletes=False)
         build_index(_documents_as_corpus(sf_dir), idx, cfg)
