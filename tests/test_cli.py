@@ -1,0 +1,53 @@
+"""CLI surface: build / search / autocomplete / status / error paths."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from lighthouse_ray.corpus import write_corpus
+
+
+@pytest.fixture(scope="module")
+def cli_index(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    corpus = str(d / "corpus.parquet")
+    write_corpus(corpus, 150)
+    idx = str(d / "index")
+    out = _run(
+        "build", "--source", corpus, "--index", idx,
+        "--parts", "4", "--shards", "8", "--num-cpus", "4",
+    )
+    info = json.loads(out.strip().splitlines()[-1])
+    assert info["n_docs"] > 0
+    return idx
+
+
+def _run(*args):
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)
+    r = subprocess.run(
+        [sys.executable, "-m", "lighthouse_ray", *args],
+        capture_output=True, text=True, cwd="/root/repo", env=env, timeout=300,
+    )
+    assert r.returncode in (0, 2), r.stderr[-2000:]
+    return r.stdout if r.returncode == 0 else r.stderr
+
+def test_cli_search(cli_index):
+    out = _run("search", "--index", cli_index, "-s", "interesting and amazing facts", "--size", "3")
+    rows = json.loads(out.strip().splitlines()[-1])
+    assert rows and {"name", "claimId", "score"} <= set(rows[0])
+
+
+def test_cli_autocomplete_and_status(cli_index):
+    names = json.loads(_run("autocomplete", "--index", cli_index, "-s", "fil").strip().splitlines()[-1])
+    assert isinstance(names, list)
+    st = json.loads(_run("status", "--index", cli_index).strip().splitlines()[-1])
+    assert st["count"] > 0
+
+
+def test_cli_validation_error(cli_index):
+    err = _run("search", "--index", cli_index, "-s", "ab")
+    assert "error" in json.loads(err.strip().splitlines()[-1])

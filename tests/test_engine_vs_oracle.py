@@ -151,3 +151,32 @@ def test_projection_and_resolve(engine):
     df2 = engine.search(s="merge segment", size=3, resolve=True)
     for c in ["channel", "channel_claim_id", "title", "thumbnail_url", "release_time", "fee", "nsfw", "duration"]:
         assert c in df2.columns
+
+
+def test_channel_id_and_claim_id_filters(engine, oracle):
+    # pick a real doc via a broad query
+    seed = engine.search(s="merge segment", size=1, include="channel_claim_id")
+    ccid = seed["channel_claim_id"].iloc[0]
+    cid = seed["claimId"].iloc[0]
+    got = engine.search(s="merge segment", channel_id=ccid, size=10)
+    want = oracle.search(s="merge segment", channel_id=ccid, size=10)
+    assert_match(got, want)
+    got2 = engine.search(s="merge segment", claim_id=cid, size=10)
+    want2 = oracle.search(s="merge segment", claim_id=cid, size=10)
+    assert_match(got2, want2)
+    assert list(got2["claimId"]) == [cid]
+
+
+def test_autocomplete_paging(engine, oracle):
+    full = engine.autocomplete(s="fil", size=20)
+    paged = engine.autocomplete(s="fil", size=20, from_=5)
+    want = oracle.autocomplete(s="fil", size=20, from_=5)
+    assert paged == want
+    assert len(full) >= len(paged)
+
+
+def test_unknown_include_field_errors(engine):
+    from lighthouse_ray.query import SearchError
+
+    with pytest.raises(SearchError):
+        engine.search(s="merge segment", include="no_such_field")
