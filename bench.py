@@ -34,7 +34,7 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 N_DOCS = int(os.environ.get("GRAFT_CORPUS_DOCS", "60000"))
-SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "300000"))
+SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "1000000"))
 HEADLINE_ONLY = os.environ.get("GRAFT_HEADLINE_ONLY", "") == "1"
 
 QUERY_SUITE = [

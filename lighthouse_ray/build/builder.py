@@ -127,10 +127,13 @@ def build_index(
 
     from .docs import build_ordinal_map, lookup_ordinals
 
-    meta = pads.dataset(docstore_paths).to_table(columns=["doc_id", "part", "rank"])
+    meta = pads.dataset(docstore_paths).to_table(
+        columns=["doc_id", "content_sha256", "part", "rank"]
+    )
     off = np.asarray(offsets, dtype=np.int64)
     ord_map = build_ordinal_map(
-        meta["doc_id"].to_pylist(), off[meta["part"].to_numpy()] + meta["rank"].to_numpy()
+        [d + c for d, c in zip(meta["doc_id"].to_pylist(), meta["content_sha256"].to_pylist())],
+        off[meta["part"].to_numpy()] + meta["rank"].to_numpy(),
     )
 
     # ---- Stage H: hot-term estimate ----------------------------------------
@@ -146,17 +149,24 @@ def build_index(
             )
 
             def live_only(t: pa.Table) -> pa.Table:
-                # restrict the sample to live winners so the hot set (and
-                # therefore the segment layout) is a pure function of the
-                # logical row set — a compacted index and a from-scratch
-                # build estimate over identical docs
-                keep = lookup_ordinals(ord_map, t["doc_id"].to_pylist()) >= 0
+                # restrict the sample to live winner ROWS (full identity:
+                # doc_id + content hash) so the hot set (and therefore the
+                # segment layout) is a pure function of the logical row set
+                keys = [
+                    d + c
+                    for d, c in zip(t["doc_id"].to_pylist(), t["content_sha256"].to_pylist())
+                ]
+                keep = lookup_ordinals(ord_map, keys) >= 0
                 return t.filter(pa.array(keep))
 
             if sample_bytes < 256 << 20:
                 # small sample: one driver-side pyarrow pass beats a Ray
                 # job's scheduling barrier
-                t = live_only(pads.dataset(sample_dir).to_table(columns=["doc_id", "content"]))
+                t = live_only(
+                    pads.dataset(sample_dir).to_table(
+                        columns=["doc_id", "content_sha256", "content"]
+                    )
+                )
                 agg = _sample_df_partial(t)
                 tot: dict[str, int] = {}
                 for term, cnt in zip(agg["term"].to_pylist(), agg["n"].to_pylist()):
@@ -169,11 +179,15 @@ def build_index(
 
                 def live_partial(t: pa.Table) -> pa.Table:
                     m = _ray.get(map_ref)
-                    keep = lookup_ordinals(m, t["doc_id"].to_pylist()) >= 0
+                    keys = [
+                        d + c
+                        for d, c in zip(t["doc_id"].to_pylist(), t["content_sha256"].to_pylist())
+                    ]
+                    keep = lookup_ordinals(m, keys) >= 0
                     return _sample_df_partial(t.filter(pa.array(keep)))
 
                 sample = rd.read_parquet(
-                    sample_dir, columns=["doc_id", "content"]
+                    sample_dir, columns=["doc_id", "content_sha256", "content"]
                 ).map_batches(live_partial, batch_format="pyarrow")
                 agg = sample.groupby("term").aggregate(Sum("n", alias_name="n_docs"))
                 hot = [r["term"] for r in agg.take_all() if r["n_docs"] >= thresh]
@@ -195,7 +209,7 @@ def build_index(
         n_cpus = int(_ray.cluster_resources().get("CPU", 4))
         payload = rd.read_parquet(
             payload_dir,
-            columns=["doc_id", "repo", "path", "name", "content"],
+            columns=["doc_id", "content_sha256", "repo", "path", "name", "content"],
             override_num_blocks=max(n_cpus * 4, len(os.listdir(payload_dir))),
         )
         # autoscaling actor pool: ramps with backlog, so small builds don't

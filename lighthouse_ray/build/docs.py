@@ -134,11 +134,16 @@ def derive_batch(batch: pa.Table, cfg: IndexConfig, payload_dir: str | None = No
         cols["content"] = content
         return pa.table(cols)
 
-    # content-addressed payload spill (idempotent under task retries)
+    # content-addressed payload spill (idempotent under task retries).
+    # content_sha256 rides along: the full row identity is
+    # (doc_id, content_sha256) — the corpus may legally contain rows with
+    # equal (repo,path,commit) but different content, and the ordinal map
+    # must bind the winner row, not just the winner doc_id.
     fname = hashlib.sha1("".join(doc_id).encode()).hexdigest()[:20] + ".parquet"
     payload = pa.table(
         {
             "doc_id": cols["doc_id"],
+            "content_sha256": cols["content_sha256"],
             "repo": batch["repo"],
             "path": batch["path"],
             "name": name,
@@ -154,7 +159,7 @@ def derive_batch(batch: pa.Table, cfg: IndexConfig, payload_dir: str | None = No
     # doc_id hash -> independent of block layout)
     sample_mask = (h64 % np.uint64(cfg.df_sample_mod)) == 0
     if sample_mask.any():
-        sample = payload.filter(pa.array(sample_mask)).select(["doc_id", "content"])
+        sample = payload.filter(pa.array(sample_mask)).select(["doc_id", "content_sha256", "content"])
         sink2 = pa.BufferOutputStream()
         pq.write_table(sample, sink2, compression="lz4")
         atomic_write_bytes(
@@ -173,8 +178,10 @@ def make_finalize_part(index_dir: str, cfg: IndexConfig):
         part = group["part"][0].as_py()
         df = group.to_pandas()
         n_input = len(df)
-        # last-write-wins upsert by logical key (repo, path)
-        df = df.sort_values(["repo", "path", "commit"]).drop_duplicates(
+        # last-write-wins upsert by logical key (repo, path); ties on
+        # commit (same commit id, conflicting content) break by
+        # content_sha256 so the winner is deterministic at any layout
+        df = df.sort_values(["repo", "path", "commit", "content_sha256"]).drop_duplicates(
             ["repo", "path"], keep="last"
         )
         # delete routing: Spent(2) / Expired(3) are not indexed
@@ -209,29 +216,32 @@ def make_finalize_part(index_dir: str, cfg: IndexConfig):
     return finalize_part
 
 
-def _ids_to_u64_pairs(doc_ids: list[str]) -> tuple[np.ndarray, np.ndarray]:
-    n = len(doc_ids)
+def _ids_to_u64_pairs(keys: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """128-bit blake2b of the full row-identity key (doc_id +
+    content_sha256) as two uint64 columns."""
+    n = len(keys)
     hi = np.empty(n, dtype=np.uint64)
     lo = np.empty(n, dtype=np.uint64)
-    for i, d in enumerate(doc_ids):
-        hi[i] = int(d[:16], 16)
-        lo[i] = int(d[16:32], 16)
+    for i, d in enumerate(keys):
+        h = hashlib.blake2b(d.encode(), digest_size=16).digest()
+        hi[i] = int.from_bytes(h[:8], "big")
+        lo[i] = int.from_bytes(h[8:], "big")
     return hi, lo
 
 
-def build_ordinal_map(doc_ids: list[str], ordinals: np.ndarray):
-    """Pack doc_id -> ordinal as sorted numpy arrays (128-bit sha1-prefix
-    keys).  Broadcast via ray.put: plasma gives actors the arrays
+def build_ordinal_map(keys: list[str], ordinals: np.ndarray):
+    """Pack row-identity key -> ordinal as sorted numpy arrays (128-bit
+    hash keys).  Broadcast via ray.put: plasma gives actors the arrays
     zero-copy, unlike a Python dict which would be re-pickled per actor."""
-    hi, lo = _ids_to_u64_pairs(doc_ids)
+    hi, lo = _ids_to_u64_pairs(keys)
     order = np.lexsort((lo, hi))
     return hi[order], lo[order], np.ascontiguousarray(ordinals, dtype=np.int64)[order]
 
 
-def lookup_ordinals(packed, doc_ids: list[str]) -> np.ndarray:
-    """Vectorized map lookup; -1 for ids not present (dedup losers)."""
+def lookup_ordinals(packed, keys: list[str]) -> np.ndarray:
+    """Vectorized map lookup; -1 for keys not present (dedup losers)."""
     hi_s, lo_s, ord_s = packed
-    hi, lo = _ids_to_u64_pairs(doc_ids)
+    hi, lo = _ids_to_u64_pairs(keys)
     left = np.searchsorted(hi_s, hi, side="left")
     right = np.searchsorted(hi_s, hi, side="right")
     out = np.full(len(hi), -1, dtype=np.int64)

@@ -100,7 +100,11 @@ class TokenizerStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .docs import lookup_ordinals
 
-        ordinals = lookup_ordinals(self.ord_map, batch["doc_id"].to_pylist())
+        keys = [
+            d + c
+            for d, c in zip(batch["doc_id"].to_pylist(), batch["content_sha256"].to_pylist())
+        ]
+        ordinals = lookup_ordinals(self.ord_map, keys)
         keep = ordinals >= 0  # dedup losers / delete-routed docs
         if not keep.all():
             batch = batch.filter(pa.array(keep))
@@ -340,6 +344,10 @@ def make_merge_shard(index_dir: str, cfg: IndexConfig):
                 "blk_maxtf": bin_col(blk_offs, pa.py_buffer(blk_maxtf_flat.tobytes()), 4),
             }
         ).cast(SEGMENT_SCHEMA)
+        # single-chunk before writing: parquet row-group boundaries follow
+        # table chunking, which depends on upstream block layout — combine
+        # so segment bytes are a pure function of the logical rows
+        seg = seg.combine_chunks()
         sink = pa.BufferOutputStream()
         pq.write_table(seg, sink, compression="zstd")
         data = sink.getvalue().to_pybytes()
@@ -366,7 +374,7 @@ def _merge_doclen_bucket(group: pa.Table, shard: int, index_dir: str) -> pa.Tabl
     g = group.take(
         pc.sort_indices(group, sort_keys=[("field", "ascending"), ("ordinal", "ascending")])
     )
-    out = pa.table({"field": g["field"], "ordinal": g["ordinal"], "dl": g["tf"]})
+    out = pa.table({"field": g["field"], "ordinal": g["ordinal"], "dl": g["tf"]}).combine_chunks()
     sink = pa.BufferOutputStream()
     pq.write_table(out, sink, compression="zstd")
     data = sink.getvalue().to_pybytes()

@@ -35,7 +35,11 @@ def brute(built):
     rows = {}
     for r in tbl.to_pylist():
         key = (r["repo"], r["path"])
-        if key not in rows or r["commit"] > rows[key]["commit"]:
+        rank = (r["commit"], hashlib.sha256(r["content"].encode()).hexdigest())
+        old = rows.get(key)
+        if old is None or rank > (
+            old["commit"], hashlib.sha256(old["content"].encode()).hexdigest()
+        ):
             rows[key] = r
     out = []
     for r in rows.values():
