@@ -605,6 +605,77 @@ ORDER BY cos DESC, e.vec_id LIMIT 10
 """
 
 
+def q_phrase_match(sf_dir: str):
+    """Positional exact-phrase filter (Q2): docs whose token stream
+    contains "merge sort" consecutively, with the occurrence count."""
+    t1, t2 = "merge", "sort"
+
+    def f(b: pa.Table) -> pa.Table:
+        parents, pos, terms, n = flat_tokens(b["text"])
+        tnp = np.asarray(terms.to_pylist(), dtype=object)
+        is1 = tnp == t1
+        # consecutive within the same doc: next token is t2
+        nxt_same_doc = np.zeros(len(tnp), dtype=bool)
+        if len(tnp) > 1:
+            nxt_same_doc[:-1] = (parents[1:] == parents[:-1]) & (np.asarray(tnp[1:] == t2))
+        hit = is1 & nxt_same_doc
+        counts = np.bincount(parents[hit], minlength=n) if hit.any() else np.zeros(n, dtype=np.int64)
+        keep = counts > 0
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].filter(pa.array(keep)),
+                "n_occurrences": pa.array(counts[keep].astype(np.int64)),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+SQL_PHRASE_MATCH = f"""
+WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(list_filter(range(1, len(toks)),
+            i -> toks[i] = 'merge' AND toks[i+1] = 'sort')) AS BIGINT) AS n_occurrences
+FROM t
+WHERE len(list_filter(range(1, len(toks)),
+      i -> toks[i] = 'merge' AND toks[i+1] = 'sort')) > 0
+"""
+
+
+def q_top_terms_per_lang(sf_dir: str):
+    """Per-group top-N window (G-family): 3 highest-df terms per lang,
+    ties by term; per-batch partial df then groupby + map_groups."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        parents, _pos, terms, _n = flat_tokens(b["text"])
+        langs = np.asarray(b["lang"].to_pylist(), dtype=object)[parents]
+        t = pa.table({"lang": pa.array(langs.tolist(), type=pa.string()),
+                      "term": terms, "parent": pa.array(parents)})
+        uniq = t.group_by(["lang", "term", "parent"]).aggregate([])
+        agg = uniq.group_by(["lang", "term"]).aggregate([("parent", "count")])
+        return pa.table({"lang": agg["lang"], "term": agg["term"],
+                         "n": agg["parent_count"].cast(pa.int64())})
+
+    ds = _read(sf_dir, "documents", ["lang", "text"]).map_batches(partial, batch_format="pyarrow")
+    agg = ds.groupby(["lang", "term"]).aggregate(Sum("n", alias_name="df"))
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["df", "term"], ascending=[False, True]).head(3)
+        g["df"] = g["df"].astype("int64")
+        return g[["lang", "term", "df"]]
+
+    return agg.groupby("lang").map_groups(top3, batch_format="pandas")
+
+
+SQL_TOP_TERMS_PER_LANG = f"""
+SELECT lang, term, CAST(count(*) AS BIGINT) AS df
+FROM (SELECT lang, doc_id, unnest(list_distinct({TOK})) AS term FROM documents)
+GROUP BY lang, term
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, term) <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-data ops: language-ID, near-dup dedup, multimodal plumbing
 # ---------------------------------------------------------------------------
@@ -778,6 +849,8 @@ def make_queries() -> dict:
         "group_concat": q_group_concat,
         "lineitem_agg": q_lineitem_agg,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "phrase_match": q_phrase_match,
+        "top_terms_per_lang": q_top_terms_per_lang,
         "lang_id": q_lang_id,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_near_dup": q_embedding_near_dup,
@@ -807,6 +880,8 @@ def make_oracle_sql() -> dict:
         "group_concat": SQL_GROUP_CONCAT,
         "lineitem_agg": SQL_LINEITEM_AGG,
         "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+        "phrase_match": SQL_PHRASE_MATCH,
+        "top_terms_per_lang": SQL_TOP_TERMS_PER_LANG,
         "lang_id": _sql_lang_id(),
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
