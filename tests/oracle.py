@@ -81,7 +81,11 @@ class Oracle:
         latest = {}
         for r in corpus_rows:
             key = (r["repo"], r["path"])
-            if key not in latest or r["commit"] > latest[key]["commit"]:
+            rank = (r["commit"], hashlib.sha256(r["content"].encode()).hexdigest())
+            old = latest.get(key)
+            if old is None or rank > (
+                old["commit"], hashlib.sha256(old["content"].encode()).hexdigest()
+            ):
                 latest[key] = r
         docs = []
         for r in latest.values():
