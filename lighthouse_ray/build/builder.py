@@ -29,7 +29,7 @@ import numpy as np
 import pyarrow as pa
 
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Sum
 
 from ..analysis import flat_tokens
 from ..config import FIELDS, IndexConfig

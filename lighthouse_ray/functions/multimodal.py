@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import hashlib
 
-import numpy as np
 import pyarrow as pa
 
 MEDIA_META_SCHEMA = pa.schema(

@@ -15,7 +15,6 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 
 def _to_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
