@@ -92,10 +92,17 @@ def build_index(
     if "docstore" not in stages:
         t0 = time.time()
         os.makedirs(payload_dir, exist_ok=True)
+        import ray as _rayA
+
+        # sort-shuffle cost grows with input block count; the derive
+        # output is ~150 B/row of metadata, so coalesce (no re-shuffle)
+        # to ~CPU-count blocks before the partitioning groupby
+        nb_meta = int(_rayA.cluster_resources().get("CPU", 4))
         rows = (
             ds.map_batches(
                 lambda b: derive_batch(b, cfg, payload_dir), batch_format="pyarrow"
             )
+            .repartition(nb_meta)
             .groupby("part")  # shuffles ~150 B/row of metadata, never content
             .map_groups(make_finalize_part(index_dir, cfg), batch_format="pyarrow")
             .take_all()
@@ -132,7 +139,8 @@ def build_index(
     )
     off = np.asarray(offsets, dtype=np.int64)
     ord_map = build_ordinal_map(
-        [d + c for d, c in zip(meta["doc_id"].to_pylist(), meta["content_sha256"].to_pylist())],
+        meta["doc_id"],
+        meta["content_sha256"],
         off[meta["part"].to_numpy()] + meta["rank"].to_numpy(),
     )
 
@@ -152,11 +160,7 @@ def build_index(
                 # restrict the sample to live winner ROWS (full identity:
                 # doc_id + content hash) so the hot set (and therefore the
                 # segment layout) is a pure function of the logical row set
-                keys = [
-                    d + c
-                    for d, c in zip(t["doc_id"].to_pylist(), t["content_sha256"].to_pylist())
-                ]
-                keep = lookup_ordinals(ord_map, keys) >= 0
+                keep = lookup_ordinals(ord_map, t["doc_id"], t["content_sha256"]) >= 0
                 return t.filter(pa.array(keep))
 
             if sample_bytes < 256 << 20:
@@ -179,11 +183,7 @@ def build_index(
 
                 def live_partial(t: pa.Table) -> pa.Table:
                     m = _ray.get(map_ref)
-                    keys = [
-                        d + c
-                        for d, c in zip(t["doc_id"].to_pylist(), t["content_sha256"].to_pylist())
-                    ]
-                    keep = lookup_ordinals(m, keys) >= 0
+                    keep = lookup_ordinals(m, t["doc_id"], t["content_sha256"]) >= 0
                     return _sample_df_partial(t.filter(pa.array(keep)))
 
                 sample = rd.read_parquet(
@@ -212,23 +212,37 @@ def build_index(
             columns=["doc_id", "content_sha256", "repo", "path", "name", "content"],
             override_num_blocks=max(n_cpus * 4, len(os.listdir(payload_dir))),
         )
-        # autoscaling actor pool: ramps with backlog, so small builds don't
-        # pay the spawn cost of a full-width pool
-        concurrency = cfg.tokenize_concurrency or (
-            1,
-            max(2, int(_ray.cluster_resources().get("CPU", 4)) - 1),
-        )
-        postings = payload.map_batches(
-            TokenizerStage,
-            fn_constructor_kwargs={
-                "ord_map_ref": ord_map_ref,
-                "hot_terms": hot_terms,
-                "cfg_json": cfg.to_json(),
-            },
-            batch_format="pyarrow",
-            batch_size=cfg.tokenize_batch_size,
-            concurrency=concurrency,
-        )
+        stage_kwargs = {
+            "ord_map_ref": ord_map_ref,
+            "hot_terms": hot_terms,
+            "cfg_json": cfg.to_json(),
+        }
+        if cfg.tokenize_actor_pool:
+            # autoscaling actor pool: ramps with backlog, so small builds
+            # don't pay the spawn cost of a full-width pool
+            concurrency = cfg.tokenize_concurrency or (
+                1,
+                max(2, int(_ray.cluster_resources().get("CPU", 4)) - 1),
+            )
+            postings = payload.map_batches(
+                TokenizerStage,
+                fn_constructor_kwargs=stage_kwargs,
+                batch_format="pyarrow",
+                batch_size=cfg.tokenize_batch_size,
+                concurrency=concurrency,
+            )
+        else:
+            # default: plain tasks on prewarmed workers, stage state memoized
+            # per worker (postings.tokenize_batch_task) — full width from the
+            # first batch, no pool ramp
+            from .postings import tokenize_batch_task
+
+            postings = payload.map_batches(
+                tokenize_batch_task,
+                fn_kwargs=stage_kwargs,
+                batch_format="pyarrow",
+                batch_size=cfg.tokenize_batch_size,
+            )
         # lz4: the postings parquet is a read-once intermediate (shuffle
         # input + resume checkpoint); decode speed beats ratio here
         postings.write_parquet(postings_dir, compression="lz4")

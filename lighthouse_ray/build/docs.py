@@ -62,15 +62,13 @@ def derive_batch(batch: pa.Table, cfg: IndexConfig, payload_dir: str | None = No
     n = len(repo)
     doc_id = [None] * n
     key_h = np.empty(n, dtype=np.uint64)
-    h64 = np.empty(n, dtype=np.uint64)
+    _sha1 = hashlib.sha1
     for i in range(n):
-        doc_id[i] = hashlib.sha1(
-            f"{repo[i]}\0{path[i]}\0{commit[i]}".encode()
-        ).hexdigest()
-        key_h[i] = int.from_bytes(
-            hashlib.sha1(f"{repo[i]}\0{path[i]}".encode()).digest()[:8], "big"
-        )
-        h64[i] = int(doc_id[i][:16], 16)
+        kb = f"{repo[i]}\0{path[i]}".encode()
+        doc_id[i] = _sha1(kb + b"\0" + commit[i].encode()).hexdigest()
+        key_h[i] = int.from_bytes(_sha1(kb).digest()[:8], "big")
+    doc_id_arr = pa.array(doc_id, type=pa.string())
+    h64 = hex_prefix_u64(doc_id_arr)
 
     content_sha = [hashlib.sha256(c.encode()).hexdigest() for c in content.to_pylist()]
 
@@ -101,14 +99,18 @@ def derive_batch(batch: pa.Table, cfg: IndexConfig, payload_dir: str | None = No
         zero_copy_only=False
     )
     kind = np.where(is_channel, "channel", "stream")
-    channel_claim_id = [hashlib.sha1(r.encode()).hexdigest() for r in repo]
+    _repo_sha: dict[str, str] = {}
+    channel_claim_id = [
+        _repo_sha.get(r) or _repo_sha.setdefault(r, hashlib.sha1(r.encode()).hexdigest())
+        for r in repo
+    ]
     # content_type analog: a MIME-ish string so prefix filters
     # (query.go:320-334 `content_type.keyword` starts-with) are exercised
     lang_list = batch["lang"].to_pylist()
     mime = [("text/" + l) if l == "md" else ("application/" + l) for l in lang_list]
 
     cols = {
-        "doc_id": pa.array(doc_id, type=pa.string()),
+        "doc_id": doc_id_arr,
         "repo": batch["repo"],
         "path": batch["path"],
         "commit": batch["commit"],
@@ -216,32 +218,52 @@ def make_finalize_part(index_dir: str, cfg: IndexConfig):
     return finalize_part
 
 
-def _ids_to_u64_pairs(keys: list[str]) -> tuple[np.ndarray, np.ndarray]:
-    """128-bit blake2b of the full row-identity key (doc_id +
-    content_sha256) as two uint64 columns."""
-    n = len(keys)
-    hi = np.empty(n, dtype=np.uint64)
-    lo = np.empty(n, dtype=np.uint64)
-    for i, d in enumerate(keys):
-        h = hashlib.blake2b(d.encode(), digest_size=16).digest()
-        hi[i] = int.from_bytes(h[:8], "big")
-        lo[i] = int.from_bytes(h[8:], "big")
-    return hi, lo
+def hex_prefix_u64(col) -> np.ndarray:
+    """Vectorized parse of the first 16 hex chars of each string to
+    uint64.  Input strings are themselves cryptographic hex digests
+    (sha1 doc_id / sha256 content hash), so the prefix is uniformly
+    distributed — no re-hashing needed."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if not isinstance(col, pa.Array):
+        col = pa.array(col, type=pa.string())
+    n = len(col)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    off_dt = np.int64 if pa.types.is_large_string(col.type) else np.int32
+    offs = np.frombuffer(col.buffers()[1], dtype=off_dt)[col.offset : col.offset + n]
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    idx = offs.astype(np.int64)[:, None] + np.arange(16, dtype=np.int64)[None, :]
+    b = data[idx].astype(np.uint64)
+    d = b - np.uint64(48) - (b >= np.uint64(97)) * np.uint64(39)  # '0'-'9', 'a'-'f'
+    val = np.zeros(n, dtype=np.uint64)
+    for i in range(16):
+        val = (val << np.uint64(4)) | d[:, i]
+    return val
 
 
-def build_ordinal_map(keys: list[str], ordinals: np.ndarray):
+def _ids_to_u64_pairs(doc_ids, shas) -> tuple[np.ndarray, np.ndarray]:
+    """128-bit row-identity key (doc_id, content_sha256) as two uint64
+    columns: the 64-bit prefixes of the two digests.  Two distinct rows
+    collide only on a 128-bit coincidence — same guarantee a fresh
+    128-bit hash of the concatenated key would give, with no per-row
+    Python hashing."""
+    return hex_prefix_u64(doc_ids), hex_prefix_u64(shas)
+
+
+def build_ordinal_map(doc_ids, shas, ordinals: np.ndarray):
     """Pack row-identity key -> ordinal as sorted numpy arrays (128-bit
     hash keys).  Broadcast via ray.put: plasma gives actors the arrays
     zero-copy, unlike a Python dict which would be re-pickled per actor."""
-    hi, lo = _ids_to_u64_pairs(keys)
+    hi, lo = _ids_to_u64_pairs(doc_ids, shas)
     order = np.lexsort((lo, hi))
     return hi[order], lo[order], np.ascontiguousarray(ordinals, dtype=np.int64)[order]
 
 
-def lookup_ordinals(packed, keys: list[str]) -> np.ndarray:
+def lookup_ordinals(packed, doc_ids, shas) -> np.ndarray:
     """Vectorized map lookup; -1 for keys not present (dedup losers)."""
     hi_s, lo_s, ord_s = packed
-    hi, lo = _ids_to_u64_pairs(keys)
+    hi, lo = _ids_to_u64_pairs(doc_ids, shas)
     left = np.searchsorted(hi_s, hi, side="left")
     right = np.searchsorted(hi_s, hi, side="right")
     out = np.full(len(hi), -1, dtype=np.int64)

@@ -100,11 +100,7 @@ class TokenizerStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .docs import lookup_ordinals
 
-        keys = [
-            d + c
-            for d, c in zip(batch["doc_id"].to_pylist(), batch["content_sha256"].to_pylist())
-        ]
-        ordinals = lookup_ordinals(self.ord_map, keys)
+        ordinals = lookup_ordinals(self.ord_map, batch["doc_id"], batch["content_sha256"])
         keep = ordinals >= 0  # dedup losers / delete-routed docs
         if not keep.all():
             batch = batch.filter(pa.array(keep))
@@ -224,6 +220,27 @@ class TokenizerStage:
                 )
             )
         return pa.concat_tables(outs) if outs else None
+
+
+# Worker-global stage memo for the task-based tokenize path: Ray Data
+# tasks run on prewarmed worker processes, so building the stage once
+# per worker (keyed by the broadcast ref) gives actor-pool state
+# semantics with zero pool-ramp cost.  The actor-pool path
+# (cfg.tokenize_actor_pool) remains for stages with genuinely expensive
+# per-worker setup; the tokenizer's state is a zero-copy plasma read,
+# so tasks are the faster default on and off the sandbox.
+_TASK_STAGE: dict[str, TokenizerStage] = {}
+
+
+def tokenize_batch_task(batch: pa.Table, *, ord_map_ref, hot_terms, cfg_json) -> pa.Table:
+    hex_fn = getattr(ord_map_ref, "hex", None)
+    key = hex_fn() if hex_fn else str(id(ord_map_ref))
+    st = _TASK_STAGE.get(key)
+    if st is None:
+        _TASK_STAGE.clear()
+        st = TokenizerStage(ord_map_ref=ord_map_ref, hot_terms=hot_terms, cfg_json=cfg_json)
+        _TASK_STAGE[key] = st
+    return st(batch)
 
 
 # ---------------------------------------------------------------------------

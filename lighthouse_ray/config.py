@@ -52,7 +52,12 @@ class IndexConfig:
 
     # execution sizing
     tokenize_batch_size: int = 1024  # docs per tokenize batch (drop for MB-scale payloads)
-    tokenize_concurrency: int | None = None  # None -> autoscaling actor pool (1, cpus-1)
+    # False (default): tokenize as plain tasks on prewarmed workers with a
+    # per-worker stage memo — the stage state is a zero-copy plasma read,
+    # so tasks start at full width instantly.  True: ActorPool
+    # map_batches (for setups that are genuinely expensive per worker).
+    tokenize_actor_pool: bool = False
+    tokenize_concurrency: int | None = None  # actor pool: None -> autoscaling (1, cpus-1)
 
     # delete-route Spent/Expired docs at build (chainquery.go:127-132);
     # disable for corpora without upsert/delete semantics
