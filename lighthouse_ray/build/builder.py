@@ -95,15 +95,18 @@ def build_index(
         import ray as _rayA
 
         # sort-shuffle cost grows with input block count; the derive
-        # output is ~150 B/row of metadata, so coalesce (no re-shuffle)
-        # to ~CPU-count blocks before the partitioning groupby
+        # output is ~150 B/row of metadata, so at wide parallelism
+        # coalesce (no re-shuffle) to ~CPU-count blocks before the
+        # partitioning groupby.  At narrow widths the block count is
+        # already small and the coalesce pass would only add a barrier.
         nb_meta = int(_rayA.cluster_resources().get("CPU", 4))
+        derived = ds.map_batches(
+            lambda b: derive_batch(b, cfg, payload_dir), batch_format="pyarrow"
+        )
+        if nb_meta >= 16:
+            derived = derived.repartition(nb_meta)
         rows = (
-            ds.map_batches(
-                lambda b: derive_batch(b, cfg, payload_dir), batch_format="pyarrow"
-            )
-            .repartition(nb_meta)
-            .groupby("part")  # shuffles ~150 B/row of metadata, never content
+            derived.groupby("part")  # shuffles ~150 B/row of metadata, never content
             .map_groups(make_finalize_part(index_dir, cfg), batch_format="pyarrow")
             .take_all()
         )  # one small manifest row per partition

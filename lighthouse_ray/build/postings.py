@@ -270,17 +270,32 @@ def make_merge_shard(index_dir: str, cfg: IndexConfig):
         shard = group["shard"][0].as_py()
         if shard < 0:
             return _merge_doclen_bucket(group, shard, index_dir)
-        idx = pc.sort_indices(
-            group,
-            sort_keys=[("field", "ascending"), ("term", "ascending"), ("ordinal", "ascending")],
-        )
-        g = group.take(idx)
-        ords = g["ordinal"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        tfs = g["tf"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        # sort by (field, term, ordinal) without a full-table string sort:
+        # dictionary-encode both string columns, rank only the UNIQUE
+        # values lexicographically, then integer-lexsort the rows.  Terms
+        # repeat heavily (df >> 1), so this sorts ~n/df strings instead
+        # of n.
+        f_dict_arr = group["field"].combine_chunks().dictionary_encode()
+        t_dict_arr = group["term"].combine_chunks().dictionary_encode()
+        fcodes_u = f_dict_arr.indices.to_numpy(zero_copy_only=False)
+        tcodes_u = t_dict_arr.indices.to_numpy(zero_copy_only=False)
+        f_vals = f_dict_arr.dictionary
+        t_vals = t_dict_arr.dictionary
+        f_order = pc.sort_indices(f_vals).to_numpy(zero_copy_only=False)
+        t_order = pc.sort_indices(t_vals).to_numpy(zero_copy_only=False)
+        f_rank = np.empty(len(f_vals), dtype=np.int64)
+        f_rank[f_order] = np.arange(len(f_vals))
+        t_rank = np.empty(len(t_vals), dtype=np.int64)
+        t_rank[t_order] = np.arange(len(t_vals))
+        ords_raw = group["ordinal"].to_numpy(zero_copy_only=False)
+        perm = np.lexsort((ords_raw, t_rank[tcodes_u], f_rank[fcodes_u]))
+
+        ords = ords_raw[perm].astype(np.uint64)
+        tfs = group["tf"].to_numpy(zero_copy_only=False)[perm].astype(np.uint64)
 
         n = len(ords)
-        fcodes = g["field"].combine_chunks().dictionary_encode().indices.to_numpy(zero_copy_only=False)
-        tcodes = g["term"].combine_chunks().dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        fcodes = fcodes_u[perm]
+        tcodes = tcodes_u[perm]
         change = np.empty(n, dtype=bool)
         change[0] = True
         np.logical_or(fcodes[1:] != fcodes[:-1], tcodes[1:] != tcodes[:-1], out=change[1:])
@@ -308,7 +323,7 @@ def make_merge_shard(index_dir: str, cfg: IndexConfig):
 
         # positions: rows are contiguous after take -> per-run bytes are a
         # contiguous slice of the binary column's data buffer
-        pos_col_in = g["pos_blob"].combine_chunks()
+        pos_col_in = pc.take(group["pos_blob"].combine_chunks(), pa.array(perm))
         off_dtype = np.int64 if pa.types.is_large_binary(pos_col_in.type) else np.int32
         pos_in_offs = np.frombuffer(pos_col_in.buffers()[1], dtype=off_dtype)[
             pos_col_in.offset : pos_col_in.offset + n + 1
@@ -350,8 +365,8 @@ def make_merge_shard(index_dir: str, cfg: IndexConfig):
         n_postings = int(n)
         seg = pa.table(
             {
-                "field": pc.take(g["field"], pa.array(starts)),
-                "term": pc.take(g["term"], pa.array(starts)),
+                "field": pc.take(f_vals, pa.array(fcodes[starts])),
+                "term": pc.take(t_vals, pa.array(tcodes[starts])),
                 "df": pa.array(df64),
                 "cf": pa.array(cf),
                 "ords": bin_col(ords_offs, pa.py_buffer(ords_buf)),
