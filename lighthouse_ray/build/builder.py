@@ -20,6 +20,7 @@ The caller owns the Ray session; this module never calls ray.init.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 import time
@@ -219,6 +220,7 @@ def build_index(
             "ord_map_ref": ord_map_ref,
             "hot_terms": hot_terms,
             "cfg_json": cfg.to_json(),
+            "spill_dir": postings_dir,
         }
         if cfg.tokenize_actor_pool:
             # autoscaling actor pool: ramps with backlog, so small builds
@@ -246,39 +248,74 @@ def build_index(
                 batch_format="pyarrow",
                 batch_size=cfg.tokenize_batch_size,
             )
-        # lz4: the postings parquet is a read-once intermediate (shuffle
-        # input + resume checkpoint); decode speed beats ratio here
-        postings.write_parquet(postings_dir, compression="lz4")
-        stages["postings"] = {"sec": round(time.time() - t0, 3)}
+        # the tokenize tasks spill postings map-side into per-group lz4
+        # files (the shuffle-input + resume checkpoint); the stage output
+        # is only the tiny spill manifest (lineage: per-file rows/bytes/
+        # sha256 per group)
+        spill_rows = postings.take_all()
+        per_grp: dict[str, dict] = {}
+        for r in spill_rows:
+            g = per_grp.setdefault(str(int(r["grp"])), {"files": 0, "rows": 0, "bytes": 0})
+            g["files"] += 1
+            g["rows"] += int(r["rows"])
+            g["bytes"] += int(r["bytes"])
+        stages["postings"] = {
+            "sec": round(time.time() - t0, 3),
+            "groups": {k: per_grp[k] for k in sorted(per_grp, key=int)},
+            "digest": hashlib.sha256(
+                "".join(sorted(r["sha256"] for r in spill_rows)).encode()
+            ).hexdigest(),
+        }
         atomic_write_json(_manifest_path(index_dir), manifest)
 
-    # ---- Stage D: segments + doclens (one shuffle pass) ----------------------
+    # ---- Stage D: segments + doclens (the exchange reduce) -------------------
     seg_done: dict = stages.get("segments", {}).get("shards", {})
     t0 = time.time()
     done_ids = {int(k) for k in seg_done}
-    # Ray's sort-based shuffle costs grow with input block count; clamp
-    # blocks to the CPU count, floored so one block still fits in a
-    # worker heap (~256 MB compressed)
     import ray as _ray1
 
     n_cpus = int(_ray1.cluster_resources().get("CPU", 4))
-    post_bytes = sum(
-        os.path.getsize(os.path.join(postings_dir, f)) for f in os.listdir(postings_dir)
-    )
-    nb = max(n_cpus, (post_bytes >> 28) + 1)
-    post = rd.read_parquet(postings_dir, override_num_blocks=nb)
-    if done_ids:
-        post = post.map_batches(
-            lambda b: b.filter(
-                pa.array(~np.isin(b["shard"].to_numpy(zero_copy_only=False), list(done_ids)))
-            ),
-            batch_format="pyarrow",
+    if cfg.extra.get("exchange") == "groupby":
+        # classic path: object-store sort shuffle over the spill files
+        # (they are hive-partitioned by grp; the extra column is ignored)
+        post_bytes = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _d, fs in os.walk(postings_dir)
+            for f in fs
         )
-    seg_rows = (
-        post.groupby("shard")
-        .map_groups(make_merge_shard(index_dir, cfg), batch_format="pyarrow")
-        .take_all()
-    )
+        nb = max(n_cpus, (post_bytes >> 28) + 1)
+        post = rd.read_parquet(postings_dir, override_num_blocks=nb).drop_columns(["grp"])
+        if done_ids:
+            post = post.map_batches(
+                lambda b: b.filter(
+                    pa.array(~np.isin(b["shard"].to_numpy(zero_copy_only=False), list(done_ids)))
+                ),
+                batch_format="pyarrow",
+            )
+        seg_rows = (
+            post.groupby("shard")
+            .map_groups(make_merge_shard(index_dir, cfg), batch_format="pyarrow")
+            .take_all()
+        )
+    else:
+        # default: one merge task per shard group reading its own spill
+        # files — an explicit disk-partitioned exchange, no all-to-all
+        from .postings import make_merge_group
+
+        groups = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(postings_dir)
+            if d.startswith("grp=")
+        )
+        seg_rows = (
+            rd.from_items([{"grp": g} for g in groups], override_num_blocks=max(len(groups), 1))
+            .map_batches(
+                make_merge_group(index_dir, cfg, postings_dir, done_ids),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+            .take_all()
+        )
     for r in seg_rows:
         seg_done[str(int(r["shard"]))] = {
             "n_terms": int(r["n_terms"]),

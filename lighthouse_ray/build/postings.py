@@ -70,7 +70,7 @@ class TokenizerStage:
     scale).  At 10^12 docs the map would be range-partitioned by doc_id
     and fetched per batch instead of held whole."""
 
-    def __init__(self, ord_map_ref, hot_terms: list[str], cfg_json: dict):
+    def __init__(self, ord_map_ref, hot_terms: list[str], cfg_json: dict, spill_dir: str | None = None):
         limit_worker_threads()
         import ray as _ray
 
@@ -79,6 +79,7 @@ class TokenizerStage:
             _ray.get(ord_map_ref) if not isinstance(ord_map_ref, tuple) else ord_map_ref
         )
         self.hot = set(hot_terms)
+        self.spill_dir = spill_dir
         self._shard_memo: dict[str, int] = {}
         self._salt_memo: dict[tuple[str, int], int] = {}
 
@@ -107,7 +108,55 @@ class TokenizerStage:
             ordinals = ordinals[keep]
         pieces = [self._field_postings(batch, f, ordinals) for f in FIELDS]
         pieces.append(self._doclen_rows(pieces))
-        return pa.concat_tables([p for p in pieces if p is not None])
+        out = pa.concat_tables([p for p in pieces if p is not None])
+        if self.spill_dir is None:
+            return out
+        return self._spill(out)
+
+    def _spill(self, t: pa.Table) -> pa.Table:
+        """Map-side exchange: split this batch's postings by shard group
+        and write one content-addressed lz4 parquet per non-empty group
+        (idempotent under task retries: file name = hash of bytes).
+        Returns the spill-manifest rows (lineage for the build manifest)."""
+        G = self.cfg.num_shard_groups
+        shard = t["shard"].to_numpy(zero_copy_only=False)
+        grp = shard_group(shard, G)
+        order = np.argsort(grp, kind="stable")
+        ts = t.take(pa.array(order))
+        grp_s = grp[order]
+        n = len(grp_s)
+        rows = {"grp": [], "file": [], "rows": [], "bytes": [], "sha256": []}
+        if n:
+            change = np.empty(n, dtype=bool)
+            change[0] = True
+            np.not_equal(grp_s[1:], grp_s[:-1], out=change[1:])
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], n)
+            for s, e in zip(starts, ends):
+                g = int(grp_s[s])
+                sub = ts.slice(s, e - s).combine_chunks()
+                sink = pa.BufferOutputStream()
+                pq.write_table(sub, sink, compression="lz4")
+                data = sink.getvalue().to_pybytes()
+                digest = hashlib.sha256(data).hexdigest()
+                fname = f"{digest[:24]}.parquet"
+                atomic_write_bytes(
+                    os.path.join(self.spill_dir, f"grp={g}", fname), data
+                )
+                rows["grp"].append(g)
+                rows["file"].append(fname)
+                rows["rows"].append(e - s)
+                rows["bytes"].append(len(data))
+                rows["sha256"].append(digest)
+        return pa.table(
+            {
+                "grp": pa.array(rows["grp"], type=pa.int32()),
+                "file": pa.array(rows["file"], type=pa.string()),
+                "rows": pa.array(rows["rows"], type=pa.int64()),
+                "bytes": pa.array(rows["bytes"], type=pa.int64()),
+                "sha256": pa.array(rows["sha256"], type=pa.string()),
+            }
+        )
 
     # -- per-field vectorized posting construction ------------------------
 
@@ -232,13 +281,17 @@ class TokenizerStage:
 _TASK_STAGE: dict[str, TokenizerStage] = {}
 
 
-def tokenize_batch_task(batch: pa.Table, *, ord_map_ref, hot_terms, cfg_json) -> pa.Table:
+def tokenize_batch_task(
+    batch: pa.Table, *, ord_map_ref, hot_terms, cfg_json, spill_dir=None
+) -> pa.Table:
     hex_fn = getattr(ord_map_ref, "hex", None)
-    key = hex_fn() if hex_fn else str(id(ord_map_ref))
+    key = (hex_fn() if hex_fn else str(id(ord_map_ref))) + str(spill_dir)
     st = _TASK_STAGE.get(key)
     if st is None:
         _TASK_STAGE.clear()
-        st = TokenizerStage(ord_map_ref=ord_map_ref, hot_terms=hot_terms, cfg_json=cfg_json)
+        st = TokenizerStage(
+            ord_map_ref=ord_map_ref, hot_terms=hot_terms, cfg_json=cfg_json, spill_dir=spill_dir
+        )
         _TASK_STAGE[key] = st
     return st(batch)
 
@@ -262,12 +315,27 @@ SEGMENT_SCHEMA = pa.schema(
 )
 
 
+def shard_group(shard, num_groups: int):
+    """Shard -> exchange group (negative doclen shards wrap)."""
+    return ((shard % num_groups) + num_groups) % num_groups
+
+
 def make_merge_shard(index_dir: str, cfg: IndexConfig):
-    block = cfg.block_size
+    """Classic exchange: per-shard merge fn for groupby(shard).map_groups."""
 
     def merge_shard(group: pa.Table) -> pa.Table:
         limit_worker_threads()
         shard = group["shard"][0].as_py()
+        return merge_shard_table(group, shard, index_dir, cfg)
+
+    return merge_shard
+
+
+def merge_shard_table(group: pa.Table, shard: int, index_dir: str, cfg: IndexConfig) -> pa.Table:
+    """Merge one shard's posting rows into a compressed segment file
+    (or a doclens bucket for negative shards); returns the manifest row."""
+    block = cfg.block_size
+    if True:  # keep the original body's indentation
         if shard < 0:
             return _merge_doclen_bucket(group, shard, index_dir)
         # sort by (field, term, ordinal) without a full-table string sort:
@@ -395,7 +463,63 @@ def make_merge_shard(index_dir: str, cfg: IndexConfig):
             }
         )
 
-    return merge_shard
+
+MERGE_ROW_SCHEMA = pa.schema(
+    [
+        ("shard", pa.int32()),
+        ("n_terms", pa.int64()),
+        ("n_postings", pa.int64()),
+        ("bytes", pa.int64()),
+        ("sha256", pa.string()),
+        ("extra", pa.string()),
+    ]
+)
+
+
+def make_merge_group(index_dir: str, cfg: IndexConfig, spill_dir: str, done_shards: set[int]):
+    """Spill exchange, reduce side: one task per shard group.  Reads the
+    group's spill files (written map-side by the tokenize stage), slices
+    them into per-shard runs and merges each shard with the same
+    merge_shard_table the classic groupby path uses — segment bytes are
+    identical by construction (conformance-tested)."""
+
+    done = set(done_shards)
+
+    def merge_group(batch: pa.Table) -> pa.Table:
+        limit_worker_threads()
+        import pyarrow.dataset as pads
+
+        outs = []
+        for g in batch["grp"].to_pylist():
+            gdir = os.path.join(spill_dir, f"grp={int(g)}")
+            if not os.path.isdir(gdir):
+                continue
+            t = pads.dataset(gdir).to_table(
+                columns=["field", "term", "ordinal", "tf", "pos_blob", "shard"]
+            )
+            if t.num_rows == 0:
+                continue
+            idx = pc.sort_indices(t.select(["shard"]), sort_keys=[("shard", "ascending")])
+            t = t.take(idx)
+            shards = t["shard"].to_numpy(zero_copy_only=False)
+            n = len(shards)
+            change = np.empty(n, dtype=bool)
+            change[0] = True
+            np.not_equal(shards[1:], shards[:-1], out=change[1:])
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], n)
+            for s, e in zip(starts, ends):
+                sh = int(shards[s])
+                if sh in done:
+                    continue
+                outs.append(
+                    merge_shard_table(t.slice(s, e - s).combine_chunks(), sh, index_dir, cfg)
+                )
+        if not outs:
+            return MERGE_ROW_SCHEMA.empty_table()
+        return pa.concat_tables(outs)
+
+    return merge_group
 
 
 def _merge_doclen_bucket(group: pa.Table, shard: int, index_dir: str) -> pa.Table:

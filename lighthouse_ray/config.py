@@ -50,6 +50,16 @@ class IndexConfig:
     # pass as the postings — no separate stats scan over the postings.
     dl_shift: int = 16
 
+    # term-shard exchange: shards are bucketed into num_shard_groups
+    # groups (grp = shard mod G, negatives wrapped); the tokenize stage
+    # spills each batch's postings into per-group files and the merge
+    # runs one task per group — an explicit disk-partitioned shuffle
+    # with no all-to-all object-store sort.  Set
+    # extra={"exchange": "groupby"} to use the classic
+    # read -> groupby(shard) -> map_groups path instead (conformance-
+    # tested to produce byte-identical segments).
+    num_shard_groups: int = 64
+
     # execution sizing
     tokenize_batch_size: int = 1024  # docs per tokenize batch (drop for MB-scale payloads)
     # False (default): tokenize as plain tasks on prewarmed workers with a
@@ -79,6 +89,7 @@ class IndexConfig:
             "salt_range": self.salt_range,
             "df_sample_mod": self.df_sample_mod,
             "dl_shift": self.dl_shift,
+            "num_shard_groups": self.num_shard_groups,
             "route_deletes": self.route_deletes,
             "now_ts": self.now_ts,
         }

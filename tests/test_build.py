@@ -208,3 +208,21 @@ def test_resume_skips_completed_stages(ray_session, built, tmp_path):
     want = res.manifest["stages"]["segments"]["shards"]
     got = man4["stages"]["segments"]["shards"]
     assert {k: v["sha256"] for k, v in got.items()} == {k: v["sha256"] for k, v in want.items()}
+
+
+def test_exchange_conformance_spill_vs_groupby(ray_session, built, tmp_path):
+    """The spill exchange (per-group merge tasks) and the classic
+    groupby(shard) sort-shuffle must produce byte-identical segments."""
+    import ray.data as rd
+
+    from lighthouse_ray.build import build_index
+
+    idx, res = built  # built with the default spill exchange
+    cfg2 = IndexConfig(**{**CFG.to_json(), "extra": {"exchange": "groupby"}})
+    idx4 = str(tmp_path / "index4")
+    res4 = build_index(rd.from_arrow(gen_corpus(N_DOCS)), idx4, cfg2)
+    a = res.manifest["stages"]["segments"]["shards"]
+    b = res4.manifest["stages"]["segments"]["shards"]
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k]["sha256"] == b[k]["sha256"], f"shard {k} differs between exchanges"
