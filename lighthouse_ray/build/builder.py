@@ -73,7 +73,7 @@ def build_index(
     os.makedirs(index_dir, exist_ok=True)
     manifest = _load_manifest(index_dir) if resume else {"stages": {}}
     if not resume:
-        for sub in ("docstore", "postings", "segments", "doclens", "payload", "payload_dfsample"):
+        for sub in ("docstore", "docmeta", "postings", "segments", "doclens", "payload", "payload_dfsample"):
             shutil.rmtree(os.path.join(index_dir, sub), ignore_errors=True)
     manifest.setdefault("config", cfg.to_json())
     stages = manifest["stages"]
@@ -90,25 +90,30 @@ def build_index(
 
     # ---- Stage A: docstore ------------------------------------------------
     payload_dir = os.path.join(index_dir, "payload")
+    meta_dir = os.path.join(index_dir, "docmeta")
     if "docstore" not in stages:
         t0 = time.time()
         os.makedirs(payload_dir, exist_ok=True)
-        import ray as _rayA
 
-        # sort-shuffle cost grows with input block count; the derive
-        # output is ~150 B/row of metadata, so at wide parallelism
-        # coalesce (no re-shuffle) to ~CPU-count blocks before the
-        # partitioning groupby.  At narrow widths the block count is
-        # already small and the coalesce pass would only add a barrier.
-        nb_meta = int(_rayA.cluster_resources().get("CPU", 4))
-        derived = ds.map_batches(
-            lambda b: derive_batch(b, cfg, payload_dir), batch_format="pyarrow"
-        )
-        if nb_meta >= 16:
-            derived = derived.repartition(nb_meta)
+        # derive tasks spill content to payload files and the ~150 B/row
+        # metadata to per-part files (map-side partitioned exchange, same
+        # pattern as the postings spill — no all-to-all sort anywhere)
+        from .docs import make_finalize_group
+
+        spill_rows = ds.map_batches(
+            lambda b: derive_batch(b, cfg, payload_dir, meta_dir), batch_format="pyarrow"
+        ).take_all()
+        parts_present = sorted({int(r["part"]) for r in spill_rows})
         rows = (
-            derived.groupby("part")  # shuffles ~150 B/row of metadata, never content
-            .map_groups(make_finalize_part(index_dir, cfg), batch_format="pyarrow")
+            rd.from_items(
+                [{"part": p} for p in parts_present],
+                override_num_blocks=max(len(parts_present), 1),
+            )
+            .map_batches(
+                make_finalize_group(index_dir, cfg, meta_dir),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
             .take_all()
         )  # one small manifest row per partition
         part_rows = {int(r["part"]): int(r["rows"]) for r in rows}

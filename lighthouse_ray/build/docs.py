@@ -41,7 +41,12 @@ _RELEASE_SPAN = 157_766_400  # ~5 years
 BID_STATES = ("Controlling", "Accepted", "Spent", "Expired")
 
 
-def derive_batch(batch: pa.Table, cfg: IndexConfig, payload_dir: str | None = None) -> pa.Table:
+def derive_batch(
+    batch: pa.Table,
+    cfg: IndexConfig,
+    payload_dir: str | None = None,
+    meta_spill_dir: str | None = None,
+) -> pa.Table:
     """Identity + derived fields + synthetic doc-values for one Arrow batch.
 
     String hashing (sha1/sha256) is inherently per-row; everything
@@ -169,7 +174,48 @@ def derive_batch(batch: pa.Table, cfg: IndexConfig, payload_dir: str | None = No
         )
     cols["payload_file"] = pa.array([fname] * n, type=pa.string())
     cols["payload_row"] = pa.array(np.arange(n, dtype=np.int64))
-    return pa.table(cols)
+    out = pa.table(cols)
+    if meta_spill_dir is None:
+        return out
+
+    # map-side partitioning of the ~150 B/row metadata: one content-
+    # addressed file per (batch, part) — the partitioning "shuffle" is a
+    # partitioned spill + per-part finalize task, no all-to-all sort
+    # (same exchange pattern as the postings spill)
+    order = np.argsort(part, kind="stable")
+    ts = out.take(pa.array(order))
+    part_s = part[order]
+    rows = {"part": [], "file": [], "rows": [], "bytes": [], "sha256": []}
+    m = len(part_s)
+    if m:
+        change = np.empty(m, dtype=bool)
+        change[0] = True
+        np.not_equal(part_s[1:], part_s[:-1], out=change[1:])
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], m)
+        for s, e in zip(starts, ends):
+            p = int(part_s[s])
+            sub = ts.slice(s, e - s).combine_chunks()
+            sink3 = pa.BufferOutputStream()
+            pq.write_table(sub, sink3, compression="lz4")
+            data = sink3.getvalue().to_pybytes()
+            digest = hashlib.sha256(data).hexdigest()
+            pfname = f"{digest[:24]}.parquet"
+            atomic_write_bytes(os.path.join(meta_spill_dir, f"part={p}", pfname), data)
+            rows["part"].append(p)
+            rows["file"].append(pfname)
+            rows["rows"].append(e - s)
+            rows["bytes"].append(len(data))
+            rows["sha256"].append(digest)
+    return pa.table(
+        {
+            "part": pa.array(rows["part"], type=pa.int32()),
+            "file": pa.array(rows["file"], type=pa.string()),
+            "rows": pa.array(rows["rows"], type=pa.int64()),
+            "bytes": pa.array(rows["bytes"], type=pa.int64()),
+            "sha256": pa.array(rows["sha256"], type=pa.string()),
+        }
+    )
 
 
 def make_finalize_part(index_dir: str, cfg: IndexConfig):
@@ -240,6 +286,43 @@ def hex_prefix_u64(col) -> np.ndarray:
     for i in range(16):
         val = (val << np.uint64(4)) | d[:, i]
     return val
+
+
+def make_finalize_group(index_dir: str, cfg: IndexConfig, meta_dir: str):
+    """Spill exchange, reduce side for stage A: one task per doc-store
+    partition, reading its own metadata spill files."""
+    finalize = make_finalize_part(index_dir, cfg)
+
+    def finalize_group(batch: pa.Table) -> pa.Table:
+        limit_worker_threads()
+        import pyarrow.dataset as pads
+
+        outs = []
+        for p in batch["part"].to_pylist():
+            pdir = os.path.join(meta_dir, f"part={int(p)}")
+            if not os.path.isdir(pdir):
+                continue
+            t = pads.dataset(pdir).to_table()
+            if t.num_rows == 0:
+                continue
+            # hive partitioning strips the 'part' column from the files;
+            # restore it for finalize_part
+            if "part" not in t.column_names:
+                t = t.append_column("part", pa.array([int(p)] * t.num_rows, type=pa.int32()))
+            outs.append(finalize(t))
+        if not outs:
+            return pa.schema(
+                [
+                    ("part", pa.int32()),
+                    ("rows", pa.int64()),
+                    ("input_rows", pa.int64()),
+                    ("deleted", pa.int64()),
+                    ("digest", pa.string()),
+                ]
+            ).empty_table()
+        return pa.concat_tables(outs)
+
+    return finalize_group
 
 
 def _ids_to_u64_pairs(doc_ids, shas) -> tuple[np.ndarray, np.ndarray]:
