@@ -277,15 +277,23 @@ def hex_prefix_u64(col) -> np.ndarray:
     if n == 0:
         return np.zeros(0, dtype=np.uint64)
     off_dt = np.int64 if pa.types.is_large_string(col.type) else np.int32
-    offs = np.frombuffer(col.buffers()[1], dtype=off_dt)[col.offset : col.offset + n]
+    offs = np.frombuffer(col.buffers()[1], dtype=off_dt)[col.offset : col.offset + n + 1]
     data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
-    idx = offs.astype(np.int64)[:, None] + np.arange(16, dtype=np.int64)[None, :]
-    b = data[idx].astype(np.uint64)
-    d = b - np.uint64(48) - (b >= np.uint64(97)) * np.uint64(39)  # '0'-'9', 'a'-'f'
-    val = np.zeros(n, dtype=np.uint64)
-    for i in range(16):
-        val = (val << np.uint64(4)) | d[:, i]
-    return val
+    lens = np.diff(offs)
+    if n and (lens == lens[0]).all():
+        # fixed-width digests (sha1=40 / sha256=64): zero-copy reshape
+        w = int(lens[0])
+        b = data[int(offs[0]) : int(offs[0]) + n * w].reshape(n, w)[:, :16]
+    else:
+        idx = offs[:-1].astype(np.int64)[:, None] + np.arange(16, dtype=np.int64)[None, :]
+        b = data[idx]
+    # all arithmetic in uint8 (values 0..15), then pack nibble pairs and
+    # view the 8 bytes per row as a big-endian u64 — ~10x less memory
+    # traffic than widening to uint64 first
+    d = b - np.uint8(48)
+    np.subtract(d, np.uint8(39), out=d, where=(b >= np.uint8(97)))  # 'a'-'f'
+    packed = np.ascontiguousarray((d[:, 0::2] << np.uint8(4)) | d[:, 1::2])
+    return packed.view(">u8").ravel().astype(np.uint64)
 
 
 def make_finalize_group(index_dir: str, cfg: IndexConfig, meta_dir: str):
