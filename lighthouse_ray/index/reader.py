@@ -56,18 +56,28 @@ class TermPostings:
         self.chunks = chunks
         self.df = int(sum(len(c.ords) for c in chunks))
         self.cf = int(sum(int(c.tfs.sum()) for c in chunks))
+        self._ords_cache: np.ndarray | None = None
+        self._tfs_cache: np.ndarray | None = None
 
     @property
     def ordinals(self) -> np.ndarray:
-        if len(self.chunks) == 1:
-            return self.chunks[0].ords
-        return np.concatenate([c.ords for c in self.chunks])
+        if self._ords_cache is None:
+            self._ords_cache = (
+                self.chunks[0].ords
+                if len(self.chunks) == 1
+                else np.concatenate([c.ords for c in self.chunks])
+            )
+        return self._ords_cache
 
     @property
     def tfs(self) -> np.ndarray:
-        if len(self.chunks) == 1:
-            return self.chunks[0].tfs
-        return np.concatenate([c.tfs for c in self.chunks])
+        if self._tfs_cache is None:
+            self._tfs_cache = (
+                self.chunks[0].tfs
+                if len(self.chunks) == 1
+                else np.concatenate([c.tfs for c in self.chunks])
+            )
+        return self._tfs_cache
 
     _pos_cache: tuple[np.ndarray, np.ndarray] | None = None
 

@@ -167,30 +167,42 @@ class Scorer:
         ``tps`` may be TermPostings or (ords, tfs, pos, off) union tuples."""
         out = DenseResult.empty(self.n)
         resolved = [_as_posarrays(tp) for tp in tps]
-        cand = resolved[0][0]
-        for ords, _tfs, _pos, _off in resolved[1:]:
-            cand = cand[np.isin(cand, ords)]
-        if len(cand) == 0:
-            return out
+        # rarest-first: both the doc intersection and the position chain
+        # process terms in ascending df, so the heavy work happens on the
+        # smallest possible candidate sets
+        order = np.argsort(np.asarray([len(r[0]) for r in resolved]), kind="stable")
+        cand = resolved[int(order[0])][0]
+        for j in order[1:]:
+            cand = cand[_in_sorted(cand, resolved[int(j)][0])]
+            if len(cand) == 0:
+                return out
         if slop == 0:
-            # fully vectorized: tag each position with its candidate-doc
-            # index in the high bits, then chain np.isin over flat arrays
-            gpos = []
-            for ords, _tfs, pos, off in resolved:
-                idx = np.searchsorted(ords, cand)
+            # vectorized doc-at-once chain: tag each position with its
+            # candidate-doc index in the high bits; arrays stay sorted
+            # (doc-major, positions increasing), so membership is binary
+            # search.  Later gathers touch only still-alive docs.
+            def gather(j: int, docsel: np.ndarray) -> np.ndarray:
+                ords, _tfs, pos, off = resolved[j]
+                idx = np.searchsorted(ords, cand[docsel])
                 starts = off[idx]
                 lens = off[idx + 1] - starts
                 total = int(lens.sum())
                 cum = np.zeros(len(lens), dtype=np.int64)
                 np.cumsum(lens[:-1], out=cum[1:])
                 flat_idx = np.arange(total, dtype=np.int64) + np.repeat(starts - cum, lens)
-                docrep = np.repeat(np.arange(len(cand), dtype=np.int64), lens)
-                gpos.append(pos[flat_idx].astype(np.int64) + (docrep << 32))
-            base = gpos[0]
-            for i in range(1, len(gpos)):
-                base = base[np.isin(base + i, gpos[i])]
+                docrep = np.repeat(docsel.astype(np.int64), lens)
+                return pos[flat_idx].astype(np.int64) + (docrep << 32)
+
+            alive = np.arange(len(cand), dtype=np.int64)
+            j0 = int(order[0])
+            base = gather(j0, alive) - j0  # normalize to term-0 offsets
+            for j in order[1:]:
+                j = int(j)
+                base = base[_in_sorted(base + j, gather(j, alive))]
                 if len(base) == 0:
                     return out
+                docs = base >> 32
+                alive = docs[np.flatnonzero(np.diff(docs, prepend=-1))]
             freqs = np.bincount(base >> 32, minlength=len(cand)).astype(np.float64)
         else:
             slices: list[list[np.ndarray]] = []
@@ -252,6 +264,16 @@ class Scorer:
         sigma2 = -(scale_s**2) / (2.0 * math.log(decay))
         d = np.maximum(0.0, np.abs(ts.astype(np.float64) - origin) - offset_s)
         return weight * np.exp(-(d**2) / (2.0 * sigma2))
+
+
+def _in_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Membership mask of ``a`` in SORTED array ``b`` via binary search
+    (no per-call sort, unlike np.isin)."""
+    if len(b) == 0:
+        return np.zeros(len(a), dtype=bool)
+    idx = np.searchsorted(b, a)
+    idx[idx == len(b)] = len(b) - 1
+    return b[idx] == a
 
 
 def _as_posarrays(tp):
