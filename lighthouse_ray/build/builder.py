@@ -28,9 +28,9 @@ from dataclasses import dataclass
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
-from ray.data.aggregate import Sum
 
 from ..analysis import flat_tokens
 from ..config import FIELDS, IndexConfig
@@ -172,20 +172,19 @@ def build_index(
                 keep = lookup_ordinals(ord_map, t["doc_id"], t["content_sha256"]) >= 0
                 return t.filter(pa.array(keep))
 
-            if sample_bytes < 256 << 20:
-                # small sample: one driver-side pyarrow pass beats a Ray
+            if sample_bytes < 4 << 20:
+                # tiny sample: one driver-side pyarrow pass beats a Ray
                 # job's scheduling barrier
                 t = live_only(
                     pads.dataset(sample_dir).to_table(
                         columns=["doc_id", "content_sha256", "content"]
                     )
                 )
-                agg = _sample_df_partial(t)
-                tot: dict[str, int] = {}
-                for term, cnt in zip(agg["term"].to_pylist(), agg["n"].to_pylist()):
-                    tot[term] = tot.get(term, 0) + cnt
-                hot = [t_ for t_, c in tot.items() if c >= thresh]
+                partials = [_sample_df_partial(t, limit_threads=False)]
             else:
+                # distribute the sample tokenize; only the per-batch
+                # partial (term, n) counts come back — the final sum is a
+                # tiny driver-side group_by, no Ray groupby barrier
                 import ray as _ray
 
                 map_ref = _ray.put(ord_map)
@@ -195,11 +194,21 @@ def build_index(
                     keep = lookup_ordinals(m, t["doc_id"], t["content_sha256"]) >= 0
                     return _sample_df_partial(t.filter(pa.array(keep)))
 
-                sample = rd.read_parquet(
-                    sample_dir, columns=["doc_id", "content_sha256", "content"]
-                ).map_batches(live_partial, batch_format="pyarrow")
-                agg = sample.groupby("term").aggregate(Sum("n", alias_name="n_docs"))
-                hot = [r["term"] for r in agg.take_all() if r["n_docs"] >= thresh]
+                nb_s = max(int(_ray.cluster_resources().get("CPU", 4)) * 2, 8)
+                partials = list(
+                    rd.read_parquet(
+                        sample_dir,
+                        columns=["doc_id", "content_sha256", "content"],
+                        override_num_blocks=nb_s,
+                    )
+                    .map_batches(live_partial, batch_format="pyarrow")
+                    .iter_batches(batch_size=None, batch_format="pyarrow")
+                )
+            partials = [p for p in partials if p.num_rows]
+            if partials:
+                agg = pa.concat_tables(partials).group_by("term").aggregate([("n", "sum")])
+                keep = pc.greater_equal(agg["n_sum"], int(np.ceil(thresh)))
+                hot = agg.filter(keep)["term"].to_pylist()
         stages["hot_terms"] = {"sec": round(time.time() - t0, 3), "terms": sorted(hot), "threshold": thresh}
         atomic_write_json(_manifest_path(index_dir), manifest)
     hot_terms = stages["hot_terms"]["terms"]
@@ -368,10 +377,13 @@ def build_index(
     return BuildResult(index_dir=index_dir, n_docs=n_docs, n_postings=n_postings, manifest=manifest)
 
 
-def _sample_df_partial(batch: pa.Table) -> pa.Table:
+def _sample_df_partial(batch: pa.Table, limit_threads: bool = True) -> pa.Table:
     """Per-batch partial df counts over the pre-spilled doc sample
-    (1/df_sample_mod by doc_id hash, written during stage A)."""
-    limit_worker_threads()
+    (1/df_sample_mod by doc_id hash, written during stage A).
+    ``limit_threads=False`` on the driver-side path — clamping there
+    would cap the driver's Arrow pool for the whole process."""
+    if limit_threads:
+        limit_worker_threads()
     keep = batch
     if keep.num_rows == 0:
         return pa.table({"term": pa.array([], type=pa.string()), "n": pa.array([], type=pa.int64())})
