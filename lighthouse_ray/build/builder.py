@@ -36,7 +36,7 @@ from ..analysis import flat_tokens
 from ..config import FIELDS, IndexConfig
 from ..util import atomic_write_json, limit_worker_threads, read_json
 from .docs import derive_batch, make_finalize_part, part_offsets
-from .postings import TokenizerStage, make_merge_shard
+from .postings import make_merge_shard
 
 
 @dataclass
@@ -217,69 +217,96 @@ def build_index(
     postings_dir = os.path.join(index_dir, "postings")
     if "postings" not in stages:
         t0 = time.time()
-        shutil.rmtree(postings_dir, ignore_errors=True)
         import ray as _ray
 
-        ord_map_ref = _ray.put(ord_map)
+        # per-FILE resume: completed payload files are recorded in
+        # postings_progress as their spill rows arrive; a killed build
+        # re-runs only the missing ones (spill writes content-addressed,
+        # so re-running a half-finished file is idempotent)
+        progress: dict = manifest.get("postings_progress", {}) if resume else {}
+        if not progress:
+            shutil.rmtree(postings_dir, ignore_errors=True)
+        files = sorted(f for f in os.listdir(payload_dir) if f.endswith(".parquet"))
+        todo = [f for f in files if f not in progress]
 
-        # payload read in file order — content is never shuffled; force
-        # enough blocks that the actor pool is never capped by file count
-        n_cpus = int(_ray.cluster_resources().get("CPU", 4))
-        payload = rd.read_parquet(
-            payload_dir,
-            columns=["doc_id", "content_sha256", "repo", "path", "name", "content"],
-            override_num_blocks=max(n_cpus * 4, len(os.listdir(payload_dir))),
-        )
-        stage_kwargs = {
-            "ord_map_ref": ord_map_ref,
-            "hot_terms": hot_terms,
-            "cfg_json": cfg.to_json(),
-            "spill_dir": postings_dir,
-        }
-        if cfg.tokenize_actor_pool:
-            # autoscaling actor pool: ramps with backlog, so small builds
-            # don't pay the spawn cost of a full-width pool
-            concurrency = cfg.tokenize_concurrency or (
-                1,
-                max(2, int(_ray.cluster_resources().get("CPU", 4)) - 1),
-            )
-            postings = payload.map_batches(
-                TokenizerStage,
-                fn_constructor_kwargs=stage_kwargs,
-                batch_format="pyarrow",
-                batch_size=cfg.tokenize_batch_size,
-                concurrency=concurrency,
-            )
-        else:
-            # default: plain tasks on prewarmed workers, stage state memoized
-            # per worker (postings.tokenize_batch_task) — full width from the
-            # first batch, no pool ramp
-            from .postings import tokenize_batch_task
+        if todo:
+            ord_map_ref = _ray.put(ord_map)
+            stage_kwargs = {
+                "payload_dir": payload_dir,
+                "ord_map_ref": ord_map_ref,
+                "hot_terms": hot_terms,
+                "cfg_json": cfg.to_json(),
+                "spill_dir": postings_dir,
+            }
+            from .postings import TokenizerFileStage, tokenize_file_task
 
-            postings = payload.map_batches(
-                tokenize_batch_task,
-                fn_kwargs=stage_kwargs,
-                batch_format="pyarrow",
-                batch_size=cfg.tokenize_batch_size,
-            )
-        # the tokenize tasks spill postings map-side into per-group lz4
-        # files (the shuffle-input + resume checkpoint); the stage output
-        # is only the tiny spill manifest (lineage: per-file rows/bytes/
-        # sha256 per group)
-        spill_rows = postings.take_all()
-        per_grp: dict[str, dict] = {}
-        for r in spill_rows:
-            g = per_grp.setdefault(str(int(r["grp"])), {"files": 0, "rows": 0, "bytes": 0})
-            g["files"] += 1
-            g["rows"] += int(r["rows"])
-            g["bytes"] += int(r["bytes"])
+            items = rd.from_items([{"file": f} for f in todo], override_num_blocks=len(todo))
+            if cfg.tokenize_actor_pool:
+                concurrency = cfg.tokenize_concurrency or (
+                    1,
+                    max(2, int(_ray.cluster_resources().get("CPU", 4)) - 1),
+                )
+                mapped = items.map_batches(
+                    TokenizerFileStage,
+                    fn_constructor_kwargs=stage_kwargs,
+                    batch_format="pyarrow",
+                    batch_size=None,
+                    concurrency=concurrency,
+                )
+            else:
+                # default: plain tasks on prewarmed workers, stage state
+                # memoized per worker — full width instantly, no pool ramp
+                mapped = items.map_batches(
+                    tokenize_file_task,
+                    fn_kwargs=stage_kwargs,
+                    batch_format="pyarrow",
+                    batch_size=None,
+                )
+            stream = mapped.iter_batches(batch_size=None, batch_format="pyarrow")
+            pending = 0
+            manifest["postings_progress"] = progress
+            try:
+                for b in stream:
+                    for src, grp, rows_, bytes_, sha in zip(
+                        b["src"].to_pylist(),
+                        b["grp"].to_pylist(),
+                        b["rows"].to_pylist(),
+                        b["bytes"].to_pylist(),
+                        b["sha256"].to_pylist(),
+                    ):
+                        e = progress.setdefault(src, {"rows": 0, "bytes": 0, "spills": []})
+                        if sha:
+                            e["rows"] += int(rows_)
+                            e["bytes"] += int(bytes_)
+                            e["spills"].append([int(grp), sha])
+                    pending += 1
+                    if pending >= 8:  # amortize manifest writes under many tiny files
+                        atomic_write_json(_manifest_path(index_dir), manifest)
+                        pending = 0
+            finally:
+                # persist whatever completed before a crash — that is the
+                # resume point
+                atomic_write_json(_manifest_path(index_dir), manifest)
+            missing = [f for f in todo if f not in progress]
+            if missing:
+                raise RuntimeError(
+                    f"stage B incomplete: {len(missing)} payload files unprocessed "
+                    "(re-run with resume=True)"
+                )
+
+        per_file_digest = hashlib.sha256(
+            "".join(
+                s for f in sorted(progress) for _g, s in sorted(progress[f]["spills"])
+            ).encode()
+        ).hexdigest()
         stages["postings"] = {
             "sec": round(time.time() - t0, 3),
-            "groups": {k: per_grp[k] for k in sorted(per_grp, key=int)},
-            "digest": hashlib.sha256(
-                "".join(sorted(r["sha256"] for r in spill_rows)).encode()
-            ).hexdigest(),
+            "files": len(files),
+            "rows": int(sum(e["rows"] for e in progress.values())),
+            "bytes": int(sum(e["bytes"] for e in progress.values())),
+            "digest": per_file_digest,
         }
+        manifest.pop("postings_progress", None)
         atomic_write_json(_manifest_path(index_dir), manifest)
 
     # ---- Stage D: segments + doclens (the exchange reduce) -------------------

@@ -296,6 +296,86 @@ def tokenize_batch_task(
     return st(batch)
 
 
+SPILL_ROW_SCHEMA = pa.schema(
+    [
+        ("src", pa.string()),
+        ("grp", pa.int32()),
+        ("file", pa.string()),
+        ("rows", pa.int64()),
+        ("bytes", pa.int64()),
+        ("sha256", pa.string()),
+    ]
+)
+
+
+def tokenize_file_task(
+    batch: pa.Table, *, payload_dir, ord_map_ref, hot_terms, cfg_json, spill_dir
+) -> pa.Table:
+    """Stage B unit of work and of RESUME: one payload file per task.
+    Reads the file directly (no object-store pass), tokenizes it in
+    slices of tokenize_batch_size, spills per-group posting files, and
+    returns the spill-manifest rows tagged with the source file — the
+    builder records completed source files incrementally, so a killed
+    build re-runs only unfinished files (spill writes are
+    content-addressed, hence idempotent)."""
+    hex_fn = getattr(ord_map_ref, "hex", None)
+    key = (hex_fn() if hex_fn else str(id(ord_map_ref))) + str(spill_dir)
+    st = _TASK_STAGE.get(key)
+    if st is None:
+        _TASK_STAGE.clear()
+        st = TokenizerStage(
+            ord_map_ref=ord_map_ref, hot_terms=hot_terms, cfg_json=cfg_json, spill_dir=spill_dir
+        )
+        _TASK_STAGE[key] = st
+    fail = set(st.cfg.extra.get("fail_files", ()))
+    outs = []
+    for fname in batch["file"].to_pylist():
+        if fname in fail:  # test-only fault injection (kill-mid-stage tests)
+            import time as _time
+
+            _time.sleep(1.0)  # let concurrent tasks complete and stream back
+            raise RuntimeError(f"injected failure at {fname}")
+        t = pq.read_table(
+            os.path.join(payload_dir, fname),
+            columns=["doc_id", "content_sha256", "repo", "path", "name", "content"],
+        )
+        bs = st.cfg.tokenize_batch_size
+        for s in range(0, t.num_rows, bs):
+            rows = st(t.slice(s, bs))
+            if rows.num_rows:
+                outs.append(
+                    rows.add_column(0, "src", pa.array([fname] * rows.num_rows, type=pa.string()))
+                )
+        if not outs or outs[-1]["src"][-1].as_py() != fname:
+            # file produced no postings: still record completion
+            outs.append(
+                pa.table(
+                    {
+                        "src": pa.array([fname], type=pa.string()),
+                        "grp": pa.array([-1], type=pa.int32()),
+                        "file": pa.array([""], type=pa.string()),
+                        "rows": pa.array([0], type=pa.int64()),
+                        "bytes": pa.array([0], type=pa.int64()),
+                        "sha256": pa.array([""], type=pa.string()),
+                    }
+                )
+            )
+    if not outs:
+        return SPILL_ROW_SCHEMA.empty_table()
+    return pa.concat_tables(outs).cast(SPILL_ROW_SCHEMA)
+
+
+class TokenizerFileStage:
+    """Actor-pool variant of tokenize_file_task (cfg.tokenize_actor_pool):
+    same per-file unit of work, state held by the actor."""
+
+    def __init__(self, **kw):
+        self._kw = kw
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return tokenize_file_task(batch, **self._kw)
+
+
 # ---------------------------------------------------------------------------
 # Stage D: shard merge
 # ---------------------------------------------------------------------------

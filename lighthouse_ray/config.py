@@ -92,6 +92,7 @@ class IndexConfig:
             "num_shard_groups": self.num_shard_groups,
             "route_deletes": self.route_deletes,
             "now_ts": self.now_ts,
+            "extra": self.extra,
         }
 
     @classmethod

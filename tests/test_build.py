@@ -226,3 +226,45 @@ def test_exchange_conformance_spill_vs_groupby(ray_session, built, tmp_path):
     assert set(a) == set(b)
     for k in a:
         assert a[k]["sha256"] == b[k]["sha256"], f"shard {k} differs between exchanges"
+
+
+def test_resume_mid_tokenize(ray_session, built, tmp_path):
+    """Kill stage B partway (injected per-file fault) -> resume re-runs
+    only unfinished payload files and converges to the clean build."""
+    import ray.data as rd
+
+    from lighthouse_ray.build import build_index
+
+    idx, res = built
+    tbl = gen_corpus(N_DOCS)
+    idx5 = str(tmp_path / "index5")
+
+    def src():
+        # several blocks -> several payload files, so per-file resume has
+        # granularity to exercise (file names are batch-content-addressed,
+        # so the same layout yields the same names across builds)
+        return rd.from_arrow(tbl).repartition(6)
+
+    # first attempt: fail on a couple of payload files mid-stage-B
+    cfg_fail = IndexConfig(**CFG.to_json())
+    probe = str(tmp_path / "probe")
+    build_index(src(), probe, IndexConfig(**CFG.to_json()))
+    payload_files = sorted(
+        f for f in os.listdir(os.path.join(probe, "payload")) if f.endswith(".parquet")
+    )
+    assert len(payload_files) >= 4
+    cfg_fail.extra = {"fail_files": payload_files[-2:]}
+    with pytest.raises(Exception):
+        build_index(src(), idx5, cfg_fail)
+    man = json.load(open(os.path.join(idx5, "manifest.json")))
+    assert "postings" not in man["stages"]
+    done_before = set(man.get("postings_progress", {}))
+    assert done_before  # some files completed before the injected failure
+
+    # resume without the fault: only missing files re-run, build completes
+    res5 = build_index(src(), idx5, IndexConfig(**CFG.to_json()), resume=True)
+    a = res.manifest["stages"]["segments"]["shards"]
+    b = res5.manifest["stages"]["segments"]["shards"]
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k]["sha256"] == b[k]["sha256"], f"shard {k} differs after resume"
