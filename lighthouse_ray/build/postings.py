@@ -99,6 +99,13 @@ class TokenizerStage:
         return s
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        out = self.postings_table(batch)
+        if self.spill_dir is None:
+            return out
+        return self._spill(out)
+
+    def postings_table(self, batch: pa.Table) -> pa.Table:
+        """Flat posting rows for one batch (no spill)."""
         from .docs import lookup_ordinals
 
         ordinals = lookup_ordinals(self.ord_map, batch["doc_id"], batch["content_sha256"])
@@ -108,10 +115,7 @@ class TokenizerStage:
             ordinals = ordinals[keep]
         pieces = [self._field_postings(batch, f, ordinals) for f in FIELDS]
         pieces.append(self._doclen_rows(pieces))
-        out = pa.concat_tables([p for p in pieces if p is not None])
-        if self.spill_dir is None:
-            return out
-        return self._spill(out)
+        return pa.concat_tables([p for p in pieces if p is not None])
 
     def _spill(self, t: pa.Table) -> pa.Table:
         """Map-side exchange: split this batch's postings by shard group
@@ -340,8 +344,14 @@ def tokenize_file_task(
             columns=["doc_id", "content_sha256", "repo", "path", "name", "content"],
         )
         bs = st.cfg.tokenize_batch_size
-        for s in range(0, t.num_rows, bs):
-            rows = st(t.slice(s, bs))
+        # tokenize in batch-size slices (bounds the working set for
+        # MB-scale payloads) but spill ONCE per (file, group) — one file
+        # per group per task keeps spill-file counts linear in payload
+        # files, not in batches
+        parts = [st.postings_table(t.slice(s, bs)) for s in range(0, t.num_rows, bs)]
+        parts = [p for p in parts if p.num_rows]
+        if parts:
+            rows = st._spill(pa.concat_tables(parts))
             if rows.num_rows:
                 outs.append(
                     rows.add_column(0, "src", pa.array([fname] * rows.num_rows, type=pa.string()))
