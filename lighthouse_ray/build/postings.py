@@ -122,7 +122,7 @@ class TokenizerStage:
         and write one content-addressed lz4 parquet per non-empty group
         (idempotent under task retries: file name = hash of bytes).
         Returns the spill-manifest rows (lineage for the build manifest)."""
-        G = self.cfg.num_shard_groups
+        G = self.cfg.shard_groups
         shard = t["shard"].to_numpy(zero_copy_only=False)
         grp = shard_group(shard, G)
         order = np.argsort(grp, kind="stable")

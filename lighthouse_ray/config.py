@@ -54,11 +54,17 @@ class IndexConfig:
     # groups (grp = shard mod G, negatives wrapped); the tokenize stage
     # spills each batch's postings into per-group files and the merge
     # runs one task per group — an explicit disk-partitioned shuffle
-    # with no all-to-all object-store sort.  Set
-    # extra={"exchange": "groupby"} to use the classic
+    # with no all-to-all object-store sort.  None (default) resolves to
+    # num_term_shards (one group per shard: best reduce balance); set
+    # lower to bound spill-file counts when payload files x shards is
+    # large.  Set extra={"exchange": "groupby"} to use the classic
     # read -> groupby(shard) -> map_groups path instead (conformance-
     # tested to produce byte-identical segments).
-    num_shard_groups: int = 64
+    num_shard_groups: int | None = None
+
+    @property
+    def shard_groups(self) -> int:
+        return self.num_shard_groups or self.num_term_shards
 
     # execution sizing
     tokenize_batch_size: int = 1024  # docs per tokenize batch (drop for MB-scale payloads)
