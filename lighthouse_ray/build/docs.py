@@ -158,7 +158,7 @@ def derive_batch(
         }
     )
     sink = pa.BufferOutputStream()
-    pq.write_table(payload, sink, compression="lz4")
+    pq.write_table(payload, sink, compression="zstd", compression_level=1)
     atomic_write_bytes(os.path.join(payload_dir, fname), sink.getvalue().to_pybytes())
 
     # deterministic 1/df_sample_mod content sample, spilled alongside so the
@@ -168,7 +168,7 @@ def derive_batch(
     if sample_mask.any():
         sample = payload.filter(pa.array(sample_mask)).select(["doc_id", "content_sha256", "content"])
         sink2 = pa.BufferOutputStream()
-        pq.write_table(sample, sink2, compression="lz4")
+        pq.write_table(sample, sink2, compression="zstd", compression_level=1)
         atomic_write_bytes(
             os.path.join(payload_dir + "_dfsample", fname), sink2.getvalue().to_pybytes()
         )
@@ -197,7 +197,7 @@ def derive_batch(
             p = int(part_s[s])
             sub = ts.slice(s, e - s).combine_chunks()
             sink3 = pa.BufferOutputStream()
-            pq.write_table(sub, sink3, compression="lz4")
+            pq.write_table(sub, sink3, compression="zstd", compression_level=1)
             data = sink3.getvalue().to_pybytes()
             digest = hashlib.sha256(data).hexdigest()
             pfname = f"{digest[:24]}.parquet"

@@ -119,7 +119,7 @@ class TokenizerStage:
 
     def _spill(self, t: pa.Table) -> pa.Table:
         """Map-side exchange: split this batch's postings by shard group
-        and write one content-addressed lz4 parquet per non-empty group
+        and write one content-addressed zstd-1 parquet per non-empty group
         (idempotent under task retries: file name = hash of bytes).
         Returns the spill-manifest rows (lineage for the build manifest)."""
         G = self.cfg.shard_groups
@@ -140,7 +140,7 @@ class TokenizerStage:
                 g = int(grp_s[s])
                 sub = ts.slice(s, e - s).combine_chunks()
                 sink = pa.BufferOutputStream()
-                pq.write_table(sub, sink, compression="lz4")
+                pq.write_table(sub, sink, compression="zstd", compression_level=1)
                 data = sink.getvalue().to_pybytes()
                 digest = hashlib.sha256(data).hexdigest()
                 fname = f"{digest[:24]}.parquet"
