@@ -1,19 +1,27 @@
 """Index build orchestration: the end-to-end Ray Data pipeline.
 
 Stages (SURVEY.md §7.1), each checkpointed in ``manifest.json`` so a
-killed build resumes from the last completed stage (segments resume
-per-shard — the mid-shuffle resume of fixture x02):
+killed build resumes from its last completed unit (fixture x02):
 
-  A. docstore  — derive identity/doc-values → groupby(part) →
-                 dedup/delete-route/rank → per-part parquet + lineage
-  H. hot terms — deterministic 1/df_sample_mod doc sample → df estimate
-                 → hot set (salting decisions, data- not
-                 parallelism-dependent)
-  B. postings  — TokenizerStage actor pool → flat posting rows parquet
-                 (the SPIMI spill / shuffle input checkpoint)
-  C. stats     — doclen rows (shard == -1) → avgdl per field
-  D. segments  — groupby(shard).map_groups(merge) → compressed segment
-                 parquet per shard (skips shards already in manifest)
+  A. docstore  — derive identity/doc-values, spill content to payload
+                 files and ~150 B/row metadata to per-part files
+                 (map-side partitioned exchange) → one finalize task per
+                 part: dedup/delete-route/rank → per-part parquet +
+                 lineage digests
+  H. hot terms — deterministic 1/df_sample_mod doc sample → distributed
+                 partial df counts → hot set (salting decisions, data-
+                 not parallelism-dependent)
+  B. postings  — tokenize tasks (one payload FILE each — the resume
+                 unit) spill posting rows into per-shard-group zstd
+                 files; completed files checkpoint incrementally as
+                 their spill-manifest rows stream back
+  C. stats     — doclen rows (negative shards) → avgdl per field,
+                 merged in the same exchange as the postings
+  D. segments  — one merge task per shard group → compressed block-max
+                 segment parquet per shard (skips shards already in the
+                 manifest); no all-to-all shuffle anywhere — the
+                 classic groupby(shard) path stays behind
+                 cfg.extra={"exchange": "groupby"}, conformance-tested
 
 The caller owns the Ray session; this module never calls ray.init.
 """

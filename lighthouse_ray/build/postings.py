@@ -1,23 +1,33 @@
-"""Posting construction: tokenize stage, term sharding, shuffle-merge.
+"""Posting construction: tokenize stage, term sharding, spill exchange, merge.
 
 Stage B (SPIMI analog of the reference's ES bulk indexing,
 app/jobs/chainquery/chainquery.go:94 + ES-internal analysis): a
-stateful ``map_batches`` actor tokenizes each doc-store batch into flat
-posting rows ``(field, term, ordinal, tf, pos_blob, shard)``.  Every
-per-batch step is vectorized (pyarrow RE2 kernels + numpy); positions
-are delta+varbyte encoded per (doc, term) already at this stage, so the
-merge step just concatenates blobs.
+stateful tokenize stage (per-worker memoized state on plain tasks by
+default; actor pool optional) turns each payload file into flat posting
+rows ``(field, term, ordinal, tf, pos_blob, shard)`` and spills them
+map-side into one content-addressed zstd-1 parquet per shard GROUP
+(``grp = shard mod cfg.shard_groups``) — the explicit, disk-partitioned
+half of the exchange.  Every per-batch step is vectorized (pyarrow RE2
+kernels + numpy); positions are delta+varbyte encoded per (doc, term)
+already at this stage, so the merge just concatenates blobs.  The unit
+of work and of RESUME is one payload file (spill rows stream back to
+the builder, which checkpoints completed files incrementally).
 
 Doc-length rows ride along in the same output with ``term=''`` (the
 empty term can never be produced by the tokenizer) and ``shard=-1`` —
 a document's content lives in exactly one input row, so its doclen is
 exact per batch, and no extra tokenize or shuffle pass is needed.
 
-Stage D: ``groupby('shard').map_groups(merge_shard)`` sorts each
-shard's rows by (field, term, ordinal), run-length-groups them into per
--term posting lists, delta+varbyte-compresses ordinals/tfs, builds
-block-max metadata (last ordinal + max tf per 128-posting block), and
-writes one atomic parquet segment per shard.
+Stage D (the reduce half): one task per shard group reads its own
+spill files, slices them into per-shard runs, sorts each shard by
+(field, term, ordinal) via integer lexsort over dictionary ranks,
+run-length-groups rows into per-term posting lists, delta+varbyte-
+compresses ordinals/tfs, builds block-max metadata (last ordinal + max
+tf per 128-posting block), and writes one atomic parquet segment per
+shard.  No all-to-all shuffle exists in the build; the classic
+``groupby('shard').map_groups(merge_shard)`` path is kept under
+``cfg.extra={"exchange": "groupby"}`` and conformance-tested to emit
+byte-identical segments.
 
 Hot-term skew (SURVEY.md §4): terms whose sampled df exceeds
 ``hot_df_ratio * N`` are salted — their postings are split by ordinal
