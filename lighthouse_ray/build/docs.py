@@ -1,7 +1,8 @@
 """Document identity, derived fields, doc-values, ordinals, doc-store.
 
 Pipeline stage A (SURVEY.md §7.1): ``read_parquet(corpus)`` →
-``map_batches(derive)`` → ``groupby(part).map_groups(finalize_part)``.
+``map_batches(derive)`` spilling payload + per-part metadata map-side →
+one ``finalize_part`` task per partition over its own spill files.
 
 - doc identity: ``doc_id = sha1(repo \\0 path \\0 commit)`` (the claimId
   analog, reference app/model/claim.go:24,143); logical upsert key is

@@ -72,8 +72,9 @@ POSTINGS_SCHEMA = pa.schema(
 
 
 class TokenizerStage:
-    """Actor-pool tokenize stage: state (ordinal map, hot set, salt memo)
-    built once per actor in ``__init__``, per-batch work in ``__call__``.
+    """Tokenize stage state: ordinal map, hot set, salt memos — built
+    once per worker (task path memoizes via ``_TASK_STAGE``; actor path
+    builds in ``__init__``), per-batch work in ``__call__``.
 
     Consumes payload files in their own order (content never shuffled);
     the doc_id -> ordinal map is broadcast via ``ray.put`` (sandbox

@@ -268,3 +268,23 @@ def test_resume_mid_tokenize(ray_session, built, tmp_path):
     assert set(a) == set(b)
     for k in a:
         assert a[k]["sha256"] == b[k]["sha256"], f"shard {k} differs after resume"
+
+
+def test_actor_pool_tokenize_conformance(ray_session, built, tmp_path):
+    """cfg.tokenize_actor_pool=True (ActorPool stage) must produce
+    byte-identical segments to the default task path."""
+    import ray.data as rd
+
+    from lighthouse_ray.build import build_index
+
+    idx, res = built
+    cfg6 = IndexConfig(**CFG.to_json())
+    cfg6.tokenize_actor_pool = True
+    cfg6.tokenize_concurrency = 2
+    idx6 = str(tmp_path / "index6")
+    res6 = build_index(rd.from_arrow(gen_corpus(N_DOCS)), idx6, cfg6)
+    a = res.manifest["stages"]["segments"]["shards"]
+    b = res6.manifest["stages"]["segments"]["shards"]
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k]["sha256"] == b[k]["sha256"], f"shard {k} differs (actor pool)"
