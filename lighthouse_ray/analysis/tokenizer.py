@@ -95,21 +95,82 @@ def flat_tokens(
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     n_rows = len(arr)
+    if n_rows == 0:
+        return (
+            np.zeros(0, dtype=np.int64),
+            np.zeros(0, dtype=np.int64),
+            pa.array([], type=pa.string()),
+            0,
+        )
     norm = normalize_array(arr)
-    toks = pc.split_pattern_regex(norm, pattern=TOKEN_SPLIT)
-    flat = pc.list_flatten(toks)
-    parents_all = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-    mask = pc.not_equal(flat, "")
-    keep = mask.to_numpy(zero_copy_only=False).astype(bool)
-    terms = flat.filter(mask)
-    parents = parents_all[keep].astype(np.int64, copy=False)
+    if norm.null_count:
+        norm = pc.fill_null(norm, "")
+    # After camel-split + lowercase, a token is exactly a maximal run of
+    # bytes in [a-z0-9]; every other byte — including every byte of a
+    # multi-byte UTF-8 char — is a separator, byte-for-byte identical to
+    # re.split(r"[^a-z0-9]+") on the str.  Boundary detection is pure
+    # numpy over the UTF-8 buffer: ~4x faster than the RE2 split kernel
+    # and with no empty-token churn.
+    off_dt = np.int64 if pa.types.is_large_string(norm.type) else np.int32
+    offs_all = np.frombuffer(norm.buffers()[1], dtype=off_dt)[
+        norm.offset : norm.offset + n_rows + 1
+    ].astype(np.int64)
+    base = int(offs_all[0])
+    d = np.frombuffer(norm.buffers()[2], dtype=np.uint8)[base : int(offs_all[-1])]
+    offs = offs_all - base
+    m = len(d)
+    if m == 0:
+        return (
+            np.zeros(0, dtype=np.int64),
+            np.zeros(0, dtype=np.int64),
+            pa.array([], type=pa.string()),
+            n_rows,
+        )
+    alnum = ((d >= 48) & (d <= 57)) | ((d >= 97) & (d <= 122))
+    prevf = np.empty(m, dtype=bool)
+    prevf[0] = False
+    prevf[1:] = alnum[:-1]
+    nxtf = np.empty(m, dtype=bool)
+    nxtf[-1] = False
+    nxtf[:-1] = alnum[1:]
+    # force token breaks at row boundaries (rows are contiguous in the buffer)
+    rs = offs[1:-1]  # start byte of each row after the first
+    rs_in = rs[(rs > 0) & (rs < m)]
+    prevf[rs_in] = False
+    nxtf[rs_in - 1] = False
+    starts_b = np.flatnonzero(alnum & ~prevf)
+    ends_b = np.flatnonzero(alnum & ~nxtf)  # inclusive
+    lens = ends_b - starts_b + 1
+    ntok = len(starts_b)
+    if ntok == 0:
+        return (
+            np.zeros(0, dtype=np.int64),
+            np.zeros(0, dtype=np.int64),
+            pa.array([], type=pa.string()),
+            n_rows,
+        )
+    parents = np.searchsorted(offs, starts_b, side="right") - 1
     # positions: running index within each parent (parents is non-decreasing)
-    if len(parents):
-        uniq, starts, counts = np.unique(parents, return_index=True, return_counts=True)
-        pos = np.arange(len(parents), dtype=np.int64) - np.repeat(starts, counts)
-    else:
-        pos = np.zeros(0, dtype=np.int64)
-    return parents, pos, terms, n_rows
+    change = np.empty(ntok, dtype=bool)
+    change[0] = True
+    np.not_equal(parents[1:], parents[:-1], out=change[1:])
+    pstarts = np.flatnonzero(change)
+    pcounts = np.diff(np.append(pstarts, ntok))
+    pos = np.arange(ntok, dtype=np.int64) - np.repeat(pstarts, pcounts)
+    # gather token bytes into a fresh contiguous buffer
+    total = int(lens.sum())
+    cum = np.zeros(ntok, dtype=np.int64)
+    np.cumsum(lens[:-1], out=cum[1:])
+    flat_idx = np.arange(total, dtype=np.int64) + np.repeat(starts_b - cum, lens)
+    tok_bytes = d[flat_idx]
+    tok_offs = np.zeros(ntok + 1, dtype=np.int32)
+    tok_offs[1:] = np.cumsum(lens).astype(np.int32)
+    terms = pa.Array.from_buffers(
+        pa.utf8(),
+        ntok,
+        [None, pa.py_buffer(tok_offs.tobytes()), pa.py_buffer(tok_bytes.tobytes())],
+    )
+    return parents.astype(np.int64, copy=False), pos, terms, n_rows
 
 
 # ---------------------------------------------------------------------------
