@@ -66,3 +66,45 @@ def test_null_handling():
     assert lists[0] == ["a", "b"]
     assert lists[2] == ["c"]
     assert lists[1] in (None, [])
+
+
+# ---------------------------------------------------------------------------
+# Property-based parity: the byte-wise Arrow path vs the Python reference
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_alphabet = st.sampled_from(
+    list("abcXYZ019_-./ \t\n")
+    + ["é", "Ü", "ß", "中", "🙂", "́", "\x00", "\x7f"]
+)
+_texts = st.lists(st.text(alphabet=_alphabet, max_size=40), min_size=0, max_size=8)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_texts)
+def test_flat_tokens_fuzz_parity(texts):
+    arr = pa.array(texts, type=pa.string())
+    parents, pos, terms, n = flat_tokens(arr)
+    assert n == len(texts)
+    terms_py = terms.to_pylist()
+    for i, text in enumerate(texts):
+        idx = np.flatnonzero(parents == i)
+        got = [terms_py[int(j)] for j in idx]
+        assert got == tokenize_text(text), (i, text)
+        assert pos[idx].tolist() == list(range(len(got)))
+
+
+@settings(max_examples=50, deadline=None)
+@given(_texts)
+def test_flat_tokens_sliced_input(texts):
+    """Offsets handling: a sliced array must tokenize like a fresh copy."""
+    pad = ["PADDING camelCase"] * 2
+    arr = pa.array(pad + texts + pad, type=pa.string()).slice(2, len(texts))
+    parents, pos, terms, n = flat_tokens(arr)
+    assert n == len(texts)
+    terms_py = terms.to_pylist()
+    for i, text in enumerate(texts):
+        idx = np.flatnonzero(parents == i)
+        assert [terms_py[int(j)] for j in idx] == tokenize_text(text)
