@@ -157,12 +157,9 @@ def flat_tokens(
     pstarts = np.flatnonzero(change)
     pcounts = np.diff(np.append(pstarts, ntok))
     pos = np.arange(ntok, dtype=np.int64) - np.repeat(pstarts, pcounts)
-    # gather token bytes into a fresh contiguous buffer
-    total = int(lens.sum())
-    cum = np.zeros(ntok, dtype=np.int64)
-    np.cumsum(lens[:-1], out=cum[1:])
-    flat_idx = np.arange(total, dtype=np.int64) + np.repeat(starts_b - cum, lens)
-    tok_bytes = d[flat_idx]
+    # token bytes: every alnum byte belongs to exactly one token, in
+    # order — the concatenated token buffer is just the alnum mask copy
+    tok_bytes = d[alnum]
     tok_offs = np.zeros(ntok + 1, dtype=np.int32)
     tok_offs[1:] = np.cumsum(lens).astype(np.int32)
     terms = pa.Array.from_buffers(
