@@ -102,21 +102,26 @@ def flat_tokens(
             pa.array([], type=pa.string()),
             0,
         )
-    norm = normalize_array(arr)
-    if norm.null_count:
-        norm = pc.fill_null(norm, "")
-    # After camel-split + lowercase, a token is exactly a maximal run of
-    # bytes in [a-z0-9]; every other byte — including every byte of a
-    # multi-byte UTF-8 char — is a separator, byte-for-byte identical to
-    # re.split(r"[^a-z0-9]+") on the str.  Boundary detection is pure
-    # numpy over the UTF-8 buffer: ~4x faster than the RE2 split kernel
-    # and with no empty-token churn.
-    off_dt = np.int64 if pa.types.is_large_string(norm.type) else np.int32
-    offs_all = np.frombuffer(norm.buffers()[1], dtype=off_dt)[
-        norm.offset : norm.offset + n_rows + 1
+    if arr.null_count:
+        arr = pc.fill_null(arr, "")
+    # Fully byte-wise tokenization over the RAW UTF-8 buffer — no RE2
+    # pass at all.  The reference semantics (camel-split regexes, then
+    # lowercase, then split on [^a-z0-9]+) reduce to byte rules because
+    # all four classes are pure ASCII and every byte of a multi-byte
+    # UTF-8 char is a separator either way:
+    #   token chars: [A-Za-z0-9]; extra breaks INSIDE an alnum run
+    #   before byte i when  (prev in [a-z0-9] and i in [A-Z])   (camel-2)
+    #   or (prev in [A-Z] and i in [A-Z] and next in [a-z])     (camel-1)
+    # Sequential-substitution order cannot differ from these simultaneous
+    # rules: camel-1 only inserts between two uppers, camel-2 only
+    # between lower/digit and upper, so neither creates or destroys the
+    # other's match sites (fuzz-tested against the re reference).
+    off_dt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offs_all = np.frombuffer(arr.buffers()[1], dtype=off_dt)[
+        arr.offset : arr.offset + n_rows + 1
     ].astype(np.int64)
     base = int(offs_all[0])
-    d = np.frombuffer(norm.buffers()[2], dtype=np.uint8)[base : int(offs_all[-1])]
+    d = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[base : int(offs_all[-1])]
     offs = offs_all - base
     m = len(d)
     if m == 0:
@@ -126,20 +131,45 @@ def flat_tokens(
             pa.array([], type=pa.string()),
             n_rows,
         )
-    alnum = ((d >= 48) & (d <= 57)) | ((d >= 97) & (d <= 122))
-    prevf = np.empty(m, dtype=bool)
-    prevf[0] = False
-    prevf[1:] = alnum[:-1]
-    nxtf = np.empty(m, dtype=bool)
-    nxtf[-1] = False
-    nxtf[:-1] = alnum[1:]
-    # force token breaks at row boundaries (rows are contiguous in the buffer)
-    rs = offs[1:-1]  # start byte of each row after the first
+    up = (d >= 65) & (d <= 90)
+    lo = (d >= 97) & (d <= 122)
+    dig = (d >= 48) & (d <= 57)
+    alnum = up | lo | dig
+    lodig = lo | dig
+
+    prev_alnum = np.empty(m, dtype=bool)
+    prev_alnum[0] = False
+    prev_alnum[1:] = alnum[:-1]
+    prev_up = np.empty(m, dtype=bool)
+    prev_up[0] = False
+    prev_up[1:] = up[:-1]
+    prev_lodig = np.empty(m, dtype=bool)
+    prev_lodig[0] = False
+    prev_lodig[1:] = lodig[:-1]
+    next_lo = np.empty(m, dtype=bool)
+    next_lo[-1] = False
+    next_lo[:-1] = lo[1:]
+    # force breaks at row boundaries (rows are contiguous in the buffer)
+    rs = offs[1:-1]
     rs_in = rs[(rs > 0) & (rs < m)]
-    prevf[rs_in] = False
-    nxtf[rs_in - 1] = False
-    starts_b = np.flatnonzero(alnum & ~prevf)
-    ends_b = np.flatnonzero(alnum & ~nxtf)  # inclusive
+    prev_alnum[rs_in] = False
+    prev_up[rs_in] = False
+    prev_lodig[rs_in] = False
+    next_lo[rs_in - 1] = False
+
+    camel = up & (prev_lodig | (prev_up & next_lo))
+    starts_m = alnum & (~prev_alnum | camel)
+    next_start = np.empty(m, dtype=bool)
+    next_start[-1] = False
+    next_start[:-1] = starts_m[1:]
+    next_alnum = np.empty(m, dtype=bool)
+    next_alnum[-1] = False
+    next_alnum[:-1] = alnum[1:]
+    next_alnum[rs_in - 1] = False
+    ends_m = alnum & (~next_alnum | next_start)
+
+    starts_b = np.flatnonzero(starts_m)
+    ends_b = np.flatnonzero(ends_m)  # inclusive
     lens = ends_b - starts_b + 1
     ntok = len(starts_b)
     if ntok == 0:
@@ -158,8 +188,12 @@ def flat_tokens(
     pcounts = np.diff(np.append(pstarts, ntok))
     pos = np.arange(ntok, dtype=np.int64) - np.repeat(pstarts, pcounts)
     # token bytes: every alnum byte belongs to exactly one token, in
-    # order — the concatenated token buffer is just the alnum mask copy
+    # order — the concatenated token buffer is just the alnum mask copy,
+    # lowercased in place (uppers are ASCII, +32)
     tok_bytes = d[alnum]
+    upper_sel = (tok_bytes >= 65) & (tok_bytes <= 90)
+    if upper_sel.any():
+        tok_bytes[upper_sel] += 32
     tok_offs = np.zeros(ntok + 1, dtype=np.int32)
     tok_offs[1:] = np.cumsum(lens).astype(np.int32)
     terms = pa.Array.from_buffers(
