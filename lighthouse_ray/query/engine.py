@@ -176,11 +176,12 @@ class SearchEngine:
             free_only=free_only, claim_id=claim_id, related_to=related_to,
         )
         cand = base_mask & fmask
-        scores = np.where(cand, base_scores, 0.0)
-        if decay is not None:
-            scores = scores * decay
-
         ords = np.flatnonzero(cand)
+        scores = np.zeros(n)
+        if decay is None:
+            scores[ords] = base_scores[ords]
+        else:
+            scores[ords] = base_scores[ords] * decay[ords]
         if sort_by is not None:
             field = sort_by.lstrip("^")
             ascending = sort_by.startswith("^")  # search.go:113-116
@@ -260,14 +261,20 @@ class SearchEngine:
             ("channel-match-@compressed", sc.phrase("channel", compressed_terms).boosted(5.0).restrict(is_stream)),
         ]
 
-        min_scores = np.zeros(n)
         min_mask = np.zeros(n, dtype=bool)
         for _name, c in minc:
-            min_scores += c.scores
             min_mask |= c.mask
 
+        # accumulate only over the candidate union — identical float
+        # order to the dense loop (clause order, then boost), but the
+        # arithmetic touches |candidates| entries instead of 12 x n
+        cand = np.flatnonzero(min_mask)
+        acc = np.zeros(len(cand))
+        for _name, c in minc:
+            acc += c.scores[cand]
         boost = self._boost_should_scores(is_channel)
-        total = np.where(min_mask, min_scores + boost, 0.0)
+        total = np.zeros(n)
+        total[cand] = acc + boost[cand]
         clauses = minc + [("boost-clauses", DenseResult(boost, min_mask.copy()))]
         return total, min_mask, clauses
 

@@ -42,14 +42,20 @@ class DenseResult:
         return cls(np.zeros(n), np.zeros(n, dtype=bool))
 
     def boosted(self, boost: float) -> "DenseResult":
-        if boost == 1.0:
-            return self
-        return DenseResult(self.scores * boost, self.mask)
+        """Scale in place (clause results are single-use temporaries;
+        avoids a full-array copy per clause)."""
+        if boost != 1.0:
+            self.scores *= boost
+        return self
 
     def restrict(self, mask: np.ndarray) -> "DenseResult":
-        m = self.mask & mask
-        s = np.where(m, self.scores, 0.0)
-        return DenseResult(s, m)
+        """Mask in place: only entries leaving the mask are touched
+        (scores outside the mask are zero by construction)."""
+        kill = np.flatnonzero(self.mask & ~mask)
+        if len(kill):
+            self.scores[kill] = 0.0
+        self.mask &= mask
+        return self
 
 
 class Scorer:
