@@ -173,8 +173,11 @@ class IndexReader:
         if cached is not None:
             return cached if cached is not _MISS else None
         tp = self._lookup_uncached(field, term)
-        if len(self._postings_cache) >= 8192:
-            self._postings_cache.clear()  # simple bound; index is immutable
+        if len(self._postings_cache) >= 65536:
+            # drop the oldest half (insertion order); a clear-all here
+            # thrashed whole query working sets at once
+            for k in list(self._postings_cache)[: 32768]:
+                del self._postings_cache[k]
         self._postings_cache[key] = tp if tp is not None else _MISS
         return tp
 
