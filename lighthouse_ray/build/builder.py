@@ -83,6 +83,25 @@ def build_index(
     if not resume:
         for sub in ("docstore", "docmeta", "postings", "segments", "doclens", "payload", "payload_dfsample"):
             shutil.rmtree(os.path.join(index_dir, sub), ignore_errors=True)
+    # a resume with a different LAYOUT config would mix incompatible
+    # partitioning/encoding decisions into one index — refuse loudly.
+    # ("extra" holds execution knobs, e.g. exchange mode or test fault
+    # injection, and may legitimately differ between attempts.)
+    layout_keys = (
+        "num_doc_parts", "num_term_shards", "k1", "b", "block_size",
+        "hot_df_ratio", "salt_range", "df_sample_mod", "dl_shift",
+        "num_shard_groups", "route_deletes", "now_ts",
+    )
+    if resume and "config" in manifest:
+        old = manifest["config"]
+        want = cfg.to_json()
+        bad = [k for k in layout_keys if old.get(k) != want.get(k)]
+        if bad:
+            raise ValueError(
+                f"resume config mismatch on {bad}: manifest has "
+                f"{ {k: old.get(k) for k in bad} }, caller passed "
+                f"{ {k: want.get(k) for k in bad} }"
+            )
     manifest.setdefault("config", cfg.to_json())
     stages = manifest["stages"]
 

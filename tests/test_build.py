@@ -288,3 +288,16 @@ def test_actor_pool_tokenize_conformance(ray_session, built, tmp_path):
     assert set(a) == set(b)
     for k in a:
         assert a[k]["sha256"] == b[k]["sha256"], f"shard {k} differs (actor pool)"
+
+
+def test_resume_refuses_layout_mismatch(ray_session, built, tmp_path):
+    import ray.data as rd
+
+    from lighthouse_ray.build import build_index
+
+    idx, _res = built
+    idx7 = str(tmp_path / "index7")
+    shutil.copytree(idx, idx7)
+    other = IndexConfig(**{**CFG.to_json(), "num_term_shards": CFG.num_term_shards * 2})
+    with pytest.raises(ValueError, match="resume config mismatch"):
+        build_index(rd.from_arrow(gen_corpus(N_DOCS)), idx7, other, resume=True)
