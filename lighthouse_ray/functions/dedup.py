@@ -309,9 +309,16 @@ def ngram_jaccard_pairs(ds, n: int = 3, min_inter: int = 5,
         .select_columns(["id", "nsh"])
         .to_pandas()
     )
-    size_map = dict(zip(sizes_pd["id"], sizes_pd["nsh"]))
+    import ray as _ray_bc
+
+    # broadcast once via plasma; a closure-captured dict would be
+    # re-pickled into every task
+    size_ref = _ray_bc.put(dict(zip(sizes_pd["id"], sizes_pd["nsh"])))
 
     def finish(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        size_map = _ray.get(size_ref)
         a = b["a"].to_pylist()
         bb = b["b"].to_pylist()
         inter = b["inter"].to_numpy(zero_copy_only=False).astype(np.int64)
