@@ -67,3 +67,55 @@ def test_position_lists_hypothesis(doc_positions):
     got, offsets = decode_position_lists(encode_position_lists(pos, tfs), tfs)
     assert (got == pos).all()
     assert offsets[-1] == len(pos)
+
+
+# ---------------------------------------------------------------------------
+# Identity-key parsing (build.docs.hex_prefix_u64)
+# ---------------------------------------------------------------------------
+
+def test_hex_prefix_u64_paths():
+    import numpy as np
+    import pyarrow as pa
+
+    from lighthouse_ray.build.docs import hex_prefix_u64
+
+    import random
+
+    rng = random.Random(3)
+    fixed = ["%040x" % rng.getrandbits(160) for _ in range(500)]
+    mixed = fixed[:250] + ["%064x" % rng.getrandbits(256) for _ in range(250)]
+
+    def want(vals):
+        return np.array([int(v[:16], 16) for v in vals], dtype=np.uint64)
+
+    # fixed-width reshape path
+    assert (hex_prefix_u64(pa.array(fixed)) == want(fixed)).all()
+    # mixed-width gather path
+    assert (hex_prefix_u64(pa.array(mixed)) == want(mixed)).all()
+    # sliced array (nonzero offset into parent buffers)
+    sl = pa.array(fixed).slice(100, 300)
+    assert (hex_prefix_u64(sl) == want(fixed[100:400])).all()
+    # chunked + list inputs
+    ch = pa.chunked_array([fixed[:200], fixed[200:]])
+    assert (hex_prefix_u64(ch) == want(fixed)).all()
+    assert (hex_prefix_u64(fixed[:10]) == want(fixed[:10])).all()
+    # empty
+    assert len(hex_prefix_u64(pa.array([], type=pa.string()))) == 0
+
+
+def test_ordinal_map_roundtrip_and_misses():
+    import numpy as np
+
+    from lighthouse_ray.build.docs import build_ordinal_map, lookup_ordinals
+
+    import hashlib
+
+    doc_ids = [hashlib.sha1(f"d{i}".encode()).hexdigest() for i in range(300)]
+    shas = [hashlib.sha256(f"c{i}".encode()).hexdigest() for i in range(300)]
+    ords = np.arange(300, dtype=np.int64)[::-1].copy()
+    packed = build_ordinal_map(doc_ids, shas, ords)
+    got = lookup_ordinals(packed, doc_ids, shas)
+    assert (got == ords).all()
+    # same doc_id, different content hash -> miss (collision handling)
+    other_shas = [hashlib.sha256(f"x{i}".encode()).hexdigest() for i in range(300)]
+    assert (lookup_ordinals(packed, doc_ids, other_shas) == -1).all()
