@@ -370,3 +370,120 @@ def embedding_cosine_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id",
         )
 
     return ds.map_batches(pairs, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clusters: distributed connected components over candidate pairs
+# ---------------------------------------------------------------------------
+
+def _star_round(edges, large: bool):
+    """One alternating-star round (Kiveris et al., "Connected Components
+    in MapReduce and Beyond", SoCC'14) as pure Ray Data passes."""
+    import pyarrow.compute as pc
+
+    def undirect(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": pa.concat_arrays([b["a"].combine_chunks(), b["b"].combine_chunks()]),
+                "v": pa.concat_arrays([b["b"].combine_chunks(), b["a"].combine_chunks()]),
+            }
+        )
+
+    def orient_to_max(b: pa.Table) -> pa.Table:
+        # small-star processes each edge at its larger endpoint
+        hi = pc.max_element_wise(b["a"], b["b"])
+        lo = pc.min_element_wise(b["a"], b["b"])
+        return pa.table({"u": hi, "v": lo})
+
+    def star_group(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].iloc[0]
+        nbrs = np.unique(g["v"].to_numpy())
+        m = min(u, nbrs[0] if len(nbrs) else u)
+        if large:
+            out_v = nbrs[nbrs > u]          # attach strictly-larger nbrs to m
+        else:
+            out_v = np.unique(np.append(nbrs[nbrs <= u], u))
+            out_v = out_v[out_v != m]       # attach u and small nbrs to m
+        if len(out_v) == 0:
+            out_v = np.array([u]) if not large else np.array([], dtype=object)
+        return pd.DataFrame({"a": out_v, "b": np.full(len(out_v), m)})
+
+    prep = undirect if large else orient_to_max
+    return (
+        edges.map_batches(prep, batch_format="pyarrow")
+        .groupby("u")
+        .map_groups(star_group, batch_format="pandas")
+    )
+
+
+def connected_components(edges, nodes, max_rounds: int = 32):
+    """Connected components over an edge Dataset with string/int columns
+    (a, b); returns Dataset[(id, cluster)] where cluster is the minimum
+    node id of the component.  Alternating large-star / small-star
+    rounds (each a groupby exchange keyed by node — content-addressed,
+    layout-independent) until the edge multiset is stable, then a final
+    min-label pass; isolated nodes label themselves.
+
+    ``nodes`` is a Dataset with column ``id`` covering every node
+    (edges may touch a subset)."""
+    import pyarrow.compute as pc
+
+    def digest(ds) -> tuple:
+        def part(b: pa.Table) -> pa.Table:
+            import hashlib as _h
+
+            acc = 0
+            for a_, b_ in zip(b["a"].to_pylist(), b["b"].to_pylist()):
+                acc ^= int.from_bytes(
+                    _h.blake2b(f"{a_}\0{b_}".encode(), digest_size=8).digest(), "big"
+                )
+            return pa.table(
+                {"n": pa.array([b.num_rows]), "x": pa.array([acc], type=pa.uint64())}
+            )
+
+        rows = ds.map_batches(part, batch_format="pyarrow").take_all()
+        return (sum(r["n"] for r in rows), _xor([r["x"] for r in rows]))
+
+    def _xor(vals):
+        acc = 0
+        for v in vals:
+            acc ^= int(v)
+        return acc
+
+    cur = edges
+    prev_sig = None
+    for _ in range(max_rounds):
+        cur = _star_round(cur, large=True).materialize()
+        cur = _star_round(cur, large=False).materialize()
+        sig = digest(cur)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    # final labels: min(b) per a over the star edges, then left-join the
+    # node universe (broadcast of the label table would not scale; the
+    # label assignment is itself a groupby exchange)
+    def min_label(g: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": pa.array([g["id"][0].as_py()]),
+                "cluster": pa.array([pc.min(g["cluster"]).as_py()]),
+            }
+        )
+
+    labels = (
+        cur.map_batches(
+            lambda b: pa.table({"id": b["a"], "cluster": b["b"]}), batch_format="pyarrow"
+        )
+        .groupby("id")
+        .map_groups(min_label, batch_format="pyarrow")
+    )
+    lab = labels.union(
+        nodes.map_batches(
+            lambda b: pa.table({"id": b["id"], "cluster": b["id"]}),
+            batch_format="pyarrow",
+        )
+    )
+    # per-id min resolves (star label) vs (self label) — isolated nodes
+    # keep themselves
+    return lab.groupby("id").map_groups(min_label, batch_format="pyarrow")

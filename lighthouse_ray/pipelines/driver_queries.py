@@ -724,6 +724,50 @@ WHERE p.inter >= 5
 """
 
 
+def q_dup_clusters(sf_dir: str):
+    """Duplicate clusters: distributed connected components (alternating
+    large/small-star groupby rounds) over the exact n-gram-Jaccard pair
+    graph; cluster id = min doc_id of the component.  Oracle: recursive
+    CTE over the same pair SQL."""
+    from ..functions.dedup import connected_components, ngram_jaccard_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs, n=3, min_inter=5)
+    edges = pairs.map_batches(
+        lambda b: b.select(["a", "b"]), batch_format="pyarrow"
+    )
+    nodes = docs.map_batches(
+        lambda b: pa.table({"id": b["doc_id"]}), batch_format="pyarrow"
+    )
+    return connected_components(edges, nodes).map_batches(
+        lambda b: pa.table({"doc_id": b["id"], "cluster": b["cluster"]}),
+        batch_format="pyarrow",
+    )
+
+
+SQL_DUP_CLUSTERS = f"""
+WITH RECURSIVE toks AS (SELECT doc_id, {TOK} AS t FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+  FROM toks
+),
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+  HAVING count(*) >= 5
+),
+und AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+reach(id, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT u.a, r.label FROM und u JOIN reach r ON r.id = u.b
+)
+SELECT id AS doc_id, min(label) AS cluster FROM reach GROUP BY id
+"""
+
+
 def q_embedding_near_dup(sf_dir: str):
     """Embedding-cosine near-duplicate pairs against a broadcast
     normalized matrix (oracle: SQL self-join on list_cosine_similarity)."""
@@ -853,6 +897,7 @@ def make_queries() -> dict:
         "top_terms_per_lang": q_top_terms_per_lang,
         "lang_id": q_lang_id,
         "ngram_jaccard": q_ngram_jaccard,
+        "dup_clusters": q_dup_clusters,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_meta": q_multimodal_meta,
         "minhash_lsh": q_minhash_lsh,
@@ -884,6 +929,7 @@ def make_oracle_sql() -> dict:
         "top_terms_per_lang": SQL_TOP_TERMS_PER_LANG,
         "lang_id": _sql_lang_id(),
         "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "dup_clusters": SQL_DUP_CLUSTERS,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
         "multimodal_meta": SQL_MULTIMODAL_META,
         # minhash_lsh / simhash_dedup / ann_ivf_topk are approximate ->

@@ -152,3 +152,42 @@ def test_multimodal_stage(ray_session):
     if not stage.have_real:
         with pytest.raises(NotImplementedError):
             stage(t)
+
+
+def test_connected_components_vs_bfs(ray_session):
+    import ray.data as rd
+
+    from lighthouse_ray.functions.dedup import connected_components
+
+    # chain, triangle+tail, isolated nodes, two-node component
+    edges = [("a", "b"), ("b", "c"), ("c", "d"),
+             ("p", "q"), ("q", "r"), ("p", "r"), ("r", "s"),
+             ("x", "y")]
+    nodes = sorted({n for e in edges for n in e} | {"lonely1", "lonely2"})
+
+    # reference: BFS
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for n in nodes:
+        if n in want:
+            continue
+        comp, stack = [], [n]
+        seen = {n}
+        while stack:
+            u = stack.pop()
+            comp.append(u)
+            for v in adj.get(u, ()):
+                if v not in seen:
+                    seen.add(v)
+                    stack.append(v)
+        m = min(comp)
+        for u in comp:
+            want[u] = m
+
+    eds = rd.from_items([{"a": a, "b": b} for a, b in edges])
+    nds = rd.from_items([{"id": n} for n in nodes])
+    got = {r["id"]: r["cluster"] for r in connected_components(eds, nds).take_all()}
+    assert got == want
