@@ -517,17 +517,19 @@ class SearchEngine:
             r2a = sc.phrase_prefix("channel", terms).boosted(3.0)
             r2b = sc.phrase_prefix("title", terms).boosted(5.0)
             r2c = sc.phrase_prefix("content", terms).boosted(2.0)
-            r2 = DenseResult(
-                np.maximum(np.maximum(r2a.scores, r2b.scores), r2c.scores),
-                r2a.mask | r2b.mask | r2c.mask,
+            # combine sparsely over the candidate union (same float order
+            # as the dense max/add would produce per element)
+            mask = r1.mask | r2a.mask | r2b.mask | r2c.mask
+            idx = np.flatnonzero(mask)
+            scores = np.zeros(n)
+            scores[idx] = r1.scores[idx] + np.maximum(
+                np.maximum(r2a.scores[idx], r2b.scores[idx]), r2c.scores[idx]
             )
-            scores = r1.scores + r2.scores
-            mask = r1.mask | r2.mask
 
         if nsfw is not None:
             col = meta["nsfw"].to_numpy().astype(bool)
             mask &= col if nsfw else ~col
-            scores = np.where(mask, scores, 0.0)
+            # scores outside the mask are never read (ords come from mask)
 
         ords = np.flatnonzero(mask)
         doc_ids = meta["doc_id"].to_numpy()
