@@ -103,27 +103,39 @@ class Scorer:
             self._accumulate_term(field, t, out.scores, out.mask)
         return out
 
+    def _term_sparse(self, field: str, term: str):
+        """(ordinals, scores) for one term's BM25, no dense allocation."""
+        tp = self.r.lookup(field, term)
+        if tp is None or tp.df == 0:
+            return None
+        ords = tp.ordinals.astype(np.int64)
+        tf = tp.tfs.astype(np.float64)
+        s = self.idf(tp.df) * tf * (self.k1 + 1.0) / (tf + self._norm(field, ords))
+        return ords, s
+
     def match_fuzzy(self, field: str, terms: list[str]) -> DenseResult:
         """``match`` with fuzziness=AUTO (query.go:131,177): per term,
         expand to dictionary terms within the AUTO edit distance
         (len<3 -> 0, len<6 -> 1, else 2); each expansion scores BM25
-        at its own idf (no prefix-length optimization; dictionary scan)."""
+        at its own idf (no prefix-length optimization; dictionary scan).
+        The per-term max over expansions accumulates sparsely over the
+        expansion union (scores are >= 0 and max is order-independent,
+        so the floats match the dense formulation exactly)."""
         out = DenseResult.empty(self.n)
-        best: np.ndarray | None = None
         for t in terms:
             exps = self.fuzzy_expand(field, t)
             if len(exps) == 1:
                 self._accumulate_term(field, exps[0], out.scores, out.mask)
                 continue
-            if best is None:
-                best = np.zeros(self.n)
-            else:
-                best.fill(0.0)
-            for e in exps:
-                r = self.term_result(field, e)
-                np.maximum(best, r.scores, out=best)
-                out.mask |= r.mask
-            out.scores += best
+            pairs = [p for p in (self._term_sparse(field, e) for e in exps) if p]
+            if not pairs:
+                continue
+            all_ords = np.unique(np.concatenate([o for o, _s in pairs]))
+            best = np.zeros(len(all_ords))
+            for o, s in pairs:
+                np.maximum.at(best, np.searchsorted(all_ords, o), s)
+            out.scores[all_ords] += best
+            out.mask[all_ords] = True
         return out
 
     def fuzzy_expand(self, field: str, term: str, max_expansions: int = 50) -> list[str]:
