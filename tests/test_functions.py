@@ -191,3 +191,16 @@ def test_connected_components_vs_bfs(ray_session):
     nds = rd.from_items([{"id": n} for n in nodes])
     got = {r["id"]: r["cluster"] for r in connected_components(eds, nds).take_all()}
     assert got == want
+
+
+def test_connected_components_int_ids(ray_session):
+    import ray.data as rd
+
+    from lighthouse_ray.functions.dedup import connected_components
+
+    edges = [(1, 2), (2, 3), (10, 11)]
+    nodes = [1, 2, 3, 10, 11, 99]
+    eds = rd.from_items([{"a": a, "b": b} for a, b in edges])
+    nds = rd.from_items([{"id": n} for n in nodes])
+    got = {r["id"]: r["cluster"] for r in connected_components(eds, nds).take_all()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
