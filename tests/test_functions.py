@@ -204,3 +204,18 @@ def test_connected_components_int_ids(ray_session):
     nds = rd.from_items([{"id": n} for n in nodes])
     got = {r["id"]: r["cluster"] for r in connected_components(eds, nds).take_all()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_connected_components_long_path(ray_session):
+    """A path graph is the slow-convergence case for star algorithms;
+    must still collapse to one component within the round budget."""
+    import ray.data as rd
+
+    from lighthouse_ray.functions.dedup import connected_components
+
+    n = 40
+    ids = [f"n{i:03d}" for i in range(n)]
+    eds = rd.from_items([{"a": ids[i], "b": ids[i + 1]} for i in range(n - 1)])
+    nds = rd.from_items([{"id": i} for i in ids])
+    got = {r["id"]: r["cluster"] for r in connected_components(eds, nds).take_all()}
+    assert set(got.values()) == {ids[0]}
