@@ -194,13 +194,23 @@ def flat_tokens(
     upper_sel = (tok_bytes >= 65) & (tok_bytes <= 90)
     if upper_sel.any():
         tok_bytes[upper_sel] += 32
-    tok_offs = np.zeros(ntok + 1, dtype=np.int32)
-    tok_offs[1:] = np.cumsum(lens).astype(np.int32)
-    terms = pa.Array.from_buffers(
-        pa.utf8(),
-        ntok,
-        [None, pa.py_buffer(tok_offs.tobytes()), pa.py_buffer(tok_bytes.tobytes())],
-    )
+    tok_offs64 = np.zeros(ntok + 1, dtype=np.int64)
+    np.cumsum(lens, out=tok_offs64[1:])
+    if tok_offs64[-1] > np.iinfo(np.int32).max:
+        # >2 GiB of token bytes in one slice: int32 offsets would wrap
+        # silently — switch to large_utf8 (int64 offsets)
+        terms = pa.Array.from_buffers(
+            pa.large_utf8(),
+            ntok,
+            [None, pa.py_buffer(tok_offs64.tobytes()), pa.py_buffer(tok_bytes.tobytes())],
+        )
+    else:
+        tok_offs = tok_offs64.astype(np.int32)
+        terms = pa.Array.from_buffers(
+            pa.utf8(),
+            ntok,
+            [None, pa.py_buffer(tok_offs.tobytes()), pa.py_buffer(tok_bytes.tobytes())],
+        )
     return parents.astype(np.int64, copy=False), pos, terms, n_rows
 
 

@@ -147,7 +147,13 @@ def derive_batch(
     # (doc_id, content_sha256) — the corpus may legally contain rows with
     # equal (repo,path,commit) but different content, and the ordinal map
     # must bind the winner row, not just the winner doc_id.
-    fname = hashlib.sha1("".join(doc_id).encode()).hexdigest()[:20] + ".parquet"
+    # content-addressed over the FULL row identity (doc_id, content_sha256):
+    # two retried/variant batches with identical doc_id sequences but
+    # different content must land in different payload files
+    fname = (
+        hashlib.sha1("".join(doc_id).encode() + "".join(content_sha).encode()).hexdigest()[:20]
+        + ".parquet"
+    )
     payload = pa.table(
         {
             "doc_id": cols["doc_id"],

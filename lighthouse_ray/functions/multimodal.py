@@ -31,6 +31,15 @@ MEDIA_META_SCHEMA = pa.schema(
 )
 
 
+# minimal valid 1x1 GIF used to probe whether a real decoder works at
+# all (probing with b"" would raise UnidentifiedImageError even when
+# PIL is installed and wrongly conclude no decoder exists)
+_PROBE_IMAGE = (
+    b"GIF89a\x01\x00\x01\x00\x80\x00\x00\x00\x00\x00\xff\xff\xff!\xf9\x04"
+    b"\x00\x00\x00\x00\x00,\x00\x00\x00\x00\x01\x00\x01\x00\x00\x02\x02D\x01\x00;"
+)
+
+
 def _try_real_decode(payload: bytes):
     try:  # pragma: no cover - PIL absent in this container
         import io
@@ -39,7 +48,9 @@ def _try_real_decode(payload: bytes):
 
         img = Image.open(io.BytesIO(payload))
         return img.width, img.height, img.format or "unknown"
-    except ImportError:
+    except Exception:
+        # ImportError (no decoder) and decode errors on corrupt payloads
+        # both fall through to the strict/fake path in the caller
         return None
 
 
@@ -62,7 +73,7 @@ class ImageMetaStage:
         self.payload_col = payload_col
         self.id_col = id_col
         self.strict = strict
-        self.have_real = _try_real_decode(b"") is not None
+        self.have_real = _try_real_decode(_PROBE_IMAGE) is not None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch[self.payload_col].to_pylist()

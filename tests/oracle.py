@@ -321,7 +321,11 @@ class Oracle:
         if sort_by is not None:
             fieldname = sort_by.lstrip("^")
             ascending = sort_by.startswith("^")
-            results.sort(key=lambda r: getattr(r[3], fieldname))
+            # mirror the engine exactly (engine.py:192-194): lexsort on
+            # (field, doc_id) ascending, then reverse the whole order for
+            # descending — so the doc_id tie-break is ascending for
+            # ascending sorts and DESCENDING for descending sorts
+            results.sort(key=lambda r: (getattr(r[3], fieldname), r[0]))
             if not ascending:
                 results.reverse()
         else:
