@@ -365,7 +365,7 @@ def embedding_cosine_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id",
             {
                 "a": pa.array(out_a, type=pa.int64()),
                 "b": pa.array(out_b, type=pa.int64()),
-                "cos": pa.array(out_c),
+                "cos": pa.array(out_c, type=pa.float64()),
             }
         )
 

@@ -25,11 +25,14 @@ LANGS_ORDERED = tuple(sorted(LANG_MARKERS))  # deterministic tie-break order
 def lang_id_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
     """Predict language by marker-token counts; argmax with ties broken
     by language code order, 'und' (undetermined) when no marker hits."""
+    import pyarrow.compute as pc
+
     parents, _pos, terms, n = flat_tokens(batch[text_col])
-    terms_np = np.asarray(terms.to_pylist(), dtype=object)
     scores = np.zeros((n, len(LANGS_ORDERED)), dtype=np.int64)
     for li, lang in enumerate(LANGS_ORDERED):
-        hit = np.isin(terms_np, LANG_MARKERS[lang])
+        hit = pc.is_in(terms, value_set=pa.array(list(LANG_MARKERS[lang]))).to_numpy(
+            zero_copy_only=False
+        )
         if hit.any():
             scores[:, li] = np.bincount(parents[hit], minlength=n)
     best = scores.argmax(axis=1)

@@ -280,21 +280,50 @@ SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20
 # dedup / fingerprint (G4/G5 + training-data ops)
 # ---------------------------------------------------------------------------
 
+def _md5_hex_column(col) -> pa.Array:
+    """md5 hex per row, hashing the UTF-8 buffer slices directly (no
+    per-row Python string materialization/encode)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    out = []
+    for chunk in chunks:
+        if len(chunk) == 0:
+            continue
+        bufs = chunk.buffers()
+        if len(bufs) < 3 or bufs[2] is None:
+            out.extend(hashlib.md5(b"").hexdigest() for _ in range(len(chunk)))
+            continue
+        odt = np.int64 if pa.types.is_large_string(chunk.type) else np.int32
+        offs = np.frombuffer(bufs[1], dtype=odt, count=len(chunk) + chunk.offset + 1)[
+            chunk.offset :
+        ]
+        data = memoryview(bufs[2])
+        out.extend(
+            hashlib.md5(data[offs[i] : offs[i + 1]]).hexdigest() for i in range(len(chunk))
+        )
+    return pa.array(out, type=pa.string())
+
+
 def q_exact_dedup(sf_dir: str):
-    """Exact dedup by content hash: hash-partition groupby, keep first
-    (min doc_id) — the distributed form of G4/G5."""
+    """Exact dedup by content hash: hash-partition groupby with plain
+    Min/Count aggregates (no per-group Python) — the distributed form of
+    G4/G5."""
+    from ray.data.aggregate import Count, Min
 
     def add_hash(b: pa.Table) -> pa.Table:
-        h = [hashlib.md5(t.encode()).hexdigest() for t in b["text"].to_pylist()]
-        return pa.table({"doc_id": b["doc_id"], "h": pa.array(h, type=pa.string())})
-
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"doc_id": [g["doc_id"].min()], "dup_cnt": [np.int64(len(g))]}
-        )
+        return pa.table({"doc_id": b["doc_id"], "h": _md5_hex_column(b["text"])})
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(add_hash, batch_format="pyarrow")
-    return ds.groupby("h").map_groups(keep_first, batch_format="pandas").select_columns(["doc_id", "dup_cnt"])
+    out = ds.groupby("h").aggregate(
+        Min("doc_id", alias_name="doc_id"), Count(alias_name="dup_cnt")
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b["doc_id"].cast(pa.int64()), "dup_cnt": b["dup_cnt"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
 
 
 SQL_EXACT_DEDUP = """
@@ -308,15 +337,14 @@ def q_fingerprint(sf_dir: str):
 
     def f(b: pa.Table) -> pa.Table:
         parents, _pos, terms, n = flat_tokens(b["text"])
-        terms_py = terms.to_pylist()
         counts = np.bincount(parents, minlength=n)
-        offs = np.zeros(n + 1, dtype=np.int64)
+        offs = np.zeros(n + 1, dtype=np.int32)
         np.cumsum(counts, out=offs[1:])
-        fps = [
-            hashlib.md5(" ".join(terms_py[offs[i] : offs[i + 1]]).encode()).hexdigest()
-            for i in range(n)
-        ]
-        return pa.table({"doc_id": b["doc_id"], "fingerprint": pa.array(fps, type=pa.string())})
+        # vectorized "tok tok tok" per doc: list-wrap the flat terms then
+        # one binary_join kernel; md5 over the joined buffer slices
+        lists = pa.ListArray.from_arrays(pa.array(offs), terms)
+        joined = pc.binary_join(lists, " ")
+        return pa.table({"doc_id": b["doc_id"], "fingerprint": _md5_hex_column(joined)})
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
 
@@ -336,7 +364,9 @@ def q_quality_stats(sf_dir: str):
     def f(b: pa.Table) -> pa.Table:
         parents, _pos, terms, n = flat_tokens(b["text"])
         counts = np.bincount(parents, minlength=n).astype(np.float64)
-        is_stop = np.isin(np.asarray(terms.to_pylist(), dtype=object), STOPWORDS)
+        is_stop = pc.is_in(terms, value_set=pa.array(list(STOPWORDS))).to_numpy(
+            zero_copy_only=False
+        )
         stop_counts = np.bincount(parents[is_stop], minlength=n)
         tok_lens = pc.utf8_length(terms).to_numpy(zero_copy_only=False).astype(np.float64)
         len_sums = np.bincount(parents, weights=tok_lens, minlength=n)
@@ -398,14 +428,37 @@ WHERE ts >= TIMESTAMP '{WATERMARK}' GROUP BY event_type
 
 def q_upsert_last_write(sf_dir: str):
     """Last-write-wins upsert by key (claim.go:142-157 analog): latest
-    event per user, deterministic tie-break by event_id."""
+    event per user, deterministic tie-break by event_id.
 
-    def last(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).tail(1)
-        return g[["user_id", "event_id"]]
+    No per-group Python: (ts, event_id) is packed into one fixed-width
+    zero-padded string whose lexicographic max IS the (ts, event_id)
+    max, so the whole op is a plain groupby + Max aggregate."""
+    from ray.data.aggregate import Max
+
+    def pack(b: pa.Table) -> pa.Table:
+        ts_us = b["ts"].cast(pa.int64())  # microseconds since epoch (>0 here)
+        key = pc.binary_join_element_wise(
+            pc.utf8_lpad(pc.cast(ts_us, pa.string()), 20, "0"),
+            pc.utf8_lpad(pc.cast(b["event_id"], pa.string()), 20, "0"),
+            "",
+        )
+        return pa.table({"user_id": b["user_id"], "k": key})
 
     ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
-    return ds.groupby("user_id").map_groups(last, batch_format="pandas")
+    out = ds.map_batches(pack, batch_format="pyarrow").groupby("user_id").aggregate(
+        Max("k", alias_name="k")
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_id": pc.cast(
+                    pc.utf8_slice_codeunits(b["k"], 20, 40), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
 
 
 SQL_UPSERT_LAST_WRITE = """
@@ -443,7 +496,16 @@ def q_join_broadcast(sf_dir: str):
             order = np.argsort(keys)
             self.keys, self.vals = keys[order], vals[order]
 
+        EMPTY = pa.schema(
+            [("nationkey", pa.int64()), ("total", pa.float64()), ("n_orders", pa.int64())]
+        ).empty_table()
+
         def __call__(self, b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                # keep a stable schema for empty inputs — a schema-less
+                # empty table triggers RefBundle schema-drift warnings
+                # and is a schema-inference hazard on real clusters
+                return self.EMPTY
             ck = b["o_custkey"].to_numpy()
             idx = np.searchsorted(self.keys, ck)
             nk = self.vals[idx]
@@ -612,12 +674,12 @@ def q_phrase_match(sf_dir: str):
 
     def f(b: pa.Table) -> pa.Table:
         parents, pos, terms, n = flat_tokens(b["text"])
-        tnp = np.asarray(terms.to_pylist(), dtype=object)
-        is1 = tnp == t1
+        is1 = pc.equal(terms, t1).to_numpy(zero_copy_only=False)
+        is2 = pc.equal(terms, t2).to_numpy(zero_copy_only=False)
         # consecutive within the same doc: next token is t2
-        nxt_same_doc = np.zeros(len(tnp), dtype=bool)
-        if len(tnp) > 1:
-            nxt_same_doc[:-1] = (parents[1:] == parents[:-1]) & (np.asarray(tnp[1:] == t2))
+        nxt_same_doc = np.zeros(len(is1), dtype=bool)
+        if len(is1) > 1:
+            nxt_same_doc[:-1] = (parents[1:] == parents[:-1]) & is2[1:]
         hit = is1 & nxt_same_doc
         counts = np.bincount(parents[hit], minlength=n) if hit.any() else np.zeros(n, dtype=np.int64)
         keep = counts > 0
@@ -649,9 +711,8 @@ def q_top_terms_per_lang(sf_dir: str):
 
     def partial(b: pa.Table) -> pa.Table:
         parents, _pos, terms, _n = flat_tokens(b["text"])
-        langs = np.asarray(b["lang"].to_pylist(), dtype=object)[parents]
-        t = pa.table({"lang": pa.array(langs.tolist(), type=pa.string()),
-                      "term": terms, "parent": pa.array(parents)})
+        langs = pc.take(b["lang"].combine_chunks(), pa.array(parents))
+        t = pa.table({"lang": langs, "term": terms, "parent": pa.array(parents)})
         uniq = t.group_by(["lang", "term", "parent"]).aggregate([])
         agg = uniq.group_by(["lang", "term"]).aggregate([("parent", "count")])
         return pa.table({"lang": agg["lang"], "term": agg["term"],
