@@ -1,36 +1,55 @@
 """Deduplication operators for large-scale training-data pipelines.
 
-All of these follow the same Ray-Data shape: vectorized per-batch
-signature computation in ``map_batches`` (numpy ``reduceat`` over the
-flat token stream — no Python loop over docs), then a ``groupby`` on
-the bucket key to surface candidates, then verification.  Exact dedup
-by content hash lives in pipelines/driver_queries.py (oracle-checked).
+All wide steps run through :func:`..functions.exchange.spill_exchange`
+(the same map-side partitioned exchange the index build uses): map
+tasks spill rows by a routing hash of the key, one reduce task per
+partition does the group work VECTORIZED over sorted runs — no Python
+per (tiny) group, no all-to-all sort, no driver materialization of row
+data.
 
-- :func:`minhash_signatures` / :func:`minhash_lsh_candidates` —
-  shingle → minhash → banded LSH → candidate pairs with estimated
-  Jaccard (signature agreement).
+- :func:`ngram_jaccard_pairs` — exact token-shingle Jaccard through a
+  shingle inverted index.  Per-doc distinct-shingle counts ride on
+  every exploded row, so pair rows carry (na, nb) with them and the
+  Jaccard needs NO size join and NO driver-side size map.  Hot
+  shingles (df > ``max_df``) are dropped before pairing — the standard
+  guard against the O(df²) blow-up; the cap is part of the operator's
+  semantics and mirrored in the SQL oracle.
+- :func:`minhash_lsh_candidates` / :func:`minhash_dedup_pairs` —
+  shingle → minhash → banded LSH → candidate pairs → EXACT-Jaccard
+  verification of the candidates (so every emitted row is exactly
+  checkable: jaccard >= threshold on true distinct-shingle sets).
 - :func:`simhash_signatures` / :func:`simhash_candidates` — 64-bit
-  simhash, hamming<=k candidates via the pigeonhole band trick.
-- :func:`ngram_jaccard_pairs` — exact token-shingle Jaccard via a
-  shingle-inverted-index shuffle (SQL-expressible; oracle-checked in
-  pipelines/driver_queries.py).
-- :func:`embedding_cosine_pairs` — near-duplicate pairs by embedding
-  cosine against a broadcast normalized matrix.
+  simhash (md5-low64 token hashes — SQL-mirrorable), hamming<=k pairs
+  via the pigeonhole band trick; recall is exactly 1 by construction
+  (hamming<=3 over 4 disjoint 16-bit bands forces >=1 exact band
+  match), so the output equals the exact all-pairs definition.
+- :func:`embedding_cosine_pairs` — exact cosine pairs via blocked
+  all-pairs (each task holds two row blocks, never the full matrix).
+- :func:`connected_components` — alternating large/small-star rounds
+  (Kiveris et al., SoCC'14) as spill exchanges with vectorized
+  per-run star steps.
 
-Partitioning assumptions are documented per function; every bucket key
-is a content hash, so results are independent of block layout.
+Every bucket key is a content value (shingle string, band hash, node
+id), so results are independent of block layout and parallelism.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..analysis import flat_tokens
+from .exchange import combine_hashes, routing_hash, spill_exchange
 
 # fixed seeded 64-bit affine hashers for minhash (a*x+b mod p)
 _P = np.uint64((1 << 61) - 1)
+
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    return _POP8[x.view(np.uint8)].reshape(len(x), 8).sum(axis=1).astype(np.int64)
 
 
 def _perm_params(num_perm: int, seed: int = 42):
@@ -40,52 +59,322 @@ def _perm_params(num_perm: int, seed: int = 42):
     return a, b
 
 
-def _shingle_hashes(batch: pa.Table, text_col: str, k: int):
-    """k-token shingle hashes per doc: (flat uint64 hashes, doc offsets)."""
-    parents, _pos, terms, n = flat_tokens(batch[text_col])
-    tcodes = terms.dictionary_encode()
-    codes = tcodes.indices.to_numpy(zero_copy_only=False).astype(np.uint64)
-    # stable per-term hash: fnv over the term string, vectorized via dict
-    uniq = tcodes.dictionary.to_pylist()
+def _md5_low64(terms: list[str]) -> np.ndarray:
+    """Low 8 bytes (little-endian) of md5 per term — the same value
+    DuckDB's ``md5_number_lower`` returns, so SQL oracles can mirror
+    every hash-derived signature exactly."""
     import hashlib
 
-    uh = np.array(
-        [int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big") for t in uniq],
-        dtype=np.uint64,
+    out = np.empty(len(terms), dtype=np.uint64)
+    for i, t in enumerate(terms):
+        out[i] = np.frombuffer(hashlib.md5(t.encode()).digest(), dtype="<u8")[1]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# shingles
+# ---------------------------------------------------------------------------
+
+def doc_shingles(batch: pa.Table, text_col: str, id_col: str, n: int) -> pa.Table:
+    """Distinct n-token string shingles per doc, fully vectorized: one
+    ``binary_join_element_wise`` over n slices of the flat token stream,
+    window validity by parent equality, per-doc distinct via an Arrow
+    group_by.  Output rows (id, sh, nsh) carry the doc's TOTAL distinct
+    shingle count on every row, so downstream pair construction needs no
+    size join."""
+    parents, _pos, terms, nrows = flat_tokens(batch[text_col])
+    ids = batch[id_col].combine_chunks() if isinstance(batch[id_col], pa.ChunkedArray) else batch[id_col]
+    L = len(parents)
+    W = L - n + 1
+    if W <= 0:
+        return pa.table(
+            {"id": pa.array([], type=ids.type), "sh": pa.array([], type=pa.string()),
+             "nsh": pa.array([], type=pa.int64())}
+        )
+    sh_all = pc.binary_join_element_wise(*[terms.slice(k, W) for k in range(n)], " ")
+    valid = parents[:W] == parents[n - 1 : n - 1 + W]
+    t = pa.table({"p": pa.array(parents[:W][valid]), "sh": sh_all.filter(pa.array(valid))})
+    d = t.group_by(["p", "sh"], use_threads=False).aggregate([])
+    counts = np.zeros(nrows, dtype=np.int64)
+    cc = d.group_by("p", use_threads=False).aggregate([([], "count_all")])
+    counts[cc["p"].to_numpy(zero_copy_only=False)] = cc["count_all"].to_numpy(
+        zero_copy_only=False
     )
-    th = uh[codes.astype(np.int64)]
-    counts = np.bincount(parents, minlength=n)
+    p_out = d["p"].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {"id": pc.take(ids, d["p"]), "sh": d["sh"], "nsh": pa.array(counts[p_out])}
+    )
+
+
+def _run_bounds(keys) -> tuple[np.ndarray, np.ndarray]:
+    """(starts, lengths) of equal-value runs in an already-sorted Arrow
+    array (works for strings and ints — comparison stays in Arrow)."""
+    m = len(keys)
+    if m == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    neq = pc.not_equal(keys.slice(1), keys.slice(0, m - 1)).to_numpy(zero_copy_only=False)
+    change = np.empty(m, dtype=bool)
+    change[0] = True
+    change[1:] = neq
+    starts = np.flatnonzero(change)
+    lens = np.diff(np.append(starts, m))
+    return starts, lens
+
+
+def _pair_indices(starts: np.ndarray, lens: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All within-run index pairs (i < j), vectorized across every run:
+    element i contributes (run_end - 1 - i) pairs with consecutive j."""
+    if len(starts) == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    ends = starts + lens
+    total = int(lens.sum())
+    run_of_elem = np.repeat(np.arange(len(starts)), lens)
+    cum_excl = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=cum_excl[1:])
+    elem = starts[run_of_elem] + (np.arange(total, dtype=np.int64) - cum_excl[run_of_elem])
+    # counts per element: distance to its run end minus one
+    c = (ends[run_of_elem] - 1 - elem).astype(np.int64)
+    M = int(c.sum())
+    if M == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    a_idx = np.repeat(elem, c)
+    cum = np.zeros(len(c), dtype=np.int64)
+    np.cumsum(c[:-1], out=cum[1:])
+    b_idx = a_idx + 1 + (np.arange(M, dtype=np.int64) - np.repeat(cum, c))
+    return a_idx, b_idx
+
+
+def _shingle_pairs_reduce(max_df: int | None, pair_key_ref=None):
+    """Reduce for the shingle exchange: sort by (sh, id), run-length
+    the shingles, drop hot runs (df > max_df), emit locally-combined
+    pair rows (a, b, na, nb, inter)."""
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "a": pa.array([], type=pa.int64()),
+                "b": pa.array([], type=pa.int64()),
+                "na": pa.array([], type=pa.int64()),
+                "nb": pa.array([], type=pa.int64()),
+                "inter": pa.array([], type=pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("sh", "ascending"), ("id", "ascending")]).combine_chunks()
+        starts, lens = _run_bounds(t["sh"].combine_chunks())
+        keep = lens >= 2
+        if max_df is not None:
+            hot = lens > max_df
+            if hot.any():
+                print(
+                    f"[ngram_jaccard] dropped {int(hot.sum())} hot shingles "
+                    f"(df > {max_df}; max df {int(lens.max())})"
+                )
+            keep &= ~hot
+        a_idx, b_idx = _pair_indices(starts[keep], lens[keep])
+        if len(a_idx) == 0:
+            return empty
+        ids = t["id"].combine_chunks()
+        nsh = t["nsh"].combine_chunks()
+        pairs = pa.table(
+            {
+                "a": pc.take(ids, pa.array(a_idx)),
+                "b": pc.take(ids, pa.array(b_idx)),
+                "na": pc.take(nsh, pa.array(a_idx)),
+                "nb": pc.take(nsh, pa.array(b_idx)),
+                "one": pa.array(np.ones(len(a_idx), dtype=np.int64)),
+            }
+        )
+        if pair_key_ref is not None:
+            import ray
+
+            keyset = ray.get(pair_key_ref)
+            key = pc.binary_join_element_wise(
+                pc.cast(pairs["a"], pa.string()), pc.cast(pairs["b"], pa.string()), "\x00"
+            )
+            pairs = pairs.filter(pc.is_in(key, value_set=keyset))
+            if pairs.num_rows == 0:
+                return empty
+        g = pairs.group_by(["a", "b"], use_threads=False).aggregate(
+            [("one", "sum"), ("na", "min"), ("nb", "min")]
+        )
+        return pa.table(
+            {
+                "a": g["a"],
+                "b": g["b"],
+                "na": g["na_min"],
+                "nb": g["nb_min"],
+                "inter": g["one_sum"].cast(pa.int64()),
+            }
+        )
+
+    return reduce_fn
+
+
+def _pair_agg_reduce(min_inter: int | None, min_jaccard: float | None):
+    """Reduce for the pair exchange: global (a, b) sums + Jaccard."""
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], type=pa.int64()),
+                    "b": pa.array([], type=pa.int64()),
+                    "inter": pa.array([], type=pa.int64()),
+                    "jaccard": pa.array([], type=pa.float64()),
+                }
+            )
+        g = t.group_by(["a", "b"], use_threads=False).aggregate(
+            [("inter", "sum"), ("na", "min"), ("nb", "min")]
+        )
+        inter = g["inter_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        na = g["na_min"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = g["nb_min"].to_numpy(zero_copy_only=False).astype(np.int64)
+        jac = np.round(inter / (na + nb - inter), 6)
+        keep = np.ones(len(inter), dtype=bool)
+        if min_inter is not None:
+            keep &= inter >= min_inter
+        if min_jaccard is not None:
+            keep &= jac >= min_jaccard
+        ka = pa.array(keep)
+        return pa.table(
+            {
+                "a": g["a"].filter(ka),
+                "b": g["b"].filter(ka),
+                "inter": pa.array(inter[keep]),
+                "jaccard": pa.array(jac[keep]),
+            }
+        )
+
+    return reduce_fn
+
+
+def ngram_jaccard_pairs(ds, n: int = 3, min_inter: int = 5, text_col: str = "text",
+                        id_col: str = "doc_id", max_df: int = 1000,
+                        num_parts: int = 32):
+    """Exact token n-gram Jaccard via a shingle inverted index.
+
+    Two spill exchanges, no joins, no driver passes:
+      explode (id, sh, nsh)  →  exchange by sh: within-run pairs
+      (a, b, na, nb, 1), locally combined  →  exchange by (a, b):
+      global intersection sums + Jaccard from the riding sizes.
+
+    ``max_df`` drops shingles shared by more than that many docs before
+    pairing (the O(df²) guard); it is part of the operator semantics and
+    the SQL oracle applies the same cap.  SQL-expressible;
+    oracle-checked in pipelines/driver_queries.py.
+    """
+    exploded = ds.map_batches(
+        lambda b: doc_shingles(b, text_col, id_col, n), batch_format="pyarrow"
+    )
+    partial = spill_exchange(
+        exploded, "sh", _shingle_pairs_reduce(max_df), num_parts=num_parts
+    )
+    return spill_exchange(
+        partial, ["a", "b"], _pair_agg_reduce(min_inter, None), num_parts=num_parts
+    )
+
+
+def exact_jaccard_for_pairs(ds, pairs: list[tuple], n: int = 3,
+                            text_col: str = "text", id_col: str = "doc_id",
+                            num_parts: int = 32):
+    """Exact distinct-shingle Jaccard for an explicit candidate pair
+    list (the verification stage after LSH/SimHash candidate
+    generation).  The candidate set is output-sized, so broadcasting
+    its id- and pair-sets is the small-side-broadcast pattern, not a
+    driver materialization of data rows.  No df cap: exact values need
+    every shared shingle counted."""
+    import ray
+    import ray.data as rd
+
+    if not pairs:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([], type=pa.int64()),
+                    "b": pa.array([], type=pa.int64()),
+                    "inter": pa.array([], type=pa.int64()),
+                    "jaccard": pa.array([], type=pa.float64()),
+                }
+            )
+        )
+    ids = sorted({x for p in pairs for x in p[:2]})
+    id_ref = ray.put(pa.array(ids))
+    key_ref = ray.put(pa.array([f"{a}\x00{b}" for a, b in sorted(set((p[0], p[1]) for p in pairs))]))
+
+    def explode(b: pa.Table) -> pa.Table:
+        import ray as _r
+
+        sel = pc.is_in(b[id_col], value_set=_r.get(id_ref))
+        return doc_shingles(b.filter(sel), text_col, id_col, n)
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    partial = spill_exchange(
+        exploded, "sh", _shingle_pairs_reduce(None, pair_key_ref=key_ref),
+        num_parts=num_parts,
+    )
+    return spill_exchange(
+        partial, ["a", "b"], _pair_agg_reduce(None, None), num_parts=num_parts
+    )
+
+
+# ---------------------------------------------------------------------------
+# minhash + LSH
+# ---------------------------------------------------------------------------
+
+def _rolling_shingle_hashes(batch: pa.Table, text_col: str, k: int):
+    """k-token rolling shingle hashes per doc, vectorized over the flat
+    token stream (md5-low64 per unique term, xor-rotate window combine).
+    Returns (flat uint64 hashes, per-doc offsets, token counts)."""
+    parents, _pos, terms, n = flat_tokens(batch[text_col])
+    tcodes = terms.dictionary_encode()
+    codes = tcodes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uh = _md5_low64(tcodes.dictionary.to_pylist())
+    th = uh[codes] if len(codes) else np.zeros(0, dtype=np.uint64)
+    counts = np.bincount(parents, minlength=n) if len(parents) else np.zeros(n, dtype=np.int64)
+    L = len(th)
+    W = L - k + 1
+    if W > 0:
+        sh = np.zeros(W, dtype=np.uint64)
+        for j in range(k):
+            c = th[j : j + W]
+            r = np.uint64(j)
+            rot = (c << r) | (c >> np.uint64(64 - int(j))) if j else c
+            sh ^= rot
+        valid = parents[:W] == parents[k - 1 : k - 1 + W]
+    else:
+        sh = np.zeros(0, dtype=np.uint64)
+        valid = np.zeros(0, dtype=bool)
+    # short docs (0 < tokens < k): one xor-combined shingle of all tokens
     offs = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(counts, out=offs[1:])
-    # rolling k-window combine: h = sum_i rot(th[j+i], i)  (order-sensitive)
-    if len(th) == 0:
-        return np.zeros(0, dtype=np.uint64), offs, np.zeros(n, dtype=np.int64)
-    sh_parts = []
+    short = np.flatnonzero((counts > 0) & (counts < k))
+    parts_flat = [sh[valid]]
+    parts_par = [parents[:W][valid] if W > 0 else np.zeros(0, dtype=np.int64)]
+    if len(short):
+        sxor = np.array(
+            [np.bitwise_xor.reduce(th[offs[d] : offs[d + 1]]) for d in short],
+            dtype=np.uint64,
+        )
+        parts_flat.append(sxor)
+        parts_par.append(short)
+    flat = np.concatenate(parts_flat)
+    par = np.concatenate(parts_par)
+    order = np.argsort(par, kind="stable")
+    flat, par = flat[order], par[order]
+    sh_counts = np.bincount(par, minlength=n)
     sh_offs = np.zeros(n + 1, dtype=np.int64)
-    for d in range(n):
-        s, e = offs[d], offs[d + 1]
-        toks = th[s:e]
-        if e - s < k:
-            sh = toks[:0] if e == s else np.array([np.bitwise_xor.reduce(toks)], dtype=np.uint64)
-        else:
-            w = np.lib.stride_tricks.sliding_window_view(toks, k)
-            rot = np.arange(k, dtype=np.uint64)
-            sh = np.zeros(len(w), dtype=np.uint64)
-            for i in range(k):
-                c = w[:, i]
-                sh ^= (c << rot[i]) | (c >> np.uint64(64 - int(rot[i]) if rot[i] else 64))
-        sh_parts.append(sh)
-        sh_offs[d + 1] = sh_offs[d] + len(sh)
-    flat = np.concatenate(sh_parts) if sh_parts else np.zeros(0, dtype=np.uint64)
+    np.cumsum(sh_counts, out=sh_offs[1:])
     return flat, sh_offs, counts
 
 
 def minhash_signatures(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id",
                        num_perm: int = 64, k: int = 5) -> pa.Table:
-    """Per-doc minhash signature (num_perm x uint64) — vectorized: one
-    affine transform + ``minimum.reduceat`` over the flat shingle stream
-    per permutation."""
-    flat, offs, _counts = _shingle_hashes(batch, text_col, k)
+    """Per-doc minhash signature (num_perm x uint64) — one affine
+    transform + ``minimum.reduceat`` over the flat shingle stream per
+    permutation."""
+    flat, offs, _counts = _rolling_shingle_hashes(batch, text_col, k)
     n = batch.num_rows
     a, b = _perm_params(num_perm)
     sigs = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
@@ -103,283 +392,429 @@ def minhash_signatures(batch: pa.Table, text_col: str = "text", id_col: str = "d
     )
 
 
-def minhash_lsh_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
-                           num_perm: int = 64, bands: int = 16, k: int = 5,
-                           threshold: float = 0.5):
-    """MinHash + banded LSH near-dup candidates.
+def _band_hashes(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """(n, bands) uint64 band keys: splitmix-chain over each band's
+    signature rows (vectorized; collisions only add false candidates,
+    which exact verification prunes)."""
+    n, num_perm = sigs.shape
+    r = num_perm // bands
+    seg = sigs.reshape(n, bands, r)
+    acc = seg[:, :, 0].copy()
+    for j in range(1, r):
+        acc = combine_hashes(acc.ravel(), seg[:, :, j].ravel()).reshape(n, bands)
+    return acc
 
-    shingle → minhash (map_batches) → explode (band, band_hash, id, sig)
-    → groupby(band, band_hash) → pairs within buckets → groupby(pair) →
-    estimated Jaccard = signature agreement; keep >= threshold.
-    Partitioning: bucket key is a content hash — layout independent.
-    """
-    rows_per_band = num_perm // bands
+
+def minhash_lsh_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
+                           num_perm: int = 64, bands: int = 32, k: int = 3,
+                           num_parts: int = 32):
+    """MinHash + banded LSH candidate pairs (a, b), deduplicated.
+
+    explode (band, bhash, id) → exchange by (band, bhash): within-run
+    pairs → exchange by (a, b): distinct.  Signatures are NOT carried
+    through the shuffle — downstream exact verification replaces the
+    signature-agreement estimate."""
 
     def explode(batch: pa.Table) -> pa.Table:
         sigt = minhash_signatures(batch, text_col, id_col, num_perm, k)
-        sigs = np.asarray(sigt["sig"].combine_chunks().flatten()).reshape(-1, num_perm)
-        ids = sigt[id_col].to_pylist()
-        out_band, out_hash, out_id, out_sig = [], [], [], []
-        import hashlib
-
-        for i, d in enumerate(ids):
-            for bnd in range(bands):
-                seg = sigs[i, bnd * rows_per_band : (bnd + 1) * rows_per_band]
-                h = int.from_bytes(hashlib.blake2b(seg.tobytes(), digest_size=8).digest(), "big")
-                out_band.append(bnd)
-                out_hash.append(h)
-                out_id.append(d)
-                out_sig.append(sigs[i].tobytes())
+        n = sigt.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "band": pa.array([], type=pa.int32()),
+                    "bhash": pa.array([], type=pa.uint64()),
+                    "id": pa.array([], type=batch[id_col].type),
+                }
+            )
+        sigs = np.asarray(sigt["sig"].combine_chunks().flatten()).reshape(n, num_perm)
+        # docs with no tokens keep the all-max sentinel signature; they
+        # have no shingles and must not pair
+        nonempty = ~(sigs == np.iinfo(np.uint64).max).all(axis=1)
+        bh = _band_hashes(sigs.astype(np.uint64), bands)
+        ids = sigt[id_col].combine_chunks()
+        sel = np.flatnonzero(nonempty)
+        m = len(sel)
         return pa.table(
             {
-                "band": pa.array(out_band, type=pa.int32()),
-                "bhash": pa.array(out_hash, type=pa.uint64()),
-                "id": pa.array(out_id),
-                "sig": pa.array(out_sig, type=pa.large_binary()),
+                "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), m)),
+                "bhash": pa.array(bh[sel].reshape(-1)),
+                "id": pc.take(ids, pa.array(np.repeat(sel, bands))),
             }
         )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
-        g = g.sort_values("id")
-        ids = g["id"].tolist()
-        sigs = [np.frombuffer(s, dtype=np.uint64) for s in g["sig"]]
-        out_a, out_b, out_j = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                est = float((sigs[i] == sigs[j]).mean())
-                if est >= threshold:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-                    out_j.append(round(est, 6))
-        return pd.DataFrame({"a": out_a, "b": out_b, "est_jaccard": out_j})
+    def bucket_reduce(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        key = pa.table(
+            {
+                "k": pa.array(
+                    combine_hashes(
+                        t["band"].to_numpy(zero_copy_only=False).astype(np.uint64),
+                        t["bhash"].to_numpy(zero_copy_only=False).astype(np.uint64),
+                    )
+                ),
+                "id": t["id"],
+            }
+        ).sort_by([("k", "ascending"), ("id", "ascending")])
+        starts, lens = _run_bounds(key["k"].combine_chunks())
+        a_idx, b_idx = _pair_indices(starts[lens >= 2], lens[lens >= 2])
+        if len(a_idx) == 0:
+            return empty
+        ids = key["id"].combine_chunks()
+        p = pa.table({"a": pc.take(ids, pa.array(a_idx)), "b": pc.take(ids, pa.array(b_idx))})
+        return p.group_by(["a", "b"], use_threads=False).aggregate([])
 
-    cands = (
-        ds.map_batches(explode, batch_format="pyarrow")
-        .groupby(["band", "bhash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+    def pair_dedup(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}
+            )
+        return t.group_by(["a", "b"], use_threads=False).aggregate([])
+
+    cands = spill_exchange(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["band", "bhash"],
+        bucket_reduce,
+        num_parts=num_parts,
     )
-    # a pair can surface from several bands -> dedup by (a, b)
-    return (
-        cands.groupby(["a", "b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    return spill_exchange(cands, ["a", "b"], pair_dedup, num_parts=num_parts)
+
+
+def minhash_dedup_pairs(ds, threshold: float = 0.5, k: int = 3,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        num_perm: int = 64, bands: int = 32,
+                        num_parts: int = 32):
+    """Near-dup pairs by MinHash+LSH with exact verification: candidate
+    pairs from banded LSH, exact distinct-shingle Jaccard computed for
+    each candidate, keep jaccard >= threshold.
+
+    With bands=32 (r=2) the probability of missing a pair at
+    jaccard >= 0.5 is (1 - j^2)^32 <= 7e-5 — and the whole pipeline is
+    deterministic (seeded hashers), so the output is stable across runs
+    and layouts.  Every emitted row satisfies the exact SQL predicate,
+    which is how the driver oracle checks it."""
+    cand = minhash_lsh_candidates(
+        ds, text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands,
+        k=k, num_parts=num_parts,
+    )
+    pair_rows = cand.take_all()
+    pairs = [(r["a"], r["b"]) for r in pair_rows]
+    verified = exact_jaccard_for_pairs(
+        ds, pairs, n=k, text_col=text_col, id_col=id_col, num_parts=num_parts
+    )
+    return verified.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["jaccard"], threshold)),
+        batch_format="pyarrow",
     )
 
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
 
 def simhash_signatures(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
-    """64-bit simhash over the token stream (bitwise weighted majority),
-    vectorized: 64 ``add.reduceat`` passes over the flat hash stream."""
-    parents, _pos, terms, n = flat_tokens(batch[text_col])
-    import hashlib
+    """64-bit simhash over the token stream (occurrence-weighted bitwise
+    majority; md5-low64 token hashes so the oracle can recompute the
+    signature in SQL), vectorized: 64 ``add.reduceat`` passes.
 
+    Docs with zero tokens are EXCLUDED (they have no signature; the SQL
+    definition likewise produces no row for them)."""
+    parents, _pos, terms, n = flat_tokens(batch[text_col])
     tcodes = terms.dictionary_encode()
     codes = tcodes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    uniq = tcodes.dictionary.to_pylist()
-    uh = np.array(
-        [int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big") for t in uniq],
-        dtype=np.uint64,
-    )
+    uh = _md5_low64(tcodes.dictionary.to_pylist())
     th = uh[codes] if len(codes) else np.zeros(0, dtype=np.uint64)
-    counts = np.bincount(parents, minlength=n)
+    counts = np.bincount(parents, minlength=n) if len(parents) else np.zeros(n, dtype=np.int64)
+    nonempty = np.flatnonzero(counts > 0)
     offs = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(counts, out=offs[1:])
-    sims = np.zeros(n, dtype=np.uint64)
+    sims = np.zeros(len(nonempty), dtype=np.uint64)
     if len(th):
-        nonempty = np.flatnonzero(counts > 0)
         starts = offs[nonempty]
         for bit in range(64):
-            pm = (((th >> np.uint64(bit)) & np.uint64(1)).astype(np.int64) * 2 - 1)
+            pm = ((th >> np.uint64(bit)) & np.uint64(1)).astype(np.int64) * 2 - 1
             tot = np.add.reduceat(pm, starts)
-            sims[nonempty] |= (tot > 0).astype(np.uint64) << np.uint64(bit)
-    return pa.table({id_col: batch[id_col], "simhash": pa.array(sims)})
+            sims |= (tot > 0).astype(np.uint64) << np.uint64(bit)
+    ids = batch[id_col].combine_chunks() if isinstance(batch[id_col], pa.ChunkedArray) else batch[id_col]
+    return pa.table(
+        {id_col: pc.take(ids, pa.array(nonempty)), "simhash": pa.array(sims)}
+    )
 
 
 def simhash_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
-                       max_hamming: int = 3, bands: int = 4):
-    """Near-dup candidates with hamming distance <= max_hamming via the
-    pigeonhole trick: split the 64-bit simhash into ``bands`` segments;
-    any pair within the distance agrees exactly on >=1 segment."""
+                       max_hamming: int = 3, bands: int = 4,
+                       num_parts: int = 32):
+    """ALL pairs with simhash hamming distance <= max_hamming, via the
+    pigeonhole band trick: with ``bands`` disjoint segments and
+    max_hamming < bands, any qualifying pair agrees exactly on >= 1
+    segment — recall is exactly 1, so this equals the quadratic
+    definition and is SQL-oracle-checkable."""
     seg_bits = 64 // bands
     mask = np.uint64((1 << seg_bits) - 1)
 
     def explode(batch: pa.Table) -> pa.Table:
         sig = simhash_signatures(batch, text_col, id_col)
         s = sig["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        ids = sig[id_col].to_pylist()
-        bnds, keys, out_id, out_sim = [], [], [], []
+        m = len(s)
+        segs = np.empty((m, bands), dtype=np.uint64)
         for bnd in range(bands):
-            seg = (s >> np.uint64(bnd * seg_bits)) & mask
-            bnds.extend([bnd] * len(ids))
-            keys.extend(int(x) for x in seg)
-            out_id.extend(ids)
-            out_sim.extend(int(x) for x in s)
+            segs[:, bnd] = (s >> np.uint64(bnd * seg_bits)) & mask
+        ids = sig[id_col].combine_chunks() if isinstance(sig[id_col], pa.ChunkedArray) else sig[id_col]
         return pa.table(
             {
-                "band": pa.array(bnds, type=pa.int32()),
-                "key": pa.array(keys, type=pa.uint64()),
-                "id": pa.array(out_id),
-                "simhash": pa.array(out_sim, type=pa.uint64()),
+                "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), m)),
+                "key": pa.array(segs.reshape(-1)),
+                "id": pc.take(ids, pa.array(np.repeat(np.arange(m), bands))),
+                "simhash": pa.array(np.repeat(s, bands)),
             }
         )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "hamming": []})
-        g = g.sort_values("id")
-        ids = g["id"].tolist()
-        sims = g["simhash"].to_numpy().astype(np.uint64)
-        out_a, out_b, out_h = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                h = int(bin(int(sims[i]) ^ int(sims[j])).count("1"))
-                if h <= max_hamming and ids[i] != ids[j]:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-                    out_h.append(h)
-        return pd.DataFrame({"a": out_a, "b": out_b, "hamming": out_h})
-
-    return (
-        ds.map_batches(explode, batch_format="pyarrow")
-        .groupby(["band", "key"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["a", "b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
-    )
-
-
-def ngram_jaccard_pairs(ds, n: int = 3, min_inter: int = 5,
-                        text_col: str = "text", id_col: str = "doc_id"):
-    """Exact token n-gram Jaccard via a shingle inverted index:
-    doc → distinct shingles → groupby(shingle) → pairs → groupby(pair)
-    count intersections → Jaccard with per-doc shingle counts broadcast
-    implicitly through the pair rows.  SQL-expressible; oracle-checked.
-    """
-    from ray.data.aggregate import Sum
-
-    def shingles(batch: pa.Table) -> pa.Table:
-        parents, _pos, terms, nrows = flat_tokens(batch[text_col])
-        terms_py = terms.to_pylist()
-        counts = np.bincount(parents, minlength=nrows)
-        offs = np.zeros(nrows + 1, dtype=np.int64)
-        np.cumsum(counts, out=offs[1:])
-        ids = batch[id_col].to_pylist()
-        out_id, out_sh, out_cnt_id, out_cnt = [], [], [], []
-        for d in range(nrows):
-            toks = terms_py[offs[d] : offs[d + 1]]
-            sh = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
-            out_id.extend([ids[d]] * len(sh))
-            out_sh.extend(sorted(sh))
-            out_cnt_id.append(ids[d])
-            out_cnt.append(len(sh))
-        t1 = pa.table({"id": pa.array(out_id), "sh": pa.array(out_sh, type=pa.string()),
-                       "nsh": pa.array([0] * len(out_id), type=pa.int64())})
-        t2 = pa.table({"id": pa.array(out_cnt_id), "sh": pa.array([""] * len(out_cnt), type=pa.string()),
-                       "nsh": pa.array(out_cnt, type=pa.int64())})
-        return pa.concat_tables([t1, t2])
-
-    exploded = ds.map_batches(shingles, batch_format="pyarrow")
-
-    def shingle_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if g["sh"].iloc[0] == "" or len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "inter": []})
-        ids = sorted(g["id"].tolist())
-        out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-        return pd.DataFrame({"a": out_a, "b": out_b, "inter": [1] * len(out_a)})
-
-    import pyarrow.compute as pc
-
-    pairs = (
-        exploded.map_batches(
-            lambda b: b.filter(pc.not_equal(b["sh"], "")), batch_format="pyarrow"
-        )
-        .groupby("sh")
-        .map_groups(shingle_pairs, batch_format="pandas")
-        .groupby(["a", "b"])
-        .aggregate(Sum("inter", alias_name="inter"))
-    )
-    sizes_pd = (
-        exploded.map_batches(
-            lambda b: b.filter(pc.equal(b["sh"], "")), batch_format="pyarrow"
-        )
-        .select_columns(["id", "nsh"])
-        .to_pandas()
-    )
-    import ray as _ray_bc
-
-    # broadcast once via plasma; a closure-captured dict would be
-    # re-pickled into every task
-    size_ref = _ray_bc.put(dict(zip(sizes_pd["id"], sizes_pd["nsh"])))
-
-    def finish(b: pa.Table) -> pa.Table:
-        import ray as _ray
-
-        size_map = _ray.get(size_ref)
-        a = b["a"].to_pylist()
-        bb = b["b"].to_pylist()
-        inter = b["inter"].to_numpy(zero_copy_only=False).astype(np.int64)
-        na = np.array([size_map[x] for x in a], dtype=np.int64)
-        nb = np.array([size_map[x] for x in bb], dtype=np.int64)
-        jac = inter / (na + nb - inter)
-        keep = inter >= min_inter
-        return pa.table(
+    def bucket_reduce(t: pa.Table) -> pa.Table:
+        empty = pa.table(
             {
-                "a": pa.array(np.asarray(a, dtype=object)[keep].tolist()),
-                "b": pa.array(np.asarray(bb, dtype=object)[keep].tolist()),
-                "inter": pa.array(inter[keep]),
-                "jaccard": pa.array(np.round(jac[keep], 6)),
+                "a": pa.array([], type=pa.int64()),
+                "b": pa.array([], type=pa.int64()),
+                "hamming": pa.array([], type=pa.int64()),
             }
         )
+        if t.num_rows == 0:
+            return empty
+        key = pa.table(
+            {
+                "k": pa.array(
+                    combine_hashes(
+                        t["band"].to_numpy(zero_copy_only=False).astype(np.uint64),
+                        t["key"].to_numpy(zero_copy_only=False).astype(np.uint64),
+                    )
+                ),
+                "id": t["id"],
+                "simhash": t["simhash"],
+            }
+        ).sort_by([("k", "ascending"), ("id", "ascending")])
+        starts, lens = _run_bounds(key["k"].combine_chunks())
+        a_idx, b_idx = _pair_indices(starts[lens >= 2], lens[lens >= 2])
+        if len(a_idx) == 0:
+            return empty
+        sims = key["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ham = _popcount64(sims[a_idx] ^ sims[b_idx])
+        keep = ham <= max_hamming
+        if not keep.any():
+            return empty
+        ids = key["id"].combine_chunks()
+        p = pa.table(
+            {
+                "a": pc.take(ids, pa.array(a_idx[keep])),
+                "b": pc.take(ids, pa.array(b_idx[keep])),
+                "hamming": pa.array(ham[keep]),
+            }
+        )
+        g = p.group_by(["a", "b"], use_threads=False).aggregate([("hamming", "min")])
+        return pa.table({"a": g["a"], "b": g["b"], "hamming": g["hamming_min"]})
 
-    return pairs.map_batches(finish, batch_format="pyarrow")
+    def pair_dedup(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        g = t.group_by(["a", "b"], use_threads=False).aggregate([("hamming", "min")])
+        return pa.table({"a": g["a"], "b": g["b"], "hamming": g["hamming_min"]})
 
+    cands = spill_exchange(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["band", "key"],
+        bucket_reduce,
+        num_parts=num_parts,
+    )
+    return spill_exchange(cands, ["a", "b"], pair_dedup, num_parts=num_parts)
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine pairs (exact, blocked)
+# ---------------------------------------------------------------------------
 
 def embedding_cosine_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id",
-                           vec_col: str = "embedding", matrix_ref=None):
-    """Embedding near-dup pairs: per-batch cosine against the broadcast
-    normalized matrix (numpy matmul); emits (a, b, cos) with a < b.
-    Scale path: LSH/IVF bucket the rows first (similarity.py)."""
-    import ray
+                           vec_col: str = "embedding", matrix_ref=None,
+                           block_rows: int = 4096):
+    """Exact embedding-cosine pairs (a < b, cos >= threshold) via
+    BLOCKED all-pairs: rows are grouped into normalized blocks held in
+    the object store, and one task per block PAIR computes a (block x
+    block) matmul — no task ever holds the full matrix, memory per task
+    is 2 blocks, and the O(N²) compute is spread across B(B+1)/2
+    independent tasks.  This is the exact path (a low threshold cannot
+    be served exactly by LSH/IVF pruning without recall loss); for
+    high-threshold near-dup at scale, prune candidates first with
+    :func:`minhash_lsh_candidates`-style bucketing on quantized vectors.
 
-    def pairs(batch: pa.Table) -> pa.Table:
-        ids_all, m_all = ray.get(matrix_ref)
+    ``matrix_ref`` (legacy broadcast path) is accepted for
+    compatibility but ignored.
+    """
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    root = os.path.join("/tmp/lighthouse_ray_xchg", "emb-" + uuid.uuid4().hex[:16])
+    os.makedirs(root, exist_ok=True)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        """Map side: normalize and persist one row block; only file
+        names flow to the driver (no row data leaves the workers)."""
+        import hashlib as _h
+
+        from ..util import atomic_write_bytes
+
+        if batch.num_rows == 0:
+            return pa.table({"file": pa.array([], type=pa.string())})
         emb = batch[vec_col].combine_chunks()
         flat = np.asarray(emb.flatten(), dtype=np.float64)
         m = flat.reshape(batch.num_rows, -1)
         m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        cos = m @ m_all.T
-        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
-        out_a, out_b, out_c = [], [], []
-        hit_r, hit_c = np.nonzero(cos >= threshold)
-        for r, c in zip(hit_r, hit_c):
-            a, b = int(ids[r]), int(ids_all[c])
-            if a < b:
-                out_a.append(a)
-                out_b.append(b)
-                out_c.append(round(float(cos[r, c]), 6))
-        return pa.table(
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table(
             {
-                "a": pa.array(out_a, type=pa.int64()),
-                "b": pa.array(out_b, type=pa.int64()),
-                "cos": pa.array(out_c, type=pa.float64()),
+                "id": pa.array(ids),
+                "vec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(m.reshape(-1)), m.shape[1]
+                ),
             }
         )
+        sink = pa.BufferOutputStream()
+        pq.write_table(t, sink, compression="zstd", compression_level=1)
+        data = sink.getvalue().to_pybytes()
+        # unique per attempt (manifest-listed, so identical blocks never
+        # collapse and failed-attempt orphans are ignored)
+        fname = f"{uuid.uuid4().hex[:16]}-{_h.sha256(data).hexdigest()[:12]}.parquet"
+        atomic_write_bytes(os.path.join(root, fname), data)
+        return pa.table({"file": pa.array([fname], type=pa.string())})
 
-    return ds.map_batches(pairs, batch_format="pyarrow")
+    files = sorted(
+        r["file"]
+        for r in ds.map_batches(
+            write_block, batch_format="pyarrow", batch_size=block_rows
+        ).take_all()
+    )
+    if not files:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([], type=pa.int64()),
+                    "b": pa.array([], type=pa.int64()),
+                    "cos": pa.array([], type=pa.float64()),
+                }
+            )
+        )
+
+    def _load(fname: str):
+        t = pq.read_table(os.path.join(root, fname))
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        vec = t["vec"].combine_chunks()
+        m = np.asarray(vec.flatten(), dtype=np.float64).reshape(len(t), -1)
+        return ids, m
+
+    def block_pair(b: pa.Table) -> pa.Table:
+        outs = []
+        for i, j in zip(b["i"].to_pylist(), b["j"].to_pylist()):
+            ids_a, ma = _load(files[i])
+            ids_b, mb = _load(files[j]) if j != i else (ids_a, ma)
+            cos = ma @ mb.T
+            if i == j:
+                iu = np.triu_indices(len(ids_a), k=1)
+                sel = cos[iu] >= threshold
+                aa, bb = ids_a[iu[0][sel]], ids_b[iu[1][sel]]
+                cc = cos[iu][sel]
+            else:
+                r, c = np.nonzero(cos >= threshold)
+                aa, bb, cc = ids_a[r], ids_b[c], cos[r, c]
+            lo = np.minimum(aa, bb)
+            hi = np.maximum(aa, bb)
+            outs.append(
+                pa.table(
+                    {
+                        "a": pa.array(lo),
+                        "b": pa.array(hi),
+                        "cos": pa.array(np.round(cc, 6)),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    items = [
+        {"i": i, "j": j}
+        for i in range(len(files))
+        for j in range(i, len(files))
+    ]
+    return rd.from_items(items, override_num_blocks=len(items)).map_batches(
+        block_pair, batch_format="pyarrow", batch_size=None
+    )
 
 
 # ---------------------------------------------------------------------------
 # Duplicate clusters: distributed connected components over candidate pairs
 # ---------------------------------------------------------------------------
 
-def _star_round(edges, large: bool):
-    """One alternating-star round (Kiveris et al., "Connected Components
-    in MapReduce and Beyond", SoCC'14) as pure Ray Data passes."""
-    import pyarrow.compute as pc
+def _to_np(col):
+    """Arrow column -> numpy (zero-copy ints, object strings)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_integer(arr.type):
+        return arr.to_numpy(zero_copy_only=False)
+    return np.asarray(arr.to_pylist(), dtype=object)
+
+
+def _star_reduce(large: bool):
+    """Vectorized star step over one exchange partition: sort (u, v),
+    dedupe, run-length by u, emit the round's edges per run with pure
+    numpy (works for int and string node ids)."""
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], type=t["u"].type),
+                    "b": pa.array([], type=t["v"].type),
+                }
+            )
+        t = t.sort_by([("u", "ascending"), ("v", "ascending")]).combine_chunks()
+        u = _to_np(t["u"])
+        v = _to_np(t["v"])
+        # dedupe consecutive duplicates of (u, v)
+        if len(u) > 1:
+            dup = np.empty(len(u), dtype=bool)
+            dup[0] = True
+            dup[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
+            u, v = u[dup], v[dup]
+        change = np.empty(len(u), dtype=bool)
+        change[0] = True
+        change[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(change)
+        lens = np.diff(np.append(starts, len(u)))
+        run_of = np.repeat(np.arange(len(starts)), lens)
+        u_run = u[starts]
+        vmin_run = v[starts]  # v sorted within run
+        if large:
+            m_run = np.minimum(u_run, vmin_run)
+            sel = v > u
+            out_a = v[sel]
+            out_b = m_run[run_of[sel]]
+        else:
+            # oriented input (u = hi, v = lo): m = min neighbor; emit
+            # (x, m) for every other small neighbor plus (u, m)
+            m_run = vmin_run
+            first_of_run = np.zeros(len(u), dtype=bool)
+            first_of_run[starts] = True
+            sel = ~first_of_run  # drop one copy of the min neighbor
+            out_a = np.concatenate([v[sel], u_run])
+            out_b = np.concatenate([m_run[run_of[sel]], m_run])
+        return pa.table({"a": pa.array(out_a), "b": pa.array(out_b)})
+
+    return reduce_fn
+
+
+def _star_round(edges, large: bool, num_parts: int):
+    """One alternating-star round (Kiveris et al., SoCC'14): a spill
+    exchange keyed by the star center u with a vectorized per-run
+    reduce."""
 
     def undirect(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -390,93 +825,65 @@ def _star_round(edges, large: bool):
         )
 
     def orient_to_max(b: pa.Table) -> pa.Table:
-        # small-star processes each edge at its larger endpoint
         hi = pc.max_element_wise(b["a"], b["b"])
         lo = pc.min_element_wise(b["a"], b["b"])
         return pa.table({"u": hi, "v": lo})
 
-    def star_group(g: pd.DataFrame) -> pd.DataFrame:
-        u = g["u"].iloc[0]
-        nbrs = np.unique(g["v"].to_numpy())
-        m = min(u, nbrs[0] if len(nbrs) else u)
-        if large:
-            out_v = nbrs[nbrs > u]          # attach strictly-larger nbrs to m
-        else:
-            out_v = np.unique(np.append(nbrs[nbrs <= u], u))
-            out_v = out_v[out_v != m]       # attach u and small nbrs to m
-        if len(out_v) == 0:
-            out_v = np.array([u]) if not large else np.array([], dtype=object)
-        return pd.DataFrame({"a": out_v, "b": np.full(len(out_v), m)})
-
     prep = undirect if large else orient_to_max
-    return (
-        edges.map_batches(prep, batch_format="pyarrow")
-        .groupby("u")
-        .map_groups(star_group, batch_format="pandas")
+    return spill_exchange(
+        edges.map_batches(prep, batch_format="pyarrow"),
+        "u",
+        _star_reduce(large),
+        num_parts=num_parts,
     )
 
 
-def connected_components(edges, nodes, max_rounds: int = 32):
-    """Connected components over an edge Dataset with string/int columns
-    (a, b); returns Dataset[(id, cluster)] where cluster is the minimum
-    node id of the component.  Alternating large-star / small-star
-    rounds (each a groupby exchange keyed by node — content-addressed,
-    layout-independent) until the edge multiset is stable, then a final
-    min-label pass; isolated nodes label themselves.
+def _edge_digest(ds) -> tuple:
+    """(count, xor-of-hashes) over the edge multiset — vectorized via
+    the routing hashes; used only to detect the star fixed point."""
+
+    def part(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"n": pa.array([0]), "x": pa.array([0], type=pa.uint64())})
+        h = combine_hashes(routing_hash(b["a"]), routing_hash(b["b"]))
+        return pa.table(
+            {
+                "n": pa.array([b.num_rows]),
+                "x": pa.array([int(np.bitwise_xor.reduce(h))], type=pa.uint64()),
+            }
+        )
+
+    rows = ds.map_batches(part, batch_format="pyarrow").take_all()
+    acc = 0
+    for r in rows:
+        acc ^= int(r["x"])
+    return (sum(r["n"] for r in rows), acc)
+
+
+def connected_components(edges, nodes, max_rounds: int = 32, num_parts: int = 32):
+    """Connected components over an edge Dataset with columns (a, b);
+    returns Dataset[(id, cluster)] where cluster is the minimum node id
+    of the component.  Alternating large-star / small-star rounds, each
+    a spill exchange keyed by node id with a vectorized per-run star
+    step, until the edge multiset is stable; then a min-label aggregate
+    and a union with self-labels for isolated nodes.
 
     ``nodes`` is a Dataset with column ``id`` covering every node
     (edges may touch a subset)."""
-    import pyarrow.compute as pc
-
-    def digest(ds) -> tuple:
-        def part(b: pa.Table) -> pa.Table:
-            import hashlib as _h
-
-            acc = 0
-            for a_, b_ in zip(b["a"].to_pylist(), b["b"].to_pylist()):
-                acc ^= int.from_bytes(
-                    _h.blake2b(f"{a_}\0{b_}".encode(), digest_size=8).digest(), "big"
-                )
-            return pa.table(
-                {"n": pa.array([b.num_rows]), "x": pa.array([acc], type=pa.uint64())}
-            )
-
-        rows = ds.map_batches(part, batch_format="pyarrow").take_all()
-        return (sum(r["n"] for r in rows), _xor([r["x"] for r in rows]))
-
-    def _xor(vals):
-        acc = 0
-        for v in vals:
-            acc ^= int(v)
-        return acc
+    from ray.data.aggregate import Min
 
     cur = edges
     prev_sig = None
     for _ in range(max_rounds):
-        cur = _star_round(cur, large=True).materialize()
-        cur = _star_round(cur, large=False).materialize()
-        sig = digest(cur)
+        cur = _star_round(cur, large=True, num_parts=num_parts).materialize()
+        cur = _star_round(cur, large=False, num_parts=num_parts).materialize()
+        sig = _edge_digest(cur)
         if sig == prev_sig:
             break
         prev_sig = sig
 
-    # final labels: min(b) per a over the star edges, then left-join the
-    # node universe (broadcast of the label table would not scale; the
-    # label assignment is itself a groupby exchange)
-    def min_label(g: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "id": pa.array([g["id"][0].as_py()]),
-                "cluster": pa.array([pc.min(g["cluster"]).as_py()]),
-            }
-        )
-
-    labels = (
-        cur.map_batches(
-            lambda b: pa.table({"id": b["a"], "cluster": b["b"]}), batch_format="pyarrow"
-        )
-        .groupby("id")
-        .map_groups(min_label, batch_format="pyarrow")
+    labels = cur.map_batches(
+        lambda b: pa.table({"id": b["a"], "cluster": b["b"]}), batch_format="pyarrow"
     )
     lab = labels.union(
         nodes.map_batches(
@@ -484,6 +891,6 @@ def connected_components(edges, nodes, max_rounds: int = 32):
             batch_format="pyarrow",
         )
     )
-    # per-id min resolves (star label) vs (self label) — isolated nodes
-    # keep themselves
-    return lab.groupby("id").map_groups(min_label, batch_format="pyarrow")
+    # per-id min resolves (star label) vs (self label); isolated nodes
+    # keep themselves.  Plain distributed aggregate — no per-group Python.
+    return lab.groupby("id").aggregate(Min("cluster", alias_name="cluster"))

@@ -1,0 +1,185 @@
+"""Generic map-side hash-partitioned spill exchange.
+
+The same exchange pattern the index build uses for its two wide
+shuffles (build/postings.py stage B/D): map tasks split every batch by
+a routing hash of the key column and write one content-addressed
+zstd-1 parquet file per non-empty partition; the reduce side is one
+task per partition, with every key's rows fully co-located.  No
+all-to-all sort anywhere; the reduce is embarrassingly parallel per
+partition, and partition count is configuration (never derived from
+cluster size), so results are layout- and parallelism-independent.
+
+Used by the near-dup family (shingle pair-counting, connected-
+components star rounds) — anywhere the per-group work is vectorizable
+over sorted runs but Ray's ``groupby().map_groups`` would invoke
+Python once per (tiny) group.
+
+The routing hash is deliberately WEAK (vectorized, collision-tolerant):
+collisions only co-locate extra keys in the same partition — they can
+never merge groups, because reduce functions group by the real key
+values inside the partition.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..util import atomic_write_bytes
+
+_SPLITMIX_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_SPLITMIX_C2 = np.uint64(0x94D049BB133111EB)
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over a uint64 array."""
+    z = x.astype(np.uint64, copy=True)
+    z += _GOLDEN
+    z ^= z >> np.uint64(30)
+    z *= _SPLITMIX_C1
+    z ^= z >> np.uint64(27)
+    z *= _SPLITMIX_C2
+    z ^= z >> np.uint64(31)
+    return z
+
+
+def routing_hash(col) -> np.ndarray:
+    """uint64 routing hash of an Arrow array/chunked array: splitmix64
+    for integer types, polars' vectorized seeded hash for strings."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type):
+        if pa.types.is_unsigned_integer(col.type):
+            v = col.cast(pa.uint64()).to_numpy(zero_copy_only=False)
+        else:
+            v = col.cast(pa.int64()).to_numpy(zero_copy_only=False).view(np.uint64)
+        return splitmix64(v)
+    import polars as pl
+
+    s = pl.from_arrow(col)
+    return s.hash(seed=17).to_numpy().astype(np.uint64, copy=False)
+
+
+def combine_hashes(*hs: np.ndarray) -> np.ndarray:
+    """Order-sensitive combination of routing hashes (for composite keys)."""
+    acc = hs[0]
+    for h in hs[1:]:
+        acc = splitmix64(acc ^ (h + _GOLDEN))
+    return acc
+
+
+class _SpillMap:
+    """Map side: split a batch by partition and spill each slice as one
+    content-addressed zstd-1 parquet (idempotent under task retries)."""
+
+    def __init__(self, key, num_parts: int, root: str):
+        self.key = key  # column name | list of names | callable(batch)->uint64[]
+        self.num_parts = num_parts
+        self.root = root
+
+    def _parts(self, batch: pa.Table) -> np.ndarray:
+        if callable(self.key):
+            h = np.asarray(self.key(batch), dtype=np.uint64)
+        elif isinstance(self.key, (list, tuple)):
+            h = combine_hashes(*(routing_hash(batch[k]) for k in self.key))
+        else:
+            h = routing_hash(batch[self.key])
+        return (h % np.uint64(self.num_parts)).astype(np.int32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows_part, rows_file = [], []
+        if batch.num_rows:
+            part = self._parts(batch)
+            order = np.argsort(part, kind="stable")
+            ts = batch.take(pa.array(order))
+            part_s = part[order]
+            change = np.empty(len(part_s), dtype=bool)
+            change[0] = True
+            np.not_equal(part_s[1:], part_s[:-1], out=change[1:])
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], len(part_s))
+            # one uuid per map call: files are unique per attempt, and the
+            # reduce reads ONLY manifest-listed files (from successful
+            # attempts), so identical-content batches never collapse and
+            # failed-attempt orphans are ignored — Spark-style shuffle
+            # output registration, not content-addressing (which would
+            # merge byte-identical spills from different batches and
+            # silently break multiset semantics)
+            call_id = uuid.uuid4().hex[:16]
+            for s, e in zip(starts, ends):
+                p = int(part_s[s])
+                sub = ts.slice(s, e - s).combine_chunks()
+                sink = pa.BufferOutputStream()
+                pq.write_table(sub, sink, compression="zstd", compression_level=1)
+                data = sink.getvalue().to_pybytes()
+                fname = f"{call_id}-{hashlib.sha256(data).hexdigest()[:12]}.parquet"
+                atomic_write_bytes(os.path.join(self.root, f"part={p}", fname), data)
+                rows_part.append(p)
+                rows_file.append(fname)
+        return pa.table(
+            {
+                "part": pa.array(rows_part, type=pa.int32()),
+                "file": pa.array(rows_file, type=pa.string()),
+            }
+        )
+
+
+def spill_exchange(ds, key, reduce_fn, num_parts: int = 32, spill_root: str | None = None):
+    """Exchange ``ds`` by ``key`` and apply ``reduce_fn`` once per
+    partition.
+
+    - ``key``: column name, list of column names (composite), or a
+      callable ``batch -> np.uint64[]`` producing the routing hash.
+    - ``reduce_fn(table: pa.Table) -> pa.Table`` sees ALL rows of every
+      key routed to that partition (multiple keys per partition; group
+      by the real key values inside).
+    - ``num_parts`` is configuration: at cluster scale set it to a few
+      x total cores; it never changes results.
+
+    Returns the Dataset of concatenated reduce outputs.  The map side
+    materializes only a tiny (part, file) manifest on the driver; row
+    data goes disk-to-disk through the spills.
+    """
+    import ray.data as rd
+
+    root = spill_root or os.path.join(
+        "/tmp/lighthouse_ray_xchg", uuid.uuid4().hex[:16]
+    )
+    os.makedirs(root, exist_ok=True)
+    manifest = ds.map_batches(
+        _SpillMap(key, num_parts, root), batch_format="pyarrow"
+    ).take_all()
+    part_files: dict[int, list[str]] = {}
+    for r in manifest:
+        part_files.setdefault(int(r["part"]), []).append(r["file"])
+    parts = sorted(part_files)
+    if not parts:
+        # empty input: derive the reduce output schema from an empty table
+        empty_in = pa.schema(
+            [(n, t) for n, t in zip(ds.schema().names, ds.schema().types)]
+        ).empty_table()
+        return rd.from_arrow(reduce_fn(empty_in))
+
+    def reduce_batch(b: pa.Table) -> pa.Table:
+        outs = []
+        for p, files in zip(b["part"].to_pylist(), b["files"].to_pylist()):
+            t = pa.concat_tables(
+                pq.read_table(os.path.join(root, f"part={int(p)}", f)) for f in files
+            )
+            outs.append(reduce_fn(t))
+        return pa.concat_tables(outs, promote_options="default")
+
+    return (
+        rd.from_items(
+            [{"part": p, "files": sorted(part_files[p])} for p in parts],
+            override_num_blocks=len(parts),
+        )
+        .map_batches(reduce_batch, batch_format="pyarrow", batch_size=None)
+    )

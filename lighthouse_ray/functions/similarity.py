@@ -80,57 +80,97 @@ def kmeans_centroids(mat: np.ndarray, n_clusters: int, iters: int = 10, seed: in
 
 
 class IvfIndex:
-    """Coarse quantizer + bucketed vectors held in the object store."""
+    """Coarse quantizer + bucketed vectors as partitioned parquet (one
+    directory per centroid).  The driver holds ONLY the centroid matrix
+    and the per-bucket file lists — row data never passes through it."""
 
-    def __init__(self, centroids: np.ndarray, bucket_refs: dict[int, object]):
+    def __init__(self, centroids: np.ndarray, root: str, bucket_files: dict[int, list[str]],
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
         self.centroids = centroids
-        self.bucket_refs = bucket_refs
+        self.root = root
+        self.bucket_files = bucket_files
+        self.id_col = id_col
+        self.vec_col = vec_col
 
 
 def ivf_index(ds, n_clusters: int = 16, id_col: str = "vec_id",
-              vec_col: str = "embedding", sample_rows: int = 10_000) -> IvfIndex:
-    """Train the coarse quantizer on a driver-side sample, then bucket
-    all rows by nearest centroid with a map_batches pass; each bucket is
-    ``ray.put`` as a (ids, matrix) pair.  At scale buckets would be
-    parquet partitions (one dir per centroid) instead of plasma objects.
+              vec_col: str = "embedding", sample_rows: int = 10_000,
+              out_dir: str | None = None) -> IvfIndex:
+    """Train the coarse quantizer on a bounded driver-side sample, then
+    bucket all rows by nearest centroid INSIDE map tasks, each task
+    writing its rows as one parquet file per touched bucket directory
+    (``bucket=N/``).  Only the (bucket, file) manifest reaches the
+    driver; probes later read just the probed bucket partitions.
     """
+    import os
+    import uuid
+
     import ray
+
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from ..util import atomic_write_bytes
 
     sample = ds.limit(sample_rows).to_pandas()
     mat = np.stack(sample[vec_col].to_numpy())
     cent = kmeans_centroids(mat.astype(np.float64), n_clusters)
     cref = ray.put(cent)
+    root = out_dir or os.path.join("/tmp/lighthouse_ray_ivf", uuid.uuid4().hex[:16])
+    os.makedirs(root, exist_ok=True)
 
-    def assign(batch: pa.Table) -> pa.Table:
+    def assign_write(batch: pa.Table) -> pa.Table:
         import ray as _r
 
-        c = _r.get(cref)
-        m = _to_matrix(batch, vec_col)
-        d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-        return batch.append_column("bucket", pa.array(d.argmin(axis=1).astype(np.int32)))
+        rows_b, rows_f = [], []
+        if batch.num_rows:
+            c = _r.get(cref)
+            m = _to_matrix(batch, vec_col)
+            d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            bk = d.argmin(axis=1).astype(np.int32)
+            order = np.argsort(bk, kind="stable")
+            ts = batch.take(pa.array(order))
+            bk_s = bk[order]
+            change = np.empty(len(bk_s), dtype=bool)
+            change[0] = True
+            np.not_equal(bk_s[1:], bk_s[:-1], out=change[1:])
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], len(bk_s))
+            call_id = uuid.uuid4().hex[:12]
+            for s, e in zip(starts, ends):
+                g = int(bk_s[s])
+                sub = ts.slice(s, e - s).combine_chunks()
+                sink = pa.BufferOutputStream()
+                pq.write_table(sub, sink, compression="zstd", compression_level=1)
+                data = sink.getvalue().to_pybytes()
+                fname = f"{call_id}-{hashlib.sha256(data).hexdigest()[:12]}.parquet"
+                atomic_write_bytes(os.path.join(root, f"bucket={g}", fname), data)
+                rows_b.append(g)
+                rows_f.append(fname)
+        return pa.table(
+            {
+                "bucket": pa.array(rows_b, type=pa.int32()),
+                "file": pa.array(rows_f, type=pa.string()),
+            }
+        )
 
-    assigned = ds.map_batches(assign, batch_format="pyarrow")
-    buckets: dict[int, list] = {}
-    for b in assigned.iter_batches(batch_format="pyarrow"):
-        ids = b[id_col].to_numpy(zero_copy_only=False)
-        m = _to_matrix(b, vec_col)
-        for bk in np.unique(b["bucket"].to_numpy(zero_copy_only=False)):
-            sel = b["bucket"].to_numpy(zero_copy_only=False) == bk
-            buckets.setdefault(int(bk), []).append((ids[sel], m[sel]))
-    import ray as _r
-
-    refs = {}
-    for bk, parts in buckets.items():
-        ids = np.concatenate([p[0] for p in parts])
-        m = np.concatenate([p[1] for p in parts])
-        order = np.argsort(ids)
-        refs[bk] = _r.put((ids[order], m[order]))
-    return IvfIndex(cent, refs)
+    manifest = ds.map_batches(assign_write, batch_format="pyarrow").take_all()
+    bucket_files: dict[int, list[str]] = {}
+    for r in manifest:
+        bucket_files.setdefault(int(r["bucket"]), []).append(r["file"])
+    return IvfIndex(cent, root, {k: sorted(v) for k, v in bucket_files.items()},
+                    id_col=id_col, vec_col=vec_col)
 
 
 def ivf_topk(index: IvfIndex, query_vec: np.ndarray, k: int = 10, nprobe: int = 4) -> pd.DataFrame:
-    """Probe the nprobe nearest buckets; exact cosine within them."""
-    import ray
+    """Probe the nprobe nearest buckets (reading only their parquet
+    partitions); exact cosine within them.  Scores are rounded to 6
+    decimals BEFORE the (cos desc, id asc) tie-break so full-probe mode
+    is bit-identical to the brute-force/SQL baseline."""
+    import os
+
+    import pyarrow.parquet as pq
 
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / max(np.linalg.norm(q), 1e-12)
@@ -138,16 +178,20 @@ def ivf_topk(index: IvfIndex, query_vec: np.ndarray, k: int = 10, nprobe: int = 
     probe = np.argsort(d)[:nprobe]
     ids_all, cos_all = [], []
     for bk in probe:
-        ref = index.bucket_refs.get(int(bk))
-        if ref is None:
+        files = index.bucket_files.get(int(bk))
+        if not files:
             continue
-        ids, m = ray.get(ref)
+        t = pa.concat_tables(
+            pq.read_table(os.path.join(index.root, f"bucket={int(bk)}", f)) for f in files
+        )
+        ids = t[index.id_col].to_numpy(zero_copy_only=False)
+        m = _to_matrix(t, index.vec_col)
         mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         ids_all.append(ids)
         cos_all.append(mn @ qn)
     if not ids_all:
         return pd.DataFrame({"vec_id": [], "cos": []})
     ids = np.concatenate(ids_all)
-    cos = np.concatenate(cos_all)
+    cos = np.round(np.concatenate(cos_all), 6)
     order = np.lexsort((ids, -cos))[:k]
-    return pd.DataFrame({"vec_id": ids[order], "cos": np.round(cos[order], 6)})
+    return pd.DataFrame({"vec_id": ids[order], "cos": cos[order]})

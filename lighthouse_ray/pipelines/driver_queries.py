@@ -750,18 +750,19 @@ def q_lang_id(sf_dir: str):
     return lang_id(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
-def q_ngram_jaccard(sf_dir: str):
-    """Exact token-3-gram Jaccard pairs via a shingle inverted index
-    (near-dup dedup family, oracle-checked)."""
-    from ..functions.dedup import ngram_jaccard_pairs
+NGRAM_MAX_DF = 1000  # hot-shingle df cap: part of the operator semantics
 
-    return ngram_jaccard_pairs(
-        _read(sf_dir, "documents", ["doc_id", "text"]), n=3, min_inter=5
+
+def _sh_cte(max_df: int | None) -> str:
+    """Shared shingle/sizes/pairs CTE block (3-gram string shingles,
+    optional hot-shingle df cap mirroring the Ray operators)."""
+    hot = (
+        f"hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > {max_df}),"
+        if max_df is not None
+        else ""
     )
-
-
-SQL_NGRAM_JACCARD = f"""
-WITH toks AS (SELECT doc_id, {TOK} AS t FROM documents),
+    hot_filter = "WHERE x.s NOT IN (SELECT s FROM hot)" if max_df is not None else ""
+    return f"""toks AS (SELECT doc_id, {TOK} AS t FROM documents),
 sizes AS (
   SELECT doc_id,
          CAST(len(list_distinct(list_transform(range(1, len(t) - 1),
@@ -773,11 +774,29 @@ sh AS (
          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
   FROM toks
 ),
+{hot}
 pairs AS (
   SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS inter
   FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  {hot_filter}
   GROUP BY x.doc_id, y.doc_id
-)
+)"""
+
+
+def q_ngram_jaccard(sf_dir: str):
+    """Exact token-3-gram Jaccard pairs via a shingle inverted index
+    (near-dup dedup family, oracle-checked; hot shingles with
+    df > NGRAM_MAX_DF dropped on BOTH sides)."""
+    from ..functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), n=3, min_inter=5,
+        max_df=NGRAM_MAX_DF,
+    )
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH {_sh_cte(NGRAM_MAX_DF)}
 SELECT p.a, p.b, p.inter,
        round(CAST(p.inter AS DOUBLE) / (sa.nsh + sb.nsh - p.inter), 6) AS jaccard
 FROM pairs p JOIN sizes sa ON p.a = sa.doc_id JOIN sizes sb ON p.b = sb.doc_id
@@ -793,7 +812,7 @@ def q_dup_clusters(sf_dir: str):
     from ..functions.dedup import connected_components, ngram_jaccard_pairs
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    pairs = ngram_jaccard_pairs(docs, n=3, min_inter=5)
+    pairs = ngram_jaccard_pairs(docs, n=3, min_inter=5, max_df=NGRAM_MAX_DF)
     edges = pairs.map_batches(
         lambda b: b.select(["a", "b"]), batch_format="pyarrow"
     )
@@ -801,7 +820,9 @@ def q_dup_clusters(sf_dir: str):
         lambda b: pa.table({"id": b["doc_id"]}), batch_format="pyarrow"
     )
     return connected_components(edges, nodes).map_batches(
-        lambda b: pa.table({"doc_id": b["id"], "cluster": b["cluster"]}),
+        lambda b: pa.table(
+            {"doc_id": b["id"].cast(pa.int64()), "cluster": b["cluster"].cast(pa.int64())}
+        ),
         batch_format="pyarrow",
     )
 
@@ -813,9 +834,11 @@ sh AS (
          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
   FROM toks
 ),
+hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > {NGRAM_MAX_DF}),
 pairs AS (
   SELECT x.doc_id AS a, y.doc_id AS b
   FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  WHERE x.s NOT IN (SELECT s FROM hot)
   GROUP BY x.doc_id, y.doc_id
   HAVING count(*) >= 5
 ),
@@ -830,21 +853,13 @@ SELECT id AS doc_id, min(label) AS cluster FROM reach GROUP BY id
 
 
 def q_embedding_near_dup(sf_dir: str):
-    """Embedding-cosine near-duplicate pairs against a broadcast
-    normalized matrix (oracle: SQL self-join on list_cosine_similarity)."""
-    import ray
-
-    import pyarrow.parquet as pq
-
+    """Embedding-cosine near-duplicate pairs via blocked exact all-pairs
+    (one task per block pair, never the full matrix; oracle: SQL
+    self-join on list_cosine_similarity)."""
     from ..functions.dedup import embedding_cosine_pairs
 
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
-    ids = t["vec_id"].to_numpy()
-    m = np.asarray(t["embedding"].combine_chunks().flatten(), dtype=np.float64).reshape(len(t), -1)
-    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-    ref = ray.put((ids.astype(np.int64), m))
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return embedding_cosine_pairs(ds, threshold=0.4, matrix_ref=ref)
+    return embedding_cosine_pairs(ds, threshold=0.4)
 
 
 SQL_EMBEDDING_NEAR_DUP = """
@@ -899,26 +914,68 @@ FROM documents
 """
 
 
-def q_minhash_lsh(sf_dir: str):
-    """MinHash+LSH near-dup candidates (rows-only driver check; the
-    estimator math is pinned by unit tests against exact Jaccard)."""
-    from ..functions.dedup import minhash_lsh_candidates
+MINHASH_THRESHOLD = 0.5
 
-    return minhash_lsh_candidates(
-        _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.3, k=3
+
+def q_minhash_lsh(sf_dir: str):
+    """MinHash+LSH near-dup pairs with exact verification: banded-LSH
+    candidates, exact distinct-3-shingle Jaccard per candidate, keep
+    >= MINHASH_THRESHOLD.  With 32 bands of 2 rows the probability of
+    missing a pair at j >= 0.5 is (1-j^2)^32 <= 7e-5 and the pipeline
+    is fully deterministic, so the output equals the exact SQL
+    definition (oracle-checked)."""
+    from ..functions.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        threshold=MINHASH_THRESHOLD, k=3,
     )
 
 
+SQL_MINHASH_LSH = f"""
+WITH {_sh_cte(None)}
+SELECT * FROM (
+  SELECT p.a, p.b, p.inter,
+         round(CAST(p.inter AS DOUBLE) / (sa.nsh + sb.nsh - p.inter), 6) AS jaccard
+  FROM pairs p JOIN sizes sa ON p.a = sa.doc_id JOIN sizes sb ON p.b = sb.doc_id
+) WHERE jaccard >= {MINHASH_THRESHOLD}
+"""
+
+
 def q_simhash_dedup(sf_dir: str):
-    """SimHash hamming<=3 candidates (rows-only driver check)."""
+    """ALL pairs with simhash hamming <= 3 (pigeonhole bands have
+    recall exactly 1, and token hashes are md5-low64, so the SQL oracle
+    recomputes the identical signatures)."""
     from ..functions.dedup import simhash_candidates
 
     return simhash_candidates(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+SQL_SIMHASH_DEDUP = f"""
+WITH toks AS (SELECT doc_id, unnest({TOK}) AS t FROM documents),
+h AS (SELECT doc_id, md5_number_lower(t) AS hv FROM toks),
+bits AS (
+  SELECT doc_id, b,
+         CASE WHEN sum(CASE WHEN (hv >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) > 0
+              THEN 1 ELSE 0 END AS bit
+  FROM h CROSS JOIN range(0, 64) r(b) GROUP BY doc_id, b
+),
+sig AS (SELECT doc_id, list(bit ORDER BY b) AS bits FROM bits GROUP BY doc_id),
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         CAST(len(list_filter(range(1, 65), i -> x.bits[i] <> y.bits[i])) AS BIGINT) AS hamming
+  FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+)
+SELECT a, b, hamming FROM pairs WHERE hamming <= 3
+"""
+
+
 def q_ann_ivf_topk(sf_dir: str):
-    """IVF approximate top-k (rows-only; recall vs brute force is
-    asserted in tests/test_functions.py)."""
+    """IVF top-k in full-probe mode (nprobe = n_clusters): exercises the
+    whole IVF machinery (coarse quantizer, partitioned parquet buckets,
+    probe reads) while being provably identical to brute force, so the
+    brute-force SQL is its oracle.  Partial-probe recall is asserted in
+    tests/test_functions.py."""
     from ..functions.similarity import ivf_index, ivf_topk
 
     import pyarrow.parquet as pq
@@ -927,8 +984,10 @@ def q_ann_ivf_topk(sf_dir: str):
     q = np.asarray(t.filter(pc.equal(t["vec_id"], 0))["embedding"][0].as_py(), dtype=np.float64)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     idx = ivf_index(ds, n_clusters=8)
-    out = ivf_topk(idx, q, k=11, nprobe=4)
-    return out[out["vec_id"] != 0].head(10).reset_index(drop=True)
+    out = ivf_topk(idx, q, k=11, nprobe=8)
+    out = out[out["vec_id"] != 0].head(10).reset_index(drop=True)
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -993,8 +1052,12 @@ def make_oracle_sql() -> dict:
         "dup_clusters": SQL_DUP_CLUSTERS,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
         "multimodal_meta": SQL_MULTIMODAL_META,
-        # minhash_lsh / simhash_dedup / ann_ivf_topk are approximate ->
-        # rows-only driver check; pinned in tests/test_functions.py
+        # minhash: LSH candidates + exact verification == exact SQL;
+        # simhash: pigeonhole recall is exactly 1 == exact SQL;
+        # ann_ivf: full-probe mode == brute force == the cosine SQL
+        "minhash_lsh": SQL_MINHASH_LSH,
+        "simhash_dedup": SQL_SIMHASH_DEDUP,
+        "ann_ivf_topk": SQL_ANN_COSINE_TOPK,
     }
 
 

@@ -42,15 +42,25 @@ def test_minhash_estimates_jaccard():
 def test_minhash_lsh_finds_near_dups(ray_session):
     import ray.data as rd
 
-    from lighthouse_ray.functions.dedup import minhash_lsh_candidates
+    from lighthouse_ray.functions.dedup import minhash_dedup_pairs
 
     rows = [BASE, NEAR, OTHER, "unrelated text about parquet readers and arrow batches ok"]
-    out = minhash_lsh_candidates(
+    out = minhash_dedup_pairs(
         rd.from_arrow(_docs_table(rows)), threshold=0.3, k=3
     ).to_pandas()
     pairs = set(zip(out["a"], out["b"]))
     assert (0, 1) in pairs
     assert (0, 2) not in pairs and (2, 3) not in pairs
+    # emitted jaccard values are EXACT (verified), not estimates
+    from lighthouse_ray.analysis import tokenize_text
+
+    def shset(s):
+        toks = tokenize_text(s)
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    want = len(shset(BASE) & shset(NEAR)) / len(shset(BASE) | shset(NEAR))
+    got = out[(out["a"] == 0) & (out["b"] == 1)]["jaccard"].iloc[0]
+    assert got == pytest.approx(want, abs=1e-6)
 
 
 def test_simhash_near_dup(ray_session):
@@ -219,3 +229,47 @@ def test_connected_components_long_path(ray_session):
     nds = rd.from_items([{"id": i} for i in ids])
     got = {r["id"]: r["cluster"] for r in connected_components(eds, nds).take_all()}
     assert set(got.values()) == {ids[0]}
+
+
+def test_spill_exchange_preserves_multisets(ray_session):
+    """Identical-content batches must NOT collapse: the exchange names
+    spill files per attempt and reduces only manifest-listed files
+    (regression: content-addressed names merged byte-identical spills
+    from different batches and silently dropped duplicates)."""
+    import ray.data as rd
+
+    from lighthouse_ray.functions.exchange import spill_exchange
+
+    # 6 single-row blocks, all identical -> identical spill content
+    items = [{"k": 1, "v": 1}] * 6
+    ds = rd.from_items(items, override_num_blocks=6)
+    out = spill_exchange(
+        ds,
+        "k",
+        lambda t: pa.table({"n": pa.array([t.num_rows], type=pa.int64())}),
+        num_parts=4,
+    ).take_all()
+    assert sum(r["n"] for r in out) == 6
+
+
+def test_ngram_jaccard_hot_shingle_capped(ray_session):
+    """One shingle shared by every doc must not blow up into O(N^2)
+    pairs: with df > max_df it is dropped before pairing, so only the
+    genuinely-similar pair (sharing many rare shingles) survives."""
+    import ray.data as rd
+
+    from lighthouse_ray.functions.dedup import ngram_jaccard_pairs
+
+    hot = "common header line here"  # 4 tokens -> 2 hot 3-gram shingles
+    n = 120
+    rows = [f"{hot} unique{i} filler{i} token{i} word{i}" for i in range(n)]
+    # one genuinely similar pair sharing a long rare tail
+    tail = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows[5] = f"{hot} {tail} one"
+    rows[7] = f"{hot} {tail} two"
+    ds = rd.from_arrow(_docs_table(rows))
+    out = ngram_jaccard_pairs(ds, n=3, min_inter=3, max_df=50).to_pandas()
+    pairs = set(zip(out["a"], out["b"]))
+    assert (5, 7) in pairs
+    # no pair exists solely through the hot shingles
+    assert len(pairs) == 1
