@@ -4,6 +4,7 @@
     python -m lighthouse_ray search --index <dir> -s "query" [--size N] [--from N] [--channel X] ...
     python -m lighthouse_ray autocomplete --index <dir> -s "pref" [--size N]
     python -m lighthouse_ray status --index <dir>
+    python -m lighthouse_ray serve  --index <dir> [--host H] [--port P] [--replicas N]
 
 The CLI owns its Ray session (library code never calls ray.init).
 """
@@ -63,7 +64,33 @@ def main(argv: list[str] | None = None) -> int:
     st = sub.add_parser("status")
     st.add_argument("--index", required=True)
 
+    sv = sub.add_parser("serve", help="HTTP API server (/search /autocomplete /status /metrics)")
+    sv.add_argument("--index", required=True)
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=50005)  # reference default, app/test/test.go:21
+    sv.add_argument("--replicas", type=int, default=2)
+    sv.add_argument("--num-cpus", type=int, default=None)
+
     args = p.parse_args(argv)
+
+    if args.cmd == "serve":
+        _init_ray(args.num_cpus)
+        import ray
+
+        from .query.http_server import LighthouseHTTPServer
+
+        srv = LighthouseHTTPServer(
+            args.index, host=args.host, port=args.port, num_replicas=args.replicas
+        )
+        print(json.dumps({"serving": f"http://{args.host}:{srv.port}/search?s=test"}))
+        try:
+            srv.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            srv.stop()
+            ray.shutdown()
+        return 0
 
     if args.cmd == "build":
         _init_ray(args.num_cpus)
