@@ -29,6 +29,7 @@ The caller owns the Ray session; this module never calls ray.init.
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import shutil
 import time
@@ -164,21 +165,23 @@ def build_index(
         if part_rows[p] > 0
     ]
 
-    # doc_id -> ordinal broadcast map from the (small) doc-store meta;
-    # used to filter the df sample to live winners and by the tokenizer
+    # doc_id -> ordinal broadcast map from the (small) doc-store meta.
+    # The 128-bit identity keys were precomputed in the (parallel)
+    # finalize tasks, so the driver only reads four numeric columns and
+    # lexsorts — no serial hex re-parse of 100 chars/row here.
     import pyarrow.dataset as pads
 
-    from .docs import build_ordinal_map, lookup_ordinals
+    from .docs import lookup_ordinals
 
     meta = pads.dataset(docstore_paths).to_table(
-        columns=["doc_id", "content_sha256", "part", "rank"]
+        columns=["key_hi", "key_lo", "part", "rank"]
     )
     off = np.asarray(offsets, dtype=np.int64)
-    ord_map = build_ordinal_map(
-        meta["doc_id"],
-        meta["content_sha256"],
-        off[meta["part"].to_numpy()] + meta["rank"].to_numpy(),
-    )
+    ordv = off[meta["part"].to_numpy()] + meta["rank"].to_numpy()
+    hi = meta["key_hi"].to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+    lo = meta["key_lo"].to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+    order = np.lexsort((lo, hi))
+    ord_map = (hi[order], lo[order], np.ascontiguousarray(ordv, dtype=np.int64)[order])
 
     # ---- Stage H: hot-term estimate ----------------------------------------
     if "hot_terms" not in stages:
@@ -246,13 +249,30 @@ def build_index(
         t0 = time.time()
         import ray as _ray
 
-        # per-FILE resume: completed payload files are recorded in
-        # postings_progress as their spill rows arrive; a killed build
-        # re-runs only the missing ones (spill writes content-addressed,
-        # so re-running a half-finished file is idempotent)
-        progress: dict = manifest.get("postings_progress", {}) if resume else {}
+        # per-FILE resume: completed payload files are recorded in an
+        # APPEND-ONLY progress log (one JSON line per finished file) as
+        # their spill rows arrive; a killed build re-runs only the
+        # missing ones (spill writes content-addressed, so re-running a
+        # half-finished file is idempotent).  A log APPEND is O(1) per
+        # file — rewriting the whole manifest per checkpoint would cost
+        # O(files²) driver time and was ~3 s of pure JSON encoding at
+        # 878k docs (and far worse at cluster scale).
+        progress_path = os.path.join(index_dir, "postings_progress.jsonl")
+        progress: dict = {}
+        if resume:
+            # legacy manifests carried the progress inline
+            progress.update(manifest.get("postings_progress", {}))
+            if os.path.exists(progress_path):
+                with open(progress_path) as fh:
+                    for line in fh:
+                        line = line.strip()
+                        if line:
+                            e = json.loads(line)
+                            progress[e.pop("src")] = e  # last-wins per file
         if not progress:
             shutil.rmtree(postings_dir, ignore_errors=True)
+            if os.path.exists(progress_path):
+                os.unlink(progress_path)
         files = sorted(f for f in os.listdir(payload_dir) if f.endswith(".parquet"))
         todo = [f for f in files if f not in progress]
 
@@ -291,9 +311,10 @@ def build_index(
                 )
             stream = mapped.iter_batches(batch_size=None, batch_format="pyarrow")
             pending = 0
-            manifest["postings_progress"] = progress
+            log_fh = open(progress_path, "a")
             try:
                 for b in stream:
+                    batch_srcs: dict[str, dict] = {}
                     for src, grp, rows_, bytes_, sha in zip(
                         b["src"].to_pylist(),
                         b["grp"].to_pylist(),
@@ -302,18 +323,25 @@ def build_index(
                         b["sha256"].to_pylist(),
                     ):
                         e = progress.setdefault(src, {"rows": 0, "bytes": 0, "spills": []})
+                        batch_srcs[src] = e
                         if sha:
                             e["rows"] += int(rows_)
                             e["bytes"] += int(bytes_)
                             e["spills"].append([int(grp), sha])
+                    # one output batch == one payload file (one task), so
+                    # every src in this batch is now COMPLETE: append its
+                    # line — the durable resume point
+                    for src, e in batch_srcs.items():
+                        log_fh.write(json.dumps({"src": src, **e}) + "\n")
                     pending += 1
-                    if pending >= 8:  # amortize manifest writes under many tiny files
-                        atomic_write_json(_manifest_path(index_dir), manifest)
+                    if pending >= 8:  # amortize fsyncs under many tiny files
+                        log_fh.flush()
+                        os.fsync(log_fh.fileno())
                         pending = 0
             finally:
-                # persist whatever completed before a crash — that is the
-                # resume point
-                atomic_write_json(_manifest_path(index_dir), manifest)
+                log_fh.flush()
+                os.fsync(log_fh.fileno())
+                log_fh.close()
             missing = [f for f in todo if f not in progress]
             if missing:
                 raise RuntimeError(
@@ -335,6 +363,8 @@ def build_index(
         }
         manifest.pop("postings_progress", None)
         atomic_write_json(_manifest_path(index_dir), manifest)
+        if os.path.exists(progress_path):
+            os.unlink(progress_path)  # folded into the stage record above
 
     # ---- Stage D: segments + doclens (the exchange reduce) -------------------
     seg_done: dict = stages.get("segments", {}).get("shards", {})

@@ -165,7 +165,7 @@ def derive_batch(
         }
     )
     sink = pa.BufferOutputStream()
-    pq.write_table(payload, sink, compression="zstd", compression_level=1)
+    pq.write_table(payload, sink, compression="zstd", compression_level=1, write_statistics=False)
     atomic_write_bytes(os.path.join(payload_dir, fname), sink.getvalue().to_pybytes())
 
     # deterministic 1/df_sample_mod content sample, spilled alongside so the
@@ -175,7 +175,7 @@ def derive_batch(
     if sample_mask.any():
         sample = payload.filter(pa.array(sample_mask)).select(["doc_id", "content_sha256", "content"])
         sink2 = pa.BufferOutputStream()
-        pq.write_table(sample, sink2, compression="zstd", compression_level=1)
+        pq.write_table(sample, sink2, compression="zstd", compression_level=1, write_statistics=False)
         atomic_write_bytes(
             os.path.join(payload_dir + "_dfsample", fname), sink2.getvalue().to_pybytes()
         )
@@ -204,7 +204,7 @@ def derive_batch(
             p = int(part_s[s])
             sub = ts.slice(s, e - s).combine_chunks()
             sink3 = pa.BufferOutputStream()
-            pq.write_table(sub, sink3, compression="zstd", compression_level=1)
+            pq.write_table(sub, sink3, compression="zstd", compression_level=1, write_statistics=False)
             data = sink3.getvalue().to_pybytes()
             digest = hashlib.sha256(data).hexdigest()
             pfname = f"{digest[:24]}.parquet"
@@ -251,6 +251,11 @@ def make_finalize_part(index_dir: str, cfg: IndexConfig):
         digest = hashlib.sha256(
             "".join(sorted(df["content_sha256"].tolist())).encode()
         ).hexdigest()
+        # precompute the 128-bit row-identity key here (32-wide, in
+        # parallel) so the driver's ordinal-map build reads two numeric
+        # columns instead of re-parsing 100 hex chars per row serially
+        df["key_hi"] = hex_prefix_u64(df["doc_id"].tolist())
+        df["key_lo"] = hex_prefix_u64(df["content_sha256"].tolist())
         out = pa.Table.from_pandas(df, preserve_index=False)
         sink = pa.BufferOutputStream()
         pq.write_table(out, sink, compression="zstd")

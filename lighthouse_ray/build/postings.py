@@ -151,7 +151,7 @@ class TokenizerStage:
                 g = int(grp_s[s])
                 sub = ts.slice(s, e - s).combine_chunks()
                 sink = pa.BufferOutputStream()
-                pq.write_table(sub, sink, compression="zstd", compression_level=1)
+                pq.write_table(sub, sink, compression="zstd", compression_level=1, write_statistics=False)
                 data = sink.getvalue().to_pybytes()
                 digest = hashlib.sha256(data).hexdigest()
                 fname = f"{digest[:24]}.parquet"

@@ -117,7 +117,7 @@ class _SpillMap:
                 p = int(part_s[s])
                 sub = ts.slice(s, e - s).combine_chunks()
                 sink = pa.BufferOutputStream()
-                pq.write_table(sub, sink, compression="zstd", compression_level=1)
+                pq.write_table(sub, sink, compression="zstd", compression_level=1, write_statistics=False)
                 data = sink.getvalue().to_pybytes()
                 fname = f"{call_id}-{hashlib.sha256(data).hexdigest()[:12]}.parquet"
                 atomic_write_bytes(os.path.join(self.root, f"part={p}", fname), data)

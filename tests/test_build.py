@@ -258,7 +258,11 @@ def test_resume_mid_tokenize(ray_session, built, tmp_path):
         build_index(src(), idx5, cfg_fail)
     man = json.load(open(os.path.join(idx5, "manifest.json")))
     assert "postings" not in man["stages"]
-    done_before = set(man.get("postings_progress", {}))
+    done_before = set()
+    ppath = os.path.join(idx5, "postings_progress.jsonl")
+    if os.path.exists(ppath):
+        with open(ppath) as fh:
+            done_before = {json.loads(l)["src"] for l in fh if l.strip()}
     assert done_before  # some files completed before the injected failure
 
     # resume without the fault: only missing files re-run, build completes
