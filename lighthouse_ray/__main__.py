@@ -69,6 +69,11 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", type=int, default=50005)  # reference default, app/test/test.go:21
     sv.add_argument("--replicas", type=int, default=2)
+    sv.add_argument(
+        "--partitions", type=int, default=0,
+        help="serve with K range-partitioned replicas queried in parallel "
+             "per request (latency mode) instead of round-robin full replicas",
+    )
     sv.add_argument("--num-cpus", type=int, default=None)
 
     args = p.parse_args(argv)
@@ -79,8 +84,14 @@ def main(argv: list[str] | None = None) -> int:
 
         from .query.http_server import LighthouseHTTPServer
 
+        service = None
+        if args.partitions:
+            from .query.serving import ShardedSearchService
+
+            service = ShardedSearchService(args.index, num_partitions=args.partitions)
         srv = LighthouseHTTPServer(
-            args.index, host=args.host, port=args.port, num_replicas=args.replicas
+            args.index, host=args.host, port=args.port, num_replicas=args.replicas,
+            service=service,
         )
         print(json.dumps({"serving": f"http://{args.host}:{srv.port}/search?s=test"}))
         try:

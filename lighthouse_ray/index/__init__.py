@@ -1,3 +1,3 @@
-from .reader import IndexReader, TermPostings
+from .reader import IndexReader, RangeReader, SlicedPostings, TermPostings
 
-__all__ = ["IndexReader", "TermPostings"]
+__all__ = ["IndexReader", "RangeReader", "SlicedPostings", "TermPostings"]

@@ -325,3 +325,72 @@ class IndexReader:
         path = os.path.join(self.index_dir, "payload", row["payload_file"])
         t = pq.read_table(path, columns=["content"])
         return t["content"][int(row["payload_row"])].as_py()
+
+
+# ---------------------------------------------------------------------------
+# range-partitioned view (parallel query execution)
+# ---------------------------------------------------------------------------
+
+class SlicedPostings:
+    """A TermPostings view restricted to an ordinal range [lo, hi).
+
+    ``df``/``cf`` stay GLOBAL — BM25 idf must be computed from the whole
+    collection or the partitioned scores would differ from the
+    unpartitioned engine.  Ordinals/tfs are zero-copy slices; positions
+    reuse the base list's (cached) decode with offset-aligned slicing.
+    """
+
+    __slots__ = ("df", "cf", "ordinals", "tfs", "_base", "_a", "_b")
+
+    def __init__(self, base: TermPostings, lo: int, hi: int):
+        self.df = base.df
+        self.cf = base.cf
+        ords = base.ordinals
+        a = int(np.searchsorted(ords, lo))
+        b = int(np.searchsorted(ords, hi))
+        self._base, self._a, self._b = base, a, b
+        self.ordinals = ords[a:b]
+        self.tfs = base.tfs[a:b]
+
+    def positions(self) -> tuple[np.ndarray, np.ndarray]:
+        pos, off = self._base.positions()
+        # offsets need not start at 0: consumers index pos[off[i]:off[i+1]]
+        return pos, off[self._a : self._b + 1]
+
+
+class RangeReader:
+    """A view of an :class:`IndexReader` restricted to ordinals
+    [lo, hi) — the unit of range-partitioned parallel query execution
+    (the ES-shards analog: one replica scores one doc range, the
+    coordinator merges top-k).  Collection statistics (n_docs, df, cf,
+    doclens, avgdl) remain GLOBAL, so clause scores are bit-identical
+    to the unpartitioned engine and the merged top-k equals the
+    single-engine top-k exactly.
+
+    Candidate restriction happens at the postings level: every lookup
+    returns a :class:`SlicedPostings`, so clause scoring touches only
+    this range's candidates (~1/K of the work).  Dictionary operations
+    (prefix/fuzzy expansion) are collection-level and delegate.
+    """
+
+    def __init__(self, base: IndexReader, lo: int, hi: int):
+        self.base = base
+        self.lo = int(lo)
+        self.hi = int(hi)
+        self._slice_cache: dict = {}
+
+    def lookup(self, field: str, term: str):
+        key = (field, term)
+        hit = self._slice_cache.get(key)
+        if hit is not None:
+            return hit if hit is not _MISS else None
+        tp = self.base.lookup(field, term)
+        out = SlicedPostings(tp, self.lo, self.hi) if tp is not None else None
+        self._slice_cache[key] = out if out is not None else _MISS
+        return out
+
+    def __getattr__(self, name):
+        # everything else (n_docs, k1, b, stats, doclens, docmeta,
+        # field_dictionary, fuzzy_candidates, expand_prefix, ...) is
+        # collection-global and delegates to the base reader
+        return getattr(self.base, name)

@@ -107,6 +107,11 @@ class SearchEngine:
         self._decay_cache: np.ndarray | None = None
         self._boost_cache: np.ndarray | None = None
         self._bid_mask_cache: np.ndarray | None = None
+        # per-index constant: comparing 1M-row object-string columns
+        # costs ~50 ms per call — never do it per request
+        self._is_channel: np.ndarray = (
+            self._meta["kind"].to_numpy() == "channel"
+        )
         self._use_cache = cache_ttl > 0
         self._cache = _TTLCache(ttl=cache_ttl or 1.0)
         self._ac_cache = _TTLCache(ttl=cache_ttl or 1.0)
@@ -132,14 +137,19 @@ class SearchEngine:
         claim_id: str | None = None,
         source: bool = False,
         debug: bool = False,
+        _partial: bool = False,
     ) -> pd.DataFrame:
-        # validation (search.go:56-63, app/validator/validator.go)
+        # validation (search.go:56-63, app/validator/validator.go);
+        # ``_partial`` marks an internal partial-result fetch from the
+        # range-partitioned coordinator (which validated the USER's
+        # size/from already and may legitimately fetch from+size deep)
         if s is None or len(s) < 3 or len(s) > 99999:
             raise SearchError("s is required with length in [3, 99999]")
-        if size is not None and size > 10000:
-            raise SearchError("size must be <= 10000")
-        if from_ is not None and from_ > 9999:
-            raise SearchError("from must be <= 9999")
+        if not _partial:
+            if size is not None and size > 10000:
+                raise SearchError("size must be <= 10000")
+            if from_ is not None and from_ > 9999:
+                raise SearchError("from must be <= 9999")
         if media_type is not None:
             for t in media_type.split(","):
                 if t not in MEDIA_TYPES and t not in ("cad", ""):
@@ -220,7 +230,7 @@ class SearchEngine:
             # contributions for the returned docs — the parity-debug tool
             out["explain"] = [
                 {
-                    name: float(c.scores[o])
+                    name: float(c.scores[o] * c.boost)
                     for name, c in explain_clauses
                     if c.mask[o]
                 }
@@ -237,9 +247,7 @@ class SearchEngine:
     ) -> tuple[np.ndarray, np.ndarray, list[tuple[str, DenseResult]]]:
         sc = self.scorer
         n = self.r.n_docs
-        meta = self._meta
-        kind = meta["kind"].to_numpy()
-        is_channel = kind == "channel"
+        is_channel = self._is_channel
         is_stream = ~is_channel
 
         terms = tokenize_text(s)
@@ -271,7 +279,7 @@ class SearchEngine:
         cand = np.flatnonzero(min_mask)
         acc = np.zeros(len(cand))
         for _name, c in minc:
-            acc += c.scores[cand]
+            acc += c.gathered(cand)
         boost = self._boost_should_scores(is_channel)
         total = np.zeros(n)
         total[cand] = acc + boost[cand]
@@ -355,7 +363,7 @@ class SearchEngine:
             return np.zeros(n), np.zeros(n, dtype=bool)
         row = meta.iloc[int(hit[0])]
         like = f"{row['name']} {row['path']} {row['repo']}"
-        r = self._mlt_text(like, boost=2.0)  # Boost(2), query.go:117-119
+        r = self._mlt_text(like, boost=2.0).materialize()  # Boost(2), query.go:117-119
         r.mask[int(hit[0])] = False          # a doc is not related to itself
         r.scores[int(hit[0])] = 0.0
         return r.scores, r.mask
@@ -413,7 +421,7 @@ class SearchEngine:
         if claim_type is not None:
             mapped = CLAIM_TYPE_MAP.get(claim_type)
             if mapped:
-                mask &= meta["kind"].to_numpy() == mapped
+                mask &= self._is_channel if mapped == "channel" else ~self._is_channel
 
         if channel_id is not None:
             mask &= meta["channel_claim_id"].to_numpy() == channel_id
@@ -426,7 +434,7 @@ class SearchEngine:
             mask &= meta["doc_id"].to_numpy() == claim_id
 
         if related_to is not None:
-            mask &= meta["kind"].to_numpy() == "stream"  # relatedContentFilter
+            mask &= ~self._is_channel  # relatedContentFilter
 
         return mask
 
@@ -482,7 +490,8 @@ class SearchEngine:
         size: int | None = None,
         from_: int | None = None,
         nsfw: bool | None = None,
-    ) -> list[str]:
+        _scored: bool = False,
+    ) -> list[str] | tuple[list, list, list]:
         """/autocomplete (app/actions/auto_complete.go): returns an
         order-preserving first-occurrence-deduped list of names."""
         if not s:
@@ -493,7 +502,7 @@ class SearchEngine:
             raise SearchError("from must be <= 9999")
 
         ac_key = (s, size, from_, nsfw)
-        if self._use_cache:
+        if self._use_cache and not _scored:
             hit = self._ac_cache.get(ac_key)
             if hit is not None:
                 return list(hit)
@@ -506,7 +515,7 @@ class SearchEngine:
 
         if s.startswith("@"):
             terms = tokenize_text(s)
-            r = sc.match("name", terms).restrict(meta["kind"].to_numpy() == "channel")
+            r = sc.match("name", terms).restrict(self._is_channel)
             scores, mask = r.scores, r.mask
         else:
             terms = tokenize_text(s)
@@ -522,8 +531,8 @@ class SearchEngine:
             mask = r1.mask | r2a.mask | r2b.mask | r2c.mask
             idx = np.flatnonzero(mask)
             scores = np.zeros(n)
-            scores[idx] = r1.scores[idx] + np.maximum(
-                np.maximum(r2a.scores[idx], r2b.scores[idx]), r2c.scores[idx]
+            scores[idx] = r1.gathered(idx) + np.maximum(
+                np.maximum(r2a.gathered(idx), r2b.gathered(idx)), r2c.gathered(idx)
             )
 
         if nsfw is not None:
@@ -537,14 +546,26 @@ class SearchEngine:
         ords = ords[order]
         k_from = from_ or 0
         k_size = size if size is not None else 10
-        ords = ords[k_from : k_from + k_size]
 
-        names = meta["name"].to_numpy()[ords]
+        # page on the globally-sorted candidates, THEN ordered-dedup the
+        # page (auto_complete.go:126-131)
+        page = ords[k_from : k_from + k_size]
+        names = meta["name"].to_numpy()[page]
         seen: set[str] = set()
         out: list[str] = []
         for nm in names:
-            if nm not in seen:  # ordered dedup (auto_complete.go:126-131)
+            if nm not in seen:
                 seen.add(nm)
                 out.append(nm)
-        self._ac_cache.put(ac_key, list(out))
+        if not _scored:
+            self._ac_cache.put(ac_key, list(out))
+        if _scored:
+            # partial-result mode for the range-partitioned coordinator:
+            # this range's top (from+size) candidates with merge keys
+            top = ords[: k_from + k_size]
+            return (
+                meta["name"].to_numpy()[top].tolist(),
+                scores[top].tolist(),
+                doc_ids[top].tolist(),
+            )
         return out

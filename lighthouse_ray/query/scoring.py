@@ -29,23 +29,42 @@ from ..index import IndexReader, TermPostings
 
 
 class DenseResult:
-    """Per-ordinal scores + matched mask for one clause."""
+    """Per-ordinal scores + matched mask for one clause.
 
-    __slots__ = ("scores", "mask")
+    ``boost`` is LAZY: ``boosted()`` only records the factor, and
+    consumers apply it at candidate-gather time (``gathered``) — a
+    dense n-array multiply per clause was the single largest per-query
+    cost at 1M docs (~1.5 ms x 11 clauses), all of it on zeros.
+    Scalar multiplication commutes with gathering element-wise, so the
+    floats are bit-identical to the eager form."""
 
-    def __init__(self, scores: np.ndarray, mask: np.ndarray):
+    __slots__ = ("scores", "mask", "boost")
+
+    def __init__(self, scores: np.ndarray, mask: np.ndarray, boost: float = 1.0):
         self.scores = scores
         self.mask = mask
+        self.boost = boost
 
     @classmethod
     def empty(cls, n: int) -> "DenseResult":
         return cls(np.zeros(n), np.zeros(n, dtype=bool))
 
     def boosted(self, boost: float) -> "DenseResult":
-        """Scale in place (clause results are single-use temporaries;
-        avoids a full-array copy per clause)."""
-        if boost != 1.0:
-            self.scores *= boost
+        """Record the scale factor (applied lazily at gather time)."""
+        self.boost *= boost
+        return self
+
+    def gathered(self, idx: np.ndarray) -> np.ndarray:
+        """Clause contribution at the given ordinals, boost applied."""
+        g = self.scores[idx]
+        return g * self.boost if self.boost != 1.0 else g
+
+    def materialize(self) -> "DenseResult":
+        """Fold a pending boost into the dense array (for consumers that
+        read ``scores`` directly)."""
+        if self.boost != 1.0:
+            self.scores *= self.boost
+            self.boost = 1.0
         return self
 
     def restrict(self, mask: np.ndarray) -> "DenseResult":
@@ -254,18 +273,17 @@ class Scorer:
         if union is None:
             return DenseResult.empty(self.n)
         if len(terms) == 1:
-            ords, tfs, _pos, _off = union
+            ords, tfs, _pos, _off, dfu = union
             out = DenseResult.empty(self.n)
-            df = len(ords)
-            s = self.idf(df) * tfs * (self.k1 + 1.0) / (tfs + self._norm(field, ords.astype(np.int64)))
+            s = self.idf(dfu) * tfs * (self.k1 + 1.0) / (tfs + self._norm(field, ords.astype(np.int64)))
             out.scores[ords.astype(np.int64)] = s
             out.mask[ords.astype(np.int64)] = True
             return out
         tps: list = [self.r.lookup(field, t) for t in terms[:-1]]
         if any(tp is None for tp in tps):
             return DenseResult.empty(self.n)
-        idfs = [self.idf(tp.df) for tp in tps] + [self.idf(len(union[0]))]
-        return self._phrase_from_postings(field, tps + [union], idfs, slop)
+        idfs = [self.idf(tp.df) for tp in tps] + [self.idf(union[4])]
+        return self._phrase_from_postings(field, tps + [union[:4]], idfs, slop)
 
     # -- function score (func_score.go) ---------------------------------------
 
@@ -303,18 +321,39 @@ def _as_posarrays(tp):
 
 def _union_postings(reader: IndexReader, field: str, terms: list[str]):
     """OR-merge posting lists (with positions) of several terms into one
-    pseudo-term: (ords, tfs, pos, off), ords sorted, positions merged."""
+    pseudo-term: (ords, tfs, pos, off, df_global), ords sorted,
+    positions merged.
+
+    ``df_global`` is the size of the union over the FULL collection —
+    when the inputs are range-sliced (RangeReader), the local union
+    size would give a range-dependent idf and break the partitioned ==
+    unpartitioned score identity, so the union count is taken over the
+    base (global) posting lists."""
     parts = []
+    glob = []
+    any_sliced = False
     for t in terms:
         tp = reader.lookup(field, t)
         if tp is not None and tp.df:
             pos, off = tp.positions()
             parts.append((tp.ordinals, tp.tfs, pos, off))
+            base = getattr(tp, "_base", None)
+            if base is not None:
+                any_sliced = True
+                glob.append(base.ordinals)
+            else:
+                glob.append(tp.ordinals)
     if not parts:
         return None
+    if any_sliced:
+        df_global = int(
+            len(np.unique(np.concatenate(glob))) if len(glob) > 1 else len(glob[0])
+        )
+    else:
+        df_global = None  # filled below from the local union (== global)
     if len(parts) == 1:
         o, t, p, off = parts[0]
-        return o, t.astype(np.float64), p, off
+        return o, t.astype(np.float64), p, off, (df_global if df_global is not None else len(o))
     all_ords = np.concatenate([p[0] for p in parts])
     uniq = np.unique(all_ords)
     n = len(uniq)
@@ -331,7 +370,13 @@ def _union_postings(reader: IndexReader, field: str, terms: list[str]):
         merged = np.sort(np.concatenate(pl)) if len(pl) > 1 else pl[0]
         flat.append(merged)
         offsets[i + 1] = offsets[i] + len(merged)
-    return uniq, tfs, np.concatenate(flat) if flat else np.zeros(0, dtype=np.uint64), offsets
+    return (
+        uniq,
+        tfs,
+        np.concatenate(flat) if flat else np.zeros(0, dtype=np.uint64),
+        offsets,
+        (df_global if df_global is not None else n),
+    )
 
 
 def _sloppy_freq(pos_lists: list[np.ndarray], slop: int) -> int:

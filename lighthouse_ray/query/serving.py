@@ -7,6 +7,18 @@ caches, doclens, fuzzy matrices, request TTL cache), fronted by a tiny
 round-robin handle.  On a multi-node cluster replicas spread across
 nodes (SPREAD scheduling); here they share the single node.
 
+Two compositions:
+
+- :class:`SearchService` — N full-index replicas, round-robin: scales
+  query THROUGHPUT (the reference's N-process deployment).
+- :class:`ShardedSearchService` — K range-partitioned replicas
+  (``RangeReader`` views over disjoint ordinal ranges) queried in
+  PARALLEL per request, coordinator merges top-k: scales single-query
+  LATENCY (the ES number_of_shards analog; the reference runs 1 shard,
+  claims.go:12 — this is the scale path it lacks).  Collection stats
+  stay global in each range view, so the merged result is
+  bit-identical to the unpartitioned engine's.
+
 This is the one place raw ``@ray.remote`` is justified instead of a
 Dataset op: a query is a low-latency point lookup against shared warm
 state, not a batch transform.
@@ -16,16 +28,21 @@ from __future__ import annotations
 
 import itertools
 
+import numpy as np
+import pandas as pd
 import ray
 
 
 @ray.remote
 class SearchReplica:
-    def __init__(self, index_dir: str, special_map: dict | None = None):
+    def __init__(self, index_dir: str, special_map: dict | None = None,
+                 cache_ttl: float = 300.0):
         from ..index import IndexReader
         from .engine import SearchEngine
 
-        self.engine = SearchEngine(IndexReader(index_dir), special_map=special_map)
+        self.engine = SearchEngine(
+            IndexReader(index_dir), special_map=special_map, cache_ttl=cache_ttl
+        )
 
     def search(self, **kwargs):
         return self.engine.search(**kwargs)
@@ -40,9 +57,12 @@ class SearchReplica:
 class SearchService:
     """Round-robin front over N warm replicas."""
 
-    def __init__(self, index_dir: str, num_replicas: int = 2, special_map: dict | None = None):
+    def __init__(self, index_dir: str, num_replicas: int = 2, special_map: dict | None = None,
+                 cache_ttl: float = 300.0):
         self.replicas = [
-            SearchReplica.options(scheduling_strategy="SPREAD").remote(index_dir, special_map)
+            SearchReplica.options(scheduling_strategy="SPREAD").remote(
+                index_dir, special_map, cache_ttl
+            )
             for _ in range(num_replicas)
         ]
         self._rr = itertools.cycle(range(num_replicas))
@@ -58,6 +78,152 @@ class SearchService:
 
     def status(self):
         return ray.get(self._pick().status.remote())
+
+    def shutdown(self):
+        for r in self.replicas:
+            ray.kill(r)
+        self.replicas = []
+
+
+@ray.remote
+class RangeReplica:
+    """One ordinal-range partition of the index, warm."""
+
+    def __init__(self, index_dir: str, lo: int, hi: int, special_map: dict | None = None,
+                 cache_ttl: float = 300.0):
+        from ..index import IndexReader, RangeReader
+        from .engine import SearchEngine
+
+        self.engine = SearchEngine(
+            RangeReader(IndexReader(index_dir), lo, hi), special_map=special_map,
+            cache_ttl=cache_ttl,
+        )
+
+    def search(self, **kwargs):
+        return self.engine.search(**kwargs)
+
+    def autocomplete_scored(self, **kwargs):
+        return self.engine.autocomplete(_scored=True, **kwargs)
+
+    def status(self):
+        return self.engine.status()
+
+
+def _reraise_search_error(fn):
+    from .engine import SearchError
+
+    try:
+        return fn()
+    except ray.exceptions.RayTaskError as e:  # unwrap replica-side validation
+        if isinstance(e.cause, SearchError):
+            raise e.cause from None
+        raise
+
+
+class ShardedSearchService:
+    """Range-partitioned parallel query execution.
+
+    Every request fans out to all K partitions concurrently; each
+    scores only its ordinal range (same global BM25 statistics through
+    the ``RangeReader``) and returns its local top-(from+size); the
+    coordinator merges with the engine's exact ordering semantics
+    (score desc / sort-field with doc_id tie-breaks), pages, and
+    projects.  Results are identical to a single full-range engine.
+    """
+
+    def __init__(self, index_dir: str, num_partitions: int = 4,
+                 special_map: dict | None = None, cache_ttl: float = 300.0):
+        from ..util import read_json
+        import os
+
+        n_docs = int(read_json(os.path.join(index_dir, "stats.json"))["n_docs"])
+        bounds = [round(i * n_docs / num_partitions) for i in range(num_partitions + 1)]
+        self.replicas = [
+            RangeReplica.options(scheduling_strategy="SPREAD").remote(
+                index_dir, bounds[i], bounds[i + 1], special_map, cache_ttl
+            )
+            for i in range(num_partitions)
+        ]
+
+    # -- /search ------------------------------------------------------------
+
+    def search(self, s: str | None = None, size: int | None = None,
+               from_: int | None = None, sort_by: str | None = None,
+               include: str | None = None, **kwargs) -> pd.DataFrame:
+        from .engine import SearchError
+
+        if size is not None and size > 10000:
+            raise SearchError("size must be <= 10000")
+        if from_ is not None and from_ > 9999:
+            raise SearchError("from must be <= 9999")
+        k_from = from_ or 0
+        k_size = size if size is not None else 10
+        need = k_from + k_size
+
+        # the merge needs the sort key column; inject it into include
+        # and strip it afterwards if the caller didn't ask for it
+        inject = None
+        inc = include
+        if sort_by is not None:
+            field = sort_by.lstrip("^")
+            inc_list = [c for c in (include.split(",") if include else []) if c]
+            if field not in inc_list and field not in ("name", "claimId"):
+                inject = field
+                inc = ",".join(inc_list + [field]) if inc_list else field
+
+        futs = [
+            r.search.remote(
+                s=s, size=need, from_=0, sort_by=sort_by, include=inc,
+                _partial=True, **kwargs
+            )
+            for r in self.replicas
+        ]
+        parts = _reraise_search_error(lambda: ray.get(futs))
+        df = pd.concat(parts, ignore_index=True)
+        if len(df):
+            if sort_by is not None:
+                field = sort_by.lstrip("^")
+                order = np.lexsort(
+                    (df["claimId"].to_numpy(), df[field].to_numpy())
+                )  # (field, claimId) asc — engine.py:192
+                if not sort_by.startswith("^"):
+                    order = order[::-1]
+            else:
+                order = np.lexsort((df["claimId"].to_numpy(), -df["score"].to_numpy()))
+            df = df.iloc[order[k_from : k_from + k_size]].reset_index(drop=True)
+        if inject is not None and inject in df.columns:
+            df = df.drop(columns=[inject])
+        return df
+
+    # -- /autocomplete ------------------------------------------------------
+
+    def autocomplete(self, s: str | None = None, size: int | None = None,
+                     from_: int | None = None, nsfw: bool | None = None) -> list[str]:
+        futs = [
+            r.autocomplete_scored.remote(s=s, size=size, from_=from_, nsfw=nsfw)
+            for r in self.replicas
+        ]
+        parts = _reraise_search_error(lambda: ray.get(futs))
+        names = [n for p in parts for n in p[0]]
+        scores = np.asarray([v for p in parts for v in p[1]], dtype=np.float64)
+        doc_ids = np.asarray([d for p in parts for d in p[2]], dtype=object)
+        order = np.lexsort((doc_ids, -scores))
+        k_from = from_ or 0
+        k_size = size if size is not None else 10
+        page = order[k_from : k_from + k_size]
+        seen: set[str] = set()
+        out: list[str] = []
+        for i in page:
+            nm = names[int(i)]
+            if nm not in seen:  # ordered dedup (auto_complete.go:126-131)
+                seen.add(nm)
+                out.append(nm)
+        return out
+
+    # -- /status ------------------------------------------------------------
+
+    def status(self):
+        return _reraise_search_error(lambda: ray.get(self.replicas[0].status.remote()))
 
     def shutdown(self):
         for r in self.replicas:
