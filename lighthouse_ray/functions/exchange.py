@@ -94,7 +94,10 @@ class _SpillMap:
         return (h % np.uint64(self.num_parts)).astype(np.int32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rows_part, rows_file = [], []
+        # always emit >= 1 manifest row (part=-1 sentinel, filtered by the
+        # coordinator): certain fused empty outputs surface as 0-column
+        # blocks inside Ray and trigger schema-divergence warnings
+        rows_part, rows_file = [-1], [""]
         if batch.num_rows:
             part = self._parts(batch)
             order = np.argsort(part, kind="stable")
@@ -158,7 +161,8 @@ def spill_exchange(ds, key, reduce_fn, num_parts: int = 32, spill_root: str | No
     ).take_all()
     part_files: dict[int, list[str]] = {}
     for r in manifest:
-        part_files.setdefault(int(r["part"]), []).append(r["file"])
+        if int(r["part"]) >= 0:  # skip the keep-schema sentinel rows
+            part_files.setdefault(int(r["part"]), []).append(r["file"])
     parts = sorted(part_files)
     if not parts:
         # empty input: derive the reduce output schema from an empty table
