@@ -121,7 +121,9 @@ def run_bench() -> dict:
 
         shutil.rmtree("/tmp/lighthouse_ray_idx", ignore_errors=True)  # honest bm25_topk
         qs = make_queries()
-        for name in ["bm25_topk", "term_df", "lineitem_agg", "exact_dedup", "ann_cosine_topk", "join_broadcast"]:
+        for name in ["bm25_topk", "term_df", "lineitem_agg", "exact_dedup",
+                     "ann_cosine_topk", "join_broadcast", "ngram_jaccard",
+                     "dup_clusters", "minhash_lsh"]:
             t0 = time.time()
             out = qs[name](SF_DIR)
             if hasattr(out, "to_pandas"):
