@@ -872,6 +872,33 @@ WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
 """
 
 
+LSH_COS_THRESHOLD = 0.45
+
+
+def q_embedding_lsh_near_dup(sf_dir: str):
+    """SRP-LSH bucketed near-dup pairs with exact in-bucket cosine
+    verification — the sublinear scale path (no all-pairs, no full
+    matrix anywhere).  Deterministic seeded hyperplanes; on this corpus
+    the banded recall is exactly 1, so the exact SQL self-join is its
+    oracle (precision vs the threshold is 1 by construction)."""
+    from ..functions.dedup import embedding_lsh_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_lsh_pairs(
+        ds, threshold=LSH_COS_THRESHOLD, num_planes=16, bands=8
+    )
+
+
+SQL_EMBEDDING_LSH_NEAR_DUP = f"""
+SELECT x.vec_id AS a, y.vec_id AS b,
+       round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                    CAST(y.embedding AS DOUBLE[])), 6) AS cos
+FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                             CAST(y.embedding AS DOUBLE[])) >= {LSH_COS_THRESHOLD}
+"""
+
+
 def q_multimodal_meta(sf_dir: str):
     """Multimodal plumbing: documents' text bytes as stand-in binary
     payloads -> actor-pool metadata extraction (deterministic fake
@@ -1019,6 +1046,7 @@ def make_queries() -> dict:
         "ngram_jaccard": q_ngram_jaccard,
         "dup_clusters": q_dup_clusters,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_lsh_near_dup": q_embedding_lsh_near_dup,
         "multimodal_meta": q_multimodal_meta,
         "minhash_lsh": q_minhash_lsh,
         "simhash_dedup": q_simhash_dedup,
@@ -1051,6 +1079,7 @@ def make_oracle_sql() -> dict:
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "dup_clusters": SQL_DUP_CLUSTERS,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+        "embedding_lsh_near_dup": SQL_EMBEDDING_LSH_NEAR_DUP,
         "multimodal_meta": SQL_MULTIMODAL_META,
         # minhash: LSH candidates + exact verification == exact SQL;
         # simhash: pigeonhole recall is exactly 1 == exact SQL;

@@ -273,3 +273,47 @@ def test_ngram_jaccard_hot_shingle_capped(ray_session):
     assert (5, 7) in pairs
     # no pair exists solely through the hot shingles
     assert len(pairs) == 1
+
+
+def test_embedding_lsh_pairs_recall(ray_session):
+    """SRP-LSH candidates + exact verification: precision 1 vs the
+    threshold by construction; recall vs brute force high at cos>=0.9."""
+    import ray.data as rd
+
+    from lighthouse_ray.functions.dedup import embedding_lsh_pairs
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((40, 32))
+    rows, ids = [], []
+    vid = 0
+    for i in range(40):
+        rows.append(base[i]); ids.append(vid); vid += 1
+        if i % 4 == 0:  # planted near-duplicate
+            rows.append(base[i] + 0.05 * rng.standard_normal(32)); ids.append(vid); vid += 1
+    m = np.stack(rows)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cos = mn @ mn.T
+    iu = np.triu_indices(len(m), 1)
+    exact = {(int(ids[iu[0][k]]), int(ids[iu[1][k]])): cos[iu][k]
+             for k in range(len(iu[0])) if cos[iu][k] >= 0.9}
+    assert len(exact) >= 10
+
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in rows],
+                                   type=pa.list_(pa.float64())),
+        }
+    )
+    out = embedding_lsh_pairs(
+        rd.from_arrow(t), threshold=0.9, num_planes=16, bands=8, num_parts=8
+    ).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(out["a"], out["b"])}
+    # every emitted pair is exactly above threshold (verified)
+    assert got <= set(exact)
+    # banded SRP recall at this margin should be essentially total
+    assert len(got & set(exact)) / len(exact) >= 0.9
+    for _, row in out.iterrows():
+        assert row["cos"] == pytest.approx(
+            round(float(exact[(int(row["a"]), int(row["b"]))]), 6), abs=2e-6
+        )
