@@ -482,6 +482,44 @@ class SearchEngine:
             },
         }
 
+    # ------------------------------------------------------------ suggest
+
+    SUGGEST_FIELDS = {"name": "name", "desc": "path"}  # title <- path
+
+    def suggest(self, s: str | None = None, field: str = "name",
+                size: int = 5) -> list[str]:
+        """Completion-suggester analog (A3): the reference maps two ES
+        ``completion`` fields, ``suggest_name`` and ``suggest_desc``
+        (app/es/index/claims.go:20-25), but never populates weights or
+        queries them upstream — so the semantics here are the documented
+        minimal ES behavior: case-folded prefix match over the field's
+        values, top-``size`` options deduplicated, ranked by frequency
+        (weight analog) then value.  Served from a sorted in-memory
+        value array (the FST stand-in), built lazily once per engine."""
+        if not s:
+            raise SearchError("s is required")
+        col = self.SUGGEST_FIELDS.get(field)
+        if col is None:
+            raise SearchError(f"unknown suggest field {field!r} (name|desc)")
+        key = f"__suggest_{col}"
+        packed = getattr(self, key, None)
+        if packed is None:
+            vals = self._meta[col].to_numpy()
+            low = np.char.lower(vals.astype(str))
+            uniq, counts = np.unique(low, return_counts=True)
+            packed = (uniq, counts)
+            setattr(self, key, packed)
+        uniq, counts = packed
+        q = s.lower()
+        lo = np.searchsorted(uniq, q, side="left")
+        hi = np.searchsorted(uniq, q[:-1] + chr(ord(q[-1]) + 1), side="left") if q else len(uniq)
+        if hi <= lo:
+            return []
+        c = counts[lo:hi]
+        u = uniq[lo:hi]
+        order = np.lexsort((u, -c))[:size]
+        return [str(x) for x in u[order]]
+
     # ------------------------------------------------------------ autocomplete
 
     def autocomplete(

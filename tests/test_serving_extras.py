@@ -122,3 +122,31 @@ def test_search_service_replicas(built):
         assert svc.autocomplete(s="imp", size=5) == e.autocomplete(s="imp", size=5)
     finally:
         svc.shutdown()
+
+
+def test_completion_suggest(built):
+    """A3 completion-suggester analog: prefix options over the mapped
+    fields (suggest_name <- name, suggest_desc <- title), deduped,
+    frequency-ranked, deterministic."""
+    import numpy as np
+    import pytest as _pt
+
+    from lighthouse_ray.query import SearchError
+
+    _idx, e = built
+    names = e._meta["name"].to_numpy().astype(str)
+    low = np.char.lower(names)
+    pref = low[0][:2]
+    got = e.suggest(s=pref, field="name", size=5)
+    assert got, "prefix of an existing name must suggest something"
+    assert all(g.startswith(pref) for g in got)
+    # exhaustive reference: unique prefixed values by (count desc, value asc)
+    vals, counts = np.unique(low[np.char.startswith(low, pref)], return_counts=True)
+    order = np.lexsort((vals, -counts))[:5]
+    assert got == [str(v) for v in vals[order]]
+    # desc field maps to the title source column (path); unknown fields rejected
+    assert isinstance(e.suggest(s=pref, field="desc", size=3), list)
+    with _pt.raises(SearchError):
+        e.suggest(s=pref, field="nope")
+    with _pt.raises(SearchError):
+        e.suggest(s=None)
