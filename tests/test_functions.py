@@ -317,3 +317,30 @@ def test_embedding_lsh_pairs_recall(ray_session):
         assert row["cos"] == pytest.approx(
             round(float(exact[(int(row["a"]), int(row["b"]))]), 6), abs=2e-6
         )
+
+
+def test_exchange_ops_layout_independent(ray_session):
+    """Exchange-based ops must give identical results regardless of the
+    input's block layout (keys are content values, partition counts are
+    config — nothing may depend on batch boundaries)."""
+    import ray.data as rd
+
+    from lighthouse_ray.functions.dedup import ngram_jaccard_pairs, simhash_candidates
+
+    rows = [BASE, NEAR, BASE + " extra tail words here", OTHER,
+            "yet another unrelated document about stream processing engines"] * 8
+    t = _docs_table(rows)
+
+    def run(nblocks, fn, **kw):
+        ds = rd.from_arrow(t).repartition(nblocks)
+        out = fn(ds, **kw).to_pandas()
+        return sorted(map(tuple, out.itertuples(index=False)))
+
+    for fn, kw in [
+        (ngram_jaccard_pairs, dict(n=3, min_inter=2, num_parts=5)),
+        (simhash_candidates, dict(num_parts=3)),
+    ]:
+        a = run(1, fn, **kw)
+        b = run(7, fn, **kw)
+        assert a == b, fn.__name__
+        assert len(a) > 0, fn.__name__
