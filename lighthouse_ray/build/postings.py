@@ -502,27 +502,24 @@ def merge_shard_table(group: pa.Table, shard: int, index_dir: str, cfg: IndexCon
         base = int(pos_in_offs[0])
         pos_offs = pos_offs - base
 
-        # block-max metadata
+        # block-max metadata — fully vectorized over BLOCKS (the old
+        # per-run Python loop was ~0.7 s per 2M-posting shard): block
+        # starts partition the sorted posting array exactly (each run's
+        # last block ends where the next run begins), so one reduceat
+        # gives every block's max tf and one gather every block's last
+        # ordinal.
         df64 = lens.astype(np.int64)
         cf = np.add.reduceat(tfs.astype(np.int64), starts)
         n_blocks = (df64 + block - 1) // block
-        blk_last_parts = []
-        blk_maxtf_parts = []
-        for r in range(n_runs):
-            s, e = starts[r], ends[r]
-            o = ords[s:e]
-            t = tfs[s:e]
-            lasts = o[block - 1 :: block]
-            if (e - s) % block:
-                lasts = np.append(lasts, o[-1])
-            blk_last_parts.append(np.ascontiguousarray(lasts, dtype=np.uint64))
-            pad = int(n_blocks[r]) * block - int(e - s)
-            tpad = np.concatenate([t, np.zeros(pad, dtype=np.uint64)]).reshape(int(n_blocks[r]), block)
-            blk_maxtf_parts.append(tpad.max(axis=1).astype(np.uint32))
-        blk_last_flat = np.concatenate(blk_last_parts) if blk_last_parts else np.zeros(0, dtype=np.uint64)
-        blk_maxtf_flat = np.concatenate(blk_maxtf_parts) if blk_maxtf_parts else np.zeros(0, dtype=np.uint32)
         blk_offs = np.zeros(n_runs + 1, dtype=np.int64)
         np.cumsum(n_blocks, out=blk_offs[1:])
+        total_blocks = int(blk_offs[-1])
+        run_of_block = np.repeat(np.arange(n_runs, dtype=np.int64), n_blocks)
+        blk_in_run = np.arange(total_blocks, dtype=np.int64) - blk_offs[run_of_block]
+        block_starts = starts[run_of_block] + blk_in_run * block
+        block_ends = np.append(block_starts[1:], n) - 1
+        blk_last_flat = np.ascontiguousarray(ords[block_ends], dtype=np.uint64)
+        blk_maxtf_flat = np.maximum.reduceat(tfs, block_starts).astype(np.uint32)
 
         def bin_col(offsets_elems: np.ndarray, buf, elem_size: int = 1) -> pa.Array:
             return pa.LargeBinaryArray.from_buffers(
@@ -540,7 +537,7 @@ def merge_shard_table(group: pa.Table, shard: int, index_dir: str, cfg: IndexCon
                 "cf": pa.array(cf),
                 "ords": bin_col(ords_offs, pa.py_buffer(ords_buf)),
                 "tfs": bin_col(tfs_offs, pa.py_buffer(tfs_buf)),
-                "pos": bin_col(pos_offs, pa.py_buffer(pos_buf.to_pybytes()[base : base + int(pos_offs[-1])])),
+                "pos": bin_col(pos_offs, pos_buf.slice(base, int(pos_offs[-1]))),
                 "blk_last": bin_col(blk_offs, pa.py_buffer(blk_last_flat.tobytes()), 8),
                 "blk_maxtf": bin_col(blk_offs, pa.py_buffer(blk_maxtf_flat.tobytes()), 4),
             }

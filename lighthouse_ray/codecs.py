@@ -19,13 +19,25 @@ _THRESHOLDS = [np.uint64(1) << np.uint64(7 * i) for i in range(1, 10)]
 
 
 def varbyte_encode(values: np.ndarray) -> bytes:
-    """Encode an array of non-negative ints to LEB128 bytes."""
+    """Encode an array of non-negative ints to LEB128 bytes.
+
+    The threshold loop breaks at the array max, so arrays of small values
+    (tf columns are mostly 1-2) cost one comparison pass, and all-sub-128
+    arrays take a pure ``astype(uint8)`` fast path — the encoder is the
+    hottest kernel in the segment merge, and every avoided pass is ~16 MB
+    of memory traffic per 2M postings.
+    """
     a = np.ascontiguousarray(values, dtype=np.uint64)
     if a.size == 0:
         return b""
+    amax = int(a.max())
+    if amax < 128:  # every value is a single terminal byte
+        return a.astype(np.uint8).tobytes()
     nb = np.ones(a.shape, dtype=np.int64)
     for t in _THRESHOLDS:
-        nb += (a >= t).astype(np.int64)
+        if amax < int(t):
+            break
+        nb += a >= t
     ends = np.cumsum(nb)
     starts = ends - nb
     out = np.zeros(int(ends[-1]), dtype=np.uint8)
@@ -47,8 +59,13 @@ def varbyte_sizes(values: np.ndarray) -> np.ndarray:
     """Encoded byte length of each value (int64 array)."""
     a = np.ascontiguousarray(values, dtype=np.uint64)
     nb = np.ones(a.shape, dtype=np.int64)
+    if a.size == 0:
+        return nb
+    amax = int(a.max())
     for t in _THRESHOLDS:
-        nb += (a >= t).astype(np.int64)
+        if amax < int(t):
+            break
+        nb += a >= t
     return nb
 
 
