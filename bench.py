@@ -178,21 +178,21 @@ def _calibration_task(seed: int) -> float:
     return total
 
 
-def _machine_ceiling() -> dict:
-    """Pure-multiprocessing throughput at 8 vs 32 workers (no Ray): the
+def _machine_ceiling(lo: int = 8, hi: int = 32) -> dict:
+    """Pure-multiprocessing throughput at lo vs hi workers (no Ray): the
     box's own parallel-scaling ceiling for this workload mix."""
     import multiprocessing as mp
 
     out = {}
-    for n in (8, 32):
+    for n in (lo, hi):
         with mp.Pool(n) as p:
             t0 = time.time()
             p.map(_calibration_task, range(n * 4))
             out[n] = (n * 4) / (time.time() - t0)
     return {
-        "tasks_per_sec_8": round(out[8], 1),
-        "tasks_per_sec_32": round(out[32], 1),
-        "ceiling": round((out[32] / out[8]) / (32 / 8), 3),
+        f"tasks_per_sec_{lo}": round(out[lo], 1),
+        f"tasks_per_sec_{hi}": round(out[hi], 1),
+        "ceiling": round((out[hi] / out[lo]) / (hi / lo), 3),
     }
 
 
@@ -212,7 +212,7 @@ def _disk_task(i: int) -> float:
     return 64.0  # MB moved (32 write + 32 read)
 
 
-def _disk_ceiling() -> dict:
+def _disk_ceiling(lo: int = 8, hi: int = 32) -> dict:
     """Parallel disk write+read throughput at 8 vs 32 workers: the
     sandbox shares ONE disk across all workers, so IO-bound stages
     cannot scale with CPUs here (they would scale with nodes on a real
@@ -220,15 +220,15 @@ def _disk_ceiling() -> dict:
     import multiprocessing as mp
 
     out = {}
-    for n in (8, 32):
+    for n in (lo, hi):
         with mp.Pool(n) as p:
             t0 = time.time()
             mb = sum(p.map(_disk_task, range(n)))
             out[n] = mb / (time.time() - t0)
     return {
-        "mb_per_sec_8": round(out[8], 1),
-        "mb_per_sec_32": round(out[32], 1),
-        "ceiling": round((out[32] / out[8]) / (32 / 8), 3),
+        f"mb_per_sec_{lo}": round(out[lo], 1),
+        f"mb_per_sec_{hi}": round(out[hi], 1),
+        "ceiling": round((out[hi] / out[lo]) / (hi / lo), 3),
     }
 
 
@@ -255,30 +255,37 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # interleave the legs (8, 32, 8, 32) so host-side throughput drift
+    # the two parallelism levels (N and 4N) are configurable so the
+    # criterion can be evidenced both at 8->32 (full box, shares one
+    # memory bus across all 32 workers) and 4->16 (below the box's
+    # bandwidth saturation point — closer to how N->4N *nodes* behave,
+    # where each node brings its own memory/disk)
+    lo_n, hi_n = (int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(","))
+    # interleave the legs (lo, hi, lo, hi) so host-side throughput drift
     # (shared VM) is sampled by BOTH widths, then take best-of-2 per leg
     best: dict[int, dict] = {}
-    for ncpu in (8, 32, 8, 32):
+    for ncpu in (lo_n, hi_n, lo_n, hi_n):
         r = run_one(ncpu)
         if ncpu not in best or r["value"] < best[ncpu]["value"]:
             best[ncpu] = r
-    lo, hi = best[8], best[32]
-    eff = (lo["value"] / hi["value"]) / (32 / 8)
-    ceil = _machine_ceiling()
-    disk = _disk_ceiling()
+    lo, hi = best[lo_n], best[hi_n]
+    eff = (lo["value"] / hi["value"]) / (hi_n / lo_n)
+    ceil = _machine_ceiling(lo_n, hi_n)
+    disk = _disk_ceiling(lo_n, hi_n)
     return {
         "disk_ceiling": disk,
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
-        "sec_8": lo["value"],
-        "sec_32": hi["value"],
-        "docs_per_sec_8": lo["docs_per_sec"],
-        "docs_per_sec_32": hi["docs_per_sec"],
+        "cpus": [lo_n, hi_n],
+        f"sec_{lo_n}": lo["value"],
+        f"sec_{hi_n}": hi["value"],
+        f"docs_per_sec_{lo_n}": lo["docs_per_sec"],
+        f"docs_per_sec_{hi_n}": hi["docs_per_sec"],
         "corpus_docs": lo["corpus_docs"],
         "machine_ceiling": ceil,
         "efficiency_vs_machine_ceiling": round(eff / ceil["ceiling"], 3) if ceil["ceiling"] else None,
-        "queries": {"p50_8": lo["queries"]["query_p50"], "p50_32": hi["queries"]["query_p50"]},
+        "queries": {f"p50_{lo_n}": lo["queries"]["query_p50"], f"p50_{hi_n}": hi["queries"]["query_p50"]},
     }
 
 

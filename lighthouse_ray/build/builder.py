@@ -111,9 +111,14 @@ def build_index(
     else:
         import ray as _ray0
 
+        # 2 blocks per CPU: enough waves to level load, few enough that the
+        # driver's ~10 ms/task dispatch doesn't pace the stage (at 4x the
+        # derive stage spent ~2 s of a 3.3 s wall waiting on dispatch of
+        # 200-ms tasks).  Payload-file count (stage-B task granularity)
+        # follows this, so it also halves tokenize dispatch.
         ds = rd.read_parquet(
             source,
-            override_num_blocks=max(int(_ray0.cluster_resources().get("CPU", 4)) * 4, 16),
+            override_num_blocks=max(int(_ray0.cluster_resources().get("CPU", 4)) * 2, 16),
         )
 
     # ---- Stage A: docstore ------------------------------------------------

@@ -231,32 +231,57 @@ def make_finalize_part(index_dir: str, cfg: IndexConfig):
     def finalize_part(group: pa.Table) -> pa.Table:
         limit_worker_threads()
         part = group["part"][0].as_py()
-        df = group.to_pandas()
-        n_input = len(df)
+        n_input = group.num_rows
         # last-write-wins upsert by logical key (repo, path); ties on
         # commit (same commit id, conflicting content) break by
-        # content_sha256 so the winner is deterministic at any layout
-        df = df.sort_values(["repo", "path", "commit", "content_sha256"]).drop_duplicates(
-            ["repo", "path"], keep="last"
-        )
+        # content_sha256 so the winner is deterministic at any layout.
+        # All Arrow-native: the former pandas to_pandas -> sort_values ->
+        # drop_duplicates -> from_pandas round-trip was ~1 s/part of
+        # object-string churn and the worst bandwidth offender in the
+        # docstore stage under 32-way concurrency.
+        t = group.take(
+            pc.sort_indices(
+                group,
+                sort_keys=[
+                    ("repo", "ascending"),
+                    ("path", "ascending"),
+                    ("commit", "ascending"),
+                    ("content_sha256", "ascending"),
+                ],
+            )
+        ).combine_chunks()
+        n = t.num_rows
+        # keep the LAST row of each (repo, path) run (== drop_duplicates
+        # keep="last"): run membership via dictionary codes, no string
+        # re-compares per neighbor pair
+        rc = t["repo"].combine_chunks().dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        pcs = t["path"].combine_chunks().dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        is_last = np.empty(n, dtype=bool)
+        if n:
+            is_last[-1] = True
+            np.logical_or(rc[1:] != rc[:-1], pcs[1:] != pcs[:-1], out=is_last[:-1])
+            t = t.filter(pa.array(is_last))
         # delete routing: Spent(2) / Expired(3) are not indexed
         if cfg.route_deletes:
-            n_deleted = int((df["bid_state"] >= 2).sum())
-            df = df[df["bid_state"] < 2]
+            live = pc.less(t["bid_state"], 2)
+            n_deleted = t.num_rows - int(pc.sum(live).as_py() or 0)
+            t = t.filter(live)
         else:
             n_deleted = 0
-        # deterministic rank within partition
-        df = df.sort_values("doc_id").reset_index(drop=True)
-        df["rank"] = np.arange(len(df), dtype=np.int64)
+        # deterministic rank within partition (doc_id is sha1(repo,path,
+        # commit) — unique after dedup, so single-key sort is total)
+        t = t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")])).combine_chunks()
         digest = hashlib.sha256(
-            "".join(sorted(df["content_sha256"].tolist())).encode()
+            "".join(sorted(t["content_sha256"].to_pylist())).encode()
         ).hexdigest()
         # precompute the 128-bit row-identity key here (32-wide, in
         # parallel) so the driver's ordinal-map build reads two numeric
         # columns instead of re-parsing 100 hex chars per row serially
-        df["key_hi"] = hex_prefix_u64(df["doc_id"].tolist())
-        df["key_lo"] = hex_prefix_u64(df["content_sha256"].tolist())
-        out = pa.Table.from_pandas(df, preserve_index=False)
+        out = (
+            t.append_column("rank", pa.array(np.arange(t.num_rows, dtype=np.int64)))
+            .append_column("key_hi", pa.array(hex_prefix_u64(t["doc_id"])))
+            .append_column("key_lo", pa.array(hex_prefix_u64(t["content_sha256"])))
+        )
         sink = pa.BufferOutputStream()
         pq.write_table(out, sink, compression="zstd")
         atomic_write_bytes(
@@ -266,7 +291,7 @@ def make_finalize_part(index_dir: str, cfg: IndexConfig):
         return pa.table(
             {
                 "part": pa.array([part], type=pa.int32()),
-                "rows": pa.array([len(df)], type=pa.int64()),
+                "rows": pa.array([t.num_rows], type=pa.int64()),
                 "input_rows": pa.array([n_input], type=pa.int64()),
                 "deleted": pa.array([n_deleted], type=pa.int64()),
                 "digest": pa.array([digest], type=pa.string()),
