@@ -405,6 +405,12 @@ def build_index(
         # files — an explicit disk-partitioned exchange, no all-to-all
         from .postings import make_merge_group
 
+        if not os.path.isdir(postings_dir):
+            raise RuntimeError(
+                "segments stage incomplete but the postings spill directory is "
+                "missing — it is only removed after a fully-recorded build "
+                "(cfg.cleanup_spills); rebuild without resume"
+            )
         groups = sorted(
             int(d.split("=", 1)[1])
             for d in os.listdir(postings_dir)
@@ -461,6 +467,15 @@ def build_index(
         "now_ts": cfg.now_ts,
     }
     atomic_write_json(os.path.join(index_dir, "stats.json"), stats)
+
+    # Exchange scratch is dead once every stage is recorded complete:
+    # queries read only docstore/ + payload/ + segments/ + doclens/, and
+    # a resume of a COMPLETE build skips every stage without touching
+    # spills.  At 100 TB leaving these would double the index footprint
+    # (postings spill ~= segment bytes; docmeta spill ~= docstore).
+    if cfg.cleanup_spills:
+        for sub in ("postings", "docmeta", "payload_dfsample"):
+            shutil.rmtree(os.path.join(index_dir, sub), ignore_errors=True)
 
     n_postings = sum(v["n_postings"] for v in seg_done.values())
     return BuildResult(index_dir=index_dir, n_docs=n_docs, n_postings=n_postings, manifest=manifest)

@@ -234,6 +234,10 @@ class TokenizerStage:
             # old per-hot-run loop + full Python term-list rebuild cost
             # ~0.3 s per 10k-doc batch.
             buckets = (run_ords[hot_runs] // self.cfg.salt_range).astype(np.uint64)
+            if buckets.size and int(buckets.max()) >= 1 << 32:
+                # (code << 32 | bucket) packing would alias buckets; with
+                # salt_range >= 4096 this needs ~10^13 doc ordinals
+                raise ValueError("salt bucket exceeds 32 bits; raise cfg.salt_range")
             shard = shard.copy()
             hot_codes = run_codes[hot_runs].astype(np.uint64)
             pair_key = (hot_codes << np.uint64(32)) | buckets

@@ -79,6 +79,11 @@ class IndexConfig:
     # disable for corpora without upsert/delete semantics
     route_deletes: bool = True
 
+    # remove exchange scratch (postings/docmeta spills, df sample) after
+    # a fully-recorded build; queries never read them and at scale they
+    # roughly double the on-disk footprint.  Disable to inspect spills.
+    cleanup_spills: bool = True
+
     # frozen "now" for time-decay scoring fixtures (FIXTURES.md §1)
     now_ts: int = 1_767_225_600      # 2026-01-01T00:00:00Z
 

@@ -14,7 +14,13 @@ from lighthouse_ray.config import IndexConfig
 from lighthouse_ray.corpus import gen_corpus
 
 N_DOCS = 400
-CFG = IndexConfig(num_doc_parts=8, num_term_shards=16, salt_range=64, df_sample_mod=10)
+# cleanup_spills=False: the resume tests simulate mid-stage crashes by
+# deleting outputs from a finished build, which requires the exchange
+# spills to still exist (as they would at a real mid-stage crash)
+CFG = IndexConfig(
+    num_doc_parts=8, num_term_shards=16, salt_range=64, df_sample_mod=10,
+    cleanup_spills=False,
+)
 
 
 @pytest.fixture(scope="module")
@@ -226,6 +232,46 @@ def test_exchange_conformance_spill_vs_groupby(ray_session, built, tmp_path):
     assert set(a) == set(b)
     for k in a:
         assert a[k]["sha256"] == b[k]["sha256"], f"shard {k} differs between exchanges"
+
+
+def test_exchange_conformance_multi_shard_groups(ray_session, built, tmp_path):
+    """num_shard_groups < num_term_shards packs several shards into each
+    spill group (rows arrive shard-INTERLEAVED, so the merge task's
+    shard-sort path runs); segment bytes must match the one-shard-per-
+    group default exactly."""
+    import ray.data as rd
+
+    from lighthouse_ray.build import build_index
+
+    idx, res = built  # built with shard_groups == num_term_shards
+    cfg2 = IndexConfig(**{**CFG.to_json(), "num_shard_groups": 4})
+    idx5 = str(tmp_path / "index5")
+    res5 = build_index(rd.from_arrow(gen_corpus(N_DOCS)), idx5, cfg2)
+    a = res.manifest["stages"]["segments"]["shards"]
+    b = res5.manifest["stages"]["segments"]["shards"]
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k]["sha256"] == b[k]["sha256"], f"shard {k} differs with grouped shards"
+
+
+def test_cleanup_spills_default(ray_session, tmp_path):
+    """Default config removes exchange scratch after a complete build;
+    query-side dirs survive and the index still answers."""
+    import ray.data as rd
+
+    from lighthouse_ray.build import build_index
+    from lighthouse_ray.index import IndexReader
+
+    idx = str(tmp_path / "index_clean")
+    cfg = IndexConfig(num_doc_parts=4, num_term_shards=8)
+    build_index(rd.from_arrow(gen_corpus(120)), idx, cfg)
+    for sub in ("postings", "docmeta", "payload_dfsample"):
+        assert not os.path.exists(os.path.join(idx, sub)), sub
+    for sub in ("docstore", "payload", "segments", "doclens"):
+        assert os.path.isdir(os.path.join(idx, sub)), sub
+    r = IndexReader(idx)
+    assert r.n_docs > 0
+    assert len(r.docmeta()) == r.n_docs
 
 
 def test_resume_mid_tokenize(ray_session, built, tmp_path):
