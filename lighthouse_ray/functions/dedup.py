@@ -40,7 +40,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..analysis import flat_tokens
-from .exchange import combine_hashes, routing_hash, spill_exchange
+from .exchange import combine_hashes, spill_exchange
 
 # fixed seeded 64-bit affine hashers for minhash (a*x+b mod p)
 _P = np.uint64((1 << 61) - 1)
@@ -407,13 +407,18 @@ def _band_hashes(sigs: np.ndarray, bands: int) -> np.ndarray:
 
 def minhash_lsh_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
                            num_perm: int = 64, bands: int = 32, k: int = 3,
-                           num_parts: int = 32):
+                           num_parts: int = 32, dedup: bool = True):
     """MinHash + banded LSH candidate pairs (a, b), deduplicated.
 
     explode (band, bhash, id) → exchange by (band, bhash): within-run
     pairs → exchange by (a, b): distinct.  Signatures are NOT carried
     through the shuffle — downstream exact verification replaces the
-    signature-agreement estimate."""
+    signature-agreement estimate.
+
+    ``dedup=False`` skips the second (distinct) exchange and returns
+    per-bucket pairs that may repeat across bands; callers that already
+    dedupe (e.g. :func:`minhash_dedup_pairs`, whose verification stage
+    sets the pair list) save a full exchange."""
 
     def explode(batch: pa.Table) -> pa.Table:
         sigt = minhash_signatures(batch, text_col, id_col, num_perm, k)
@@ -480,6 +485,8 @@ def minhash_lsh_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
         bucket_reduce,
         num_parts=num_parts,
     )
+    if not dedup:
+        return cands
     return spill_exchange(cands, ["a", "b"], pair_dedup, num_parts=num_parts)
 
 
@@ -498,8 +505,10 @@ def minhash_dedup_pairs(ds, threshold: float = 0.5, k: int = 3,
     which is how the driver oracle checks it."""
     cand = minhash_lsh_candidates(
         ds, text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands,
-        k=k, num_parts=num_parts,
+        k=k, num_parts=num_parts, dedup=False,
     )
+    # the verification stage sets the pair list, so the candidates'
+    # cross-band duplicates collapse here — no distinct exchange needed
     pair_rows = cand.take_all()
     pairs = [(r["a"], r["b"]) for r in pair_rows]
     verified = exact_jaccard_for_pairs(
@@ -922,10 +931,13 @@ def _star_reduce(large: bool):
     return reduce_fn
 
 
-def _star_round(edges, large: bool, num_parts: int):
+def _star_round(edges, large: bool, num_parts: int, stats: dict | None = None):
     """One alternating-star round (Kiveris et al., SoCC'14): a spill
     exchange keyed by the star center u with a vectorized per-run
-    reduce."""
+    reduce.  With ``stats``, the exchange's map pass also folds a
+    multiset digest of its (prepped) input edges into
+    ``stats["digest"]`` — the fixed-point detector rides the exchange
+    for free instead of costing its own dataset pass."""
 
     def undirect(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -946,29 +958,9 @@ def _star_round(edges, large: bool, num_parts: int):
         "u",
         _star_reduce(large),
         num_parts=num_parts,
+        digest_cols=("u", "v") if stats is not None else None,
+        stats=stats,
     )
-
-
-def _edge_digest(ds) -> tuple:
-    """(count, xor-of-hashes) over the edge multiset — vectorized via
-    the routing hashes; used only to detect the star fixed point."""
-
-    def part(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return pa.table({"n": pa.array([0]), "x": pa.array([0], type=pa.uint64())})
-        h = combine_hashes(routing_hash(b["a"]), routing_hash(b["b"]))
-        return pa.table(
-            {
-                "n": pa.array([b.num_rows]),
-                "x": pa.array([int(np.bitwise_xor.reduce(h))], type=pa.uint64()),
-            }
-        )
-
-    rows = ds.map_batches(part, batch_format="pyarrow").take_all()
-    acc = 0
-    for r in rows:
-        acc ^= int(r["x"])
-    return (sum(r["n"] for r in rows), acc)
 
 
 def connected_components(edges, nodes, max_rounds: int = 32, num_parts: int = 32):
@@ -979,19 +971,29 @@ def connected_components(edges, nodes, max_rounds: int = 32, num_parts: int = 32
     step, until the edge multiset is stable; then a min-label aggregate
     and a union with self-labels for isolated nodes.
 
+    Two dataset executions per round: the large-star exchange's map
+    pass (which also digests its input — i.e. the previous round's
+    output — for the fixed-point check) and the small-star exchange's
+    map pass.  Star outputs stay LAZY: each round's output lineage is
+    just the reduce re-read over its on-disk spill partitions, consumed
+    exactly once per round, so a ``materialize()`` would add a full
+    extra execution per round for nothing (only the final round's
+    output is read twice — once by the convergence-check map pass,
+    once by the label aggregate).
+
     ``nodes`` is a Dataset with column ``id`` covering every node
     (edges may touch a subset)."""
-    from ray.data.aggregate import Min
-
     cur = edges
     prev_sig = None
     for _ in range(max_rounds):
-        cur = _star_round(cur, large=True, num_parts=num_parts).materialize()
-        cur = _star_round(cur, large=False, num_parts=num_parts).materialize()
-        sig = _edge_digest(cur)
-        if sig == prev_sig:
+        st: dict = {}
+        big = _star_round(cur, large=True, num_parts=num_parts, stats=st)
+        # st["digest"] is over undirect(cur) — a multiset function of
+        # cur's edge multiset, so equality detects the star fixed point
+        if st["digest"] == prev_sig:
             break
-        prev_sig = sig
+        prev_sig = st["digest"]
+        cur = _star_round(big, large=False, num_parts=num_parts)
 
     labels = cur.map_batches(
         lambda b: pa.table({"id": b["a"], "cluster": b["b"]}), batch_format="pyarrow"
@@ -1002,6 +1004,15 @@ def connected_components(edges, nodes, max_rounds: int = 32, num_parts: int = 32
             batch_format="pyarrow",
         )
     )
+
     # per-id min resolves (star label) vs (self label); isolated nodes
-    # keep themselves.  Plain distributed aggregate — no per-group Python.
-    return lab.groupby("id").aggregate(Min("cluster", alias_name="cluster"))
+    # keep themselves.  Same spill-exchange pattern as the star rounds
+    # (a groupby here would all-to-all-sort dozens of tiny blocks).
+    def min_label(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.select(["id", "cluster"])
+        t = t.sort_by([("id", "ascending"), ("cluster", "ascending")]).combine_chunks()
+        starts, _lens = _run_bounds(t["id"].combine_chunks())
+        return t.take(pa.array(starts)).select(["id", "cluster"])
+
+    return spill_exchange(lab, "id", min_label, num_parts=num_parts)

@@ -77,12 +77,19 @@ def combine_hashes(*hs: np.ndarray) -> np.ndarray:
 
 class _SpillMap:
     """Map side: split a batch by partition and spill each slice as one
-    content-addressed zstd-1 parquet (idempotent under task retries)."""
+    content-addressed zstd-1 parquet (idempotent under task retries).
 
-    def __init__(self, key, num_parts: int, root: str):
+    With ``digest_cols`` set, each call also emits one ``part=-2``
+    sentinel row carrying ``"{rows}:{xor:x}"`` — a (count, xor) multiset
+    digest of the batch's key columns.  The coordinator folds these into
+    a digest of the exchange INPUT for free (no extra dataset pass);
+    connected_components uses it for fixed-point detection."""
+
+    def __init__(self, key, num_parts: int, root: str, digest_cols=None):
         self.key = key  # column name | list of names | callable(batch)->uint64[]
         self.num_parts = num_parts
         self.root = root
+        self.digest_cols = digest_cols
 
     def _parts(self, batch: pa.Table) -> np.ndarray:
         if callable(self.key):
@@ -98,6 +105,13 @@ class _SpillMap:
         # coordinator): certain fused empty outputs surface as 0-column
         # blocks inside Ray and trigger schema-divergence warnings
         rows_part, rows_file = [-1], [""]
+        if self.digest_cols is not None:
+            x = 0
+            if batch.num_rows:
+                h = combine_hashes(*(routing_hash(batch[c]) for c in self.digest_cols))
+                x = int(np.bitwise_xor.reduce(splitmix64(h)))
+            rows_part.append(-2)
+            rows_file.append(f"{batch.num_rows}:{x:x}")
         if batch.num_rows:
             part = self._parts(batch)
             order = np.argsort(part, kind="stable")
@@ -134,7 +148,8 @@ class _SpillMap:
         )
 
 
-def spill_exchange(ds, key, reduce_fn, num_parts: int = 32, spill_root: str | None = None):
+def spill_exchange(ds, key, reduce_fn, num_parts: int = 32, spill_root: str | None = None,
+                   digest_cols=None, stats: dict | None = None):
     """Exchange ``ds`` by ``key`` and apply ``reduce_fn`` once per
     partition.
 
@@ -145,6 +160,9 @@ def spill_exchange(ds, key, reduce_fn, num_parts: int = 32, spill_root: str | No
       by the real key values inside).
     - ``num_parts`` is configuration: at cluster scale set it to a few
       x total cores; it never changes results.
+    - ``digest_cols`` + ``stats``: fold a (count, xor) multiset digest
+      of the exchange INPUT's given columns into ``stats["digest"]``
+      during the map pass (no extra execution).
 
     Returns the Dataset of concatenated reduce outputs.  The map side
     materializes only a tiny (part, file) manifest on the driver; row
@@ -157,12 +175,20 @@ def spill_exchange(ds, key, reduce_fn, num_parts: int = 32, spill_root: str | No
     )
     os.makedirs(root, exist_ok=True)
     manifest = ds.map_batches(
-        _SpillMap(key, num_parts, root), batch_format="pyarrow"
+        _SpillMap(key, num_parts, root, digest_cols=digest_cols), batch_format="pyarrow"
     ).take_all()
     part_files: dict[int, list[str]] = {}
+    dig_n, dig_x = 0, 0
     for r in manifest:
-        if int(r["part"]) >= 0:  # skip the keep-schema sentinel rows
-            part_files.setdefault(int(r["part"]), []).append(r["file"])
+        p = int(r["part"])
+        if p >= 0:  # skip the keep-schema sentinel rows
+            part_files.setdefault(p, []).append(r["file"])
+        elif p == -2:
+            n_s, x_s = r["file"].split(":")
+            dig_n += int(n_s)
+            dig_x ^= int(x_s, 16)
+    if stats is not None and digest_cols is not None:
+        stats["digest"] = (dig_n, dig_x)
     parts = sorted(part_files)
     if not parts:
         # empty input: derive the reduce output schema from an empty table

@@ -67,8 +67,11 @@ def main() -> int:
 
     qs = entrymod.queries()
     sqls = entrymod.oracle_sql()
+    only = {s for s in os.environ.get("ONLY", "").split(",") if s}
     failures = []
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
         t0 = time.time()
         try:
             got = canon(to_pandas(fn(sf_dir)))
