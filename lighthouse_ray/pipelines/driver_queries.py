@@ -426,6 +426,86 @@ WHERE ts >= TIMESTAMP '{WATERMARK}' GROUP BY event_type
 """
 
 
+def q_json_props(sf_dir: str):
+    """JSON value parser with null-skip (M1): parse ``events.props``
+    (a JSON string column), extract ``$.k``, DROP rows whose JSON is
+    missing, malformed, or carries no non-null ``k`` — the reference
+    parses each claim's ``value_as_json`` the same way and only keeps
+    parseable values (app/model/claim.go:88-95) — then aggregate the
+    survivors per event_type.
+
+    The parse is vectorized (polars ``str.json_path_match`` over the
+    Arrow column, no per-row json.loads), the per-batch combine keeps
+    at most one row per event_type, and the final groupby is over that
+    tiny partial — the same partial-aggregate shape every counts query
+    here uses."""
+    from ray.data.aggregate import Sum
+
+    def parse(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        empty = pa.table(
+            {
+                "event_type": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+                "sum_k": pa.array([], type=pa.int64()),
+            }
+        )
+        if b.num_rows == 0:
+            return empty
+        k = (
+            pl.from_arrow(b["props"].combine_chunks())
+            .str.json_path_match("$.k")
+            .cast(pl.Int64, strict=False)
+            .to_arrow()
+        )
+        t = pa.table({"event_type": b["event_type"], "k": k.cast(pa.int64())})
+        t = t.filter(pc.is_valid(t["k"]))
+        if t.num_rows == 0:
+            return empty
+        g = t.group_by("event_type", use_threads=False).aggregate(
+            [("k", "count"), ("k", "sum")]
+        )
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "n": g["k_count"].cast(pa.int64()),
+                "sum_k": g["k_sum"].cast(pa.int64()),
+            }
+        )
+
+    partial = _read(sf_dir, "events", ["event_type", "props"]).map_batches(
+        parse, batch_format="pyarrow"
+    )
+    out = partial.groupby("event_type").aggregate(
+        Sum("n", alias_name="n"), Sum("sum_k", alias_name="sum_k")
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "event_type": b["event_type"],
+                "n": b["n"].cast(pa.int64()),
+                "sum_k": b["sum_k"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# TRY_CAST-to-JSON mirrors the null-skip: malformed/missing JSON and
+# JSON-null k all become SQL NULL and are dropped before the aggregate
+SQL_JSON_PROPS = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(k) AS BIGINT) AS sum_k
+FROM (
+  SELECT event_type,
+         TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS BIGINT) AS k
+  FROM events
+)
+WHERE k IS NOT NULL
+GROUP BY event_type
+"""
+
+
 def q_upsert_last_write(sf_dir: str):
     """Last-write-wins upsert by key (claim.go:142-157 analog): latest
     event per user, deterministic tie-break by event_id.
@@ -1035,6 +1115,7 @@ def make_queries() -> dict:
         "fingerprint": q_fingerprint,
         "quality_stats": q_quality_stats,
         "events_watermark": q_events_watermark,
+        "json_props": q_json_props,
         "upsert_last_write": q_upsert_last_write,
         "join_broadcast": q_join_broadcast,
         "group_concat": q_group_concat,
@@ -1068,6 +1149,7 @@ def make_oracle_sql() -> dict:
         "fingerprint": SQL_FINGERPRINT,
         "quality_stats": SQL_QUALITY_STATS,
         "events_watermark": SQL_EVENTS_WATERMARK,
+        "json_props": SQL_JSON_PROPS,
         "upsert_last_write": SQL_UPSERT_LAST_WRITE,
         "join_broadcast": SQL_JOIN_BROADCAST,
         "group_concat": SQL_GROUP_CONCAT,

@@ -344,3 +344,44 @@ def test_exchange_ops_layout_independent(ray_session):
         b = run(7, fn, **kw)
         assert a == b, fn.__name__
         assert len(a) > 0, fn.__name__
+
+
+def test_json_props_null_skip_parity(ray_session):
+    """The JSON value parser (M1) must drop malformed JSON, JSON-null
+    values, and missing keys identically to the DuckDB oracle's
+    TRY_CAST formulation — pinned here on crafted rows the synthetic
+    corpus doesn't contain."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from lighthouse_ray.pipelines.driver_queries import SQL_JSON_PROPS, q_json_props
+
+    df = pd.DataFrame(
+        {
+            "event_type": ["a", "a", "a", "b", "b", "b", "c", "c"],
+            "props": [
+                '{"k": 3}', '{"k": null}', "not json",   # keep, skip, skip
+                None, '{"x": 1}', '{"k": "7"}',          # skip, skip, keep (string number)
+                '{"k": 0}', "",                           # keep, skip
+            ],
+        }
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(os.path.join(d, "events.parquet"))
+        got = (
+            q_json_props(d)
+            .to_pandas()
+            .sort_values("event_type")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{os.path.join(d, 'events.parquet')}')"
+        )
+        want = con.execute(SQL_JSON_PROPS).df().sort_values("event_type").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got["n"].tolist() == [1, 1, 1] and got["sum_k"].tolist() == [3, 7, 0]
