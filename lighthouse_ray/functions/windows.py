@@ -1,0 +1,244 @@
+"""Time-ordered operators over an event stream: tumbling-window
+aggregation, as-of join, and gap sessionization.
+
+These are the classic "operators Ray Data lacks" from the custom-
+operator family (windowed aggregate / as-of / range semantics),
+expressed on the same two primitives everything else here uses:
+
+- *narrow* per-batch partial aggregation + a tiny final combine for
+  the windowed aggregate (windows are a pure function of the row, so
+  no time-ordering shuffle is needed at all);
+- the map-side partitioned :func:`..functions.exchange.spill_exchange`
+  keyed by the entity id for the as-of join and sessionization, whose
+  reduces need every row of one user co-located but are fully
+  VECTORIZED over the sorted partition (forward-fill via
+  ``maximum.accumulate`` / run-length ``reduceat`` — no Python loop
+  per user, no per-group callables).
+
+Partitioning assumption (documented per the operator contract): as-of
+and sessionization co-locate by the join/session key only — a single
+key's history must fit one reduce task, which holds for bounded
+per-entity histories (the common case); an unbounded single entity
+would need time-range sub-splitting with boundary stitching.
+
+All three are exactly SQL-expressible and oracle-gated in
+pipelines/driver_queries.py.  Money-like ``value`` sums go through
+integer cents so distributed summation order can never change the
+result hash.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .exchange import spill_exchange
+
+US_PER_DAY = 86_400_000_000
+
+
+def _ts_us(col) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def tumbling_window_agg(ds, ts_col: str = "ts", type_col: str = "event_type",
+                        value_col: str = "value", width_us: int = US_PER_DAY):
+    """Tumbling-window aggregate: (window_start, type) -> count + exact
+    value sum.  The window id is floor(ts / width), a pure per-row
+    function, so this is a NARROW partial aggregate per batch followed
+    by one tiny groupby over (windows x types) rows — no shuffle of the
+    event rows themselves.  Value sums ride as integer cents
+    (values are 2-decimal), making the distributed sum order-exact."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "window": pa.array([], type=pa.timestamp("us")),
+                "event_type": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+                "cents": pa.array([], type=pa.int64()),
+            }
+        )
+        if b.num_rows == 0:
+            return empty
+        w = (_ts_us(b[ts_col]) // width_us) * width_us
+        cents = np.round(
+            b[value_col].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "window": pa.array(w),
+                "event_type": b[type_col],
+                "cents": pa.array(cents),
+            }
+        )
+        g = t.group_by(["window", "event_type"], use_threads=False).aggregate(
+            [("cents", "count"), ("cents", "sum")]
+        )
+        return pa.table(
+            {
+                "window": g["window"].cast(pa.timestamp("us")),
+                "event_type": g["event_type"],
+                "n": g["cents_count"].cast(pa.int64()),
+                "cents": g["cents_sum"].cast(pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["window", "event_type"]
+    ).aggregate(Sum("n", alias_name="n"), Sum("cents", alias_name="cents"))
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "window": b["window"],
+                "event_type": b["event_type"],
+                "n": b["n"].cast(pa.int64()),
+                "sum_value": pc.divide(b["cents"].cast(pa.float64()), 100.0),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def asof_join(ds, left_type: str, right_type: str, key_col: str = "user_id",
+              ts_col: str = "ts", id_col: str = "event_id",
+              value_col: str = "value", num_parts: int = 32):
+    """LEFT as-of join within one stream: for every ``left_type`` event,
+    the ``value`` of the most recent ``right_type`` event of the SAME
+    key at ``right.ts <= left.ts`` (ties on ts broken by max event id),
+    NULL if none.  One spill exchange by key; the reduce sorts the
+    partition once by (key, ts, side, id) — right rows before left rows
+    at equal ts, so an equal-timestamp right row is visible — and
+    forward-fills the last right-row index with one global
+    ``maximum.accumulate``, cross-key leakage killed by comparing
+    against each key's partition start (earlier keys' indices are
+    always smaller).  No per-key loop anywhere."""
+
+    def pre(b: pa.Table) -> pa.Table:
+        sel = pc.is_in(b["event_type"], value_set=pa.array([left_type, right_type]))
+        t = b.filter(sel)
+        return pa.table(
+            {
+                "k": t[key_col],
+                "ts_us": pa.array(_ts_us(t[ts_col])),
+                "is_left": pc.equal(t["event_type"], left_type),
+                "id": t[id_col],
+                "value": t[value_col],
+            }
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_id": pa.array([], type=pa.int64()),
+                "user_id": pa.array([], type=pa.int64()),
+                "asof_value": pa.array([], type=pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by(
+            [("k", "ascending"), ("ts_us", "ascending"),
+             ("is_left", "ascending"), ("id", "ascending")]
+        ).combine_chunks()
+        n = t.num_rows
+        k = t["k"].to_numpy(zero_copy_only=False)
+        is_left = t["is_left"].to_numpy(zero_copy_only=False)
+        idx = np.where(~is_left, np.arange(n, dtype=np.int64), np.int64(-1))
+        last_right = np.maximum.accumulate(idx)
+        # key run starts: a forward-filled index from an earlier key is
+        # always < this key's first row index -> mask it to "no match"
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = k[1:] != k[:-1]
+        run_start = np.maximum.accumulate(
+            np.where(change, np.arange(n, dtype=np.int64), np.int64(-1))
+        )
+        ok = last_right >= run_start
+        li = np.flatnonzero(is_left)
+        vals = t["value"].to_numpy(zero_copy_only=False)
+        out_v = np.where(ok[li], vals[np.maximum(last_right[li], 0)], np.nan)
+        return pa.table(
+            {
+                "event_id": t["id"].take(pa.array(li)),
+                "user_id": t["k"].take(pa.array(li)),
+                "asof_value": pa.array(out_v, type=pa.float64(), from_pandas=True),
+            }
+        )
+
+    return spill_exchange(
+        ds.map_batches(pre, batch_format="pyarrow"), "k", reduce_fn,
+        num_parts=num_parts,
+    )
+
+
+def sessionize(ds, gap_us: int, key_col: str = "user_id", ts_col: str = "ts",
+               id_col: str = "event_id", num_parts: int = 32):
+    """Gap-based sessionization: per key, order events by (ts, id) and
+    start a new session whenever the gap to the previous event exceeds
+    ``gap_us``; emit one row per session (key, session_idx within key,
+    n_events, duration in integer microseconds).  One spill exchange by
+    key; the reduce is a single sort + run-length pass —
+    session boundaries by vectorized gap compare, per-session stats by
+    ``reduceat``, per-key session numbering by subtracting each key's
+    first session ordinal.  No per-key Python."""
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": b[key_col],
+                "ts_us": pa.array(_ts_us(b[ts_col])),
+                "id": b[id_col],
+            }
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], type=pa.int64()),
+                "session_idx": pa.array([], type=pa.int64()),
+                "n_events": pa.array([], type=pa.int64()),
+                "dur_us": pa.array([], type=pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by(
+            [("k", "ascending"), ("ts_us", "ascending"), ("id", "ascending")]
+        ).combine_chunks()
+        n = t.num_rows
+        k = t["k"].to_numpy(zero_copy_only=False)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = k[1:] != k[:-1]
+        gap = np.empty(n, dtype=np.int64)
+        gap[0] = 0
+        gap[1:] = ts[1:] - ts[:-1]
+        new_sess = new_key | (gap > gap_us)
+        sess_starts = np.flatnonzero(new_sess)
+        sess_lens = np.diff(np.append(sess_starts, n))
+        sess_ends = sess_starts + sess_lens - 1
+        # session ordinal within its key: global session number minus
+        # the ordinal of the key's first session
+        key_first_sess = np.flatnonzero(new_key[sess_starts])
+        sess_of_key = np.zeros(len(sess_starts), dtype=np.int64)
+        sess_of_key[key_first_sess] = 1
+        key_base = np.flatnonzero(sess_of_key)[np.cumsum(sess_of_key) - 1]
+        session_idx = np.arange(len(sess_starts), dtype=np.int64) - key_base + 1
+        return pa.table(
+            {
+                "user_id": t["k"].take(pa.array(sess_starts)),
+                "session_idx": pa.array(session_idx),
+                "n_events": pa.array(sess_lens.astype(np.int64)),
+                "dur_us": pa.array(ts[sess_ends] - ts[sess_starts]),
+            }
+        )
+
+    return spill_exchange(
+        ds.map_batches(pre, batch_format="pyarrow"), "k", reduce_fn,
+        num_parts=num_parts,
+    )

@@ -506,6 +506,85 @@ GROUP BY event_type
 """
 
 
+def q_window_agg(sf_dir: str):
+    """Tumbling 1-day windowed aggregate over the event stream (the
+    windowed-aggregate custom operator): count + exact value sum per
+    (day, event_type).  Narrow partial aggregate — the window id is a
+    pure row function, so no event-row shuffle at all."""
+    from ..functions.windows import tumbling_window_agg
+
+    return tumbling_window_agg(_read(sf_dir, "events", ["ts", "event_type", "value"]))
+
+
+SQL_WINDOW_AGG = """
+SELECT date_trunc('day', ts) AS window, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_asof_join(sf_dir: str):
+    """As-of join (custom range operator): for every click event, the
+    value of the same user's most recent purchase at purchase.ts <=
+    click.ts (ties by max event_id), NULL if none.  One spill exchange
+    by user_id with a fully vectorized forward-fill reduce."""
+    from ..functions.windows import asof_join
+
+    return asof_join(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"]),
+        left_type="click", right_type="purchase",
+    )
+
+
+# right side deduped per (user, ts) by max event_id first, so the ASOF
+# tie-break matches the engine's (ts, event_id) ordering exactly
+SQL_ASOF_JOIN = """
+WITH p AS (
+  SELECT user_id, ts, max_by(value, event_id) AS value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id, p.value AS asof_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+SESSION_GAP_US = 6 * 3600 * 1_000_000  # 6 hours
+
+
+def q_sessionize(sf_dir: str):
+    """Gap-based sessionization (stateful window op): per user, a new
+    session starts after a >6h gap; one row per session with its event
+    count and duration.  Spill exchange by user_id, single vectorized
+    run-length reduce."""
+    from ..functions.windows import sessionize
+
+    return sessionize(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"]), gap_us=SESSION_GAP_US
+    )
+
+
+SQL_SESSIONIZE = f"""
+WITH o AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), s AS (
+  SELECT user_id, ts_us,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM o
+)
+SELECT user_id, CAST(sess AS BIGINT) AS session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(ts_us) - min(ts_us) AS BIGINT) AS dur_us
+FROM s GROUP BY user_id, sess
+"""
+
+
 def q_upsert_last_write(sf_dir: str):
     """Last-write-wins upsert by key (claim.go:142-157 analog): latest
     event per user, deterministic tie-break by event_id.
@@ -1116,6 +1195,9 @@ def make_queries() -> dict:
         "quality_stats": q_quality_stats,
         "events_watermark": q_events_watermark,
         "json_props": q_json_props,
+        "window_agg": q_window_agg,
+        "asof_join": q_asof_join,
+        "sessionize": q_sessionize,
         "upsert_last_write": q_upsert_last_write,
         "join_broadcast": q_join_broadcast,
         "group_concat": q_group_concat,
@@ -1150,6 +1232,9 @@ def make_oracle_sql() -> dict:
         "quality_stats": SQL_QUALITY_STATS,
         "events_watermark": SQL_EVENTS_WATERMARK,
         "json_props": SQL_JSON_PROPS,
+        "window_agg": SQL_WINDOW_AGG,
+        "asof_join": SQL_ASOF_JOIN,
+        "sessionize": SQL_SESSIONIZE,
         "upsert_last_write": SQL_UPSERT_LAST_WRITE,
         "join_broadcast": SQL_JOIN_BROADCAST,
         "group_concat": SQL_GROUP_CONCAT,

@@ -385,3 +385,107 @@ def test_json_props_null_skip_parity(ray_session):
         want = con.execute(SQL_JSON_PROPS).df().sort_values("event_type").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert got["n"].tolist() == [1, 1, 1] and got["sum_k"].tolist() == [3, 7, 0]
+
+
+def _events_table(rows):
+    """rows: (event_id, user_id, ts_us, event_type, value)"""
+    import pandas as pd
+
+    return pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], type=pa.int64()),
+            "ts": pa.array(
+                pd.to_datetime([r[2] for r in rows], unit="us"), type=pa.timestamp("us")
+            ),
+            "event_type": pa.array([r[3] for r in rows], type=pa.string()),
+            "value": pa.array([r[4] for r in rows], type=pa.float64()),
+        }
+    )
+
+
+def test_asof_join_edges(ray_session):
+    """Equal-ts tie goes to the max right event_id; an equal-ts right
+    row IS visible; no prior right row -> NULL; keys never leak."""
+    import ray.data as rd
+
+    from lighthouse_ray.functions.windows import asof_join
+
+    H = 3_600_000_000
+    rows = [
+        # user 1: two purchases at the SAME ts (ids 10, 11) then a click at that ts
+        (10, 1, 5 * H, "purchase", 1.0),
+        (11, 1, 5 * H, "purchase", 2.0),
+        (20, 1, 5 * H, "click", 0.0),     # ties: sees purchase 11 -> 2.0
+        (21, 1, 4 * H, "click", 0.0),     # before any purchase -> NULL
+        (22, 1, 9 * H, "click", 0.0),     # after -> still 2.0
+        # user 2: purchase much earlier than user 1's clicks; its own click
+        (30, 2, 1 * H, "purchase", 7.0),
+        (31, 2, 2 * H, "click", 0.0),     # -> 7.0
+        # user 3: click only, no purchases at all -> NULL
+        (40, 3, 6 * H, "click", 0.0),
+    ]
+    out = {
+        int(r["event_id"]): r["asof_value"]
+        for r in asof_join(
+            rd.from_arrow(_events_table(rows)).repartition(3),
+            left_type="click", right_type="purchase", num_parts=4,
+        ).take_all()
+    }
+    assert out[20] == 2.0 and out[22] == 2.0 and out[31] == 7.0
+    assert out[21] is None and out[40] is None
+
+
+def test_sessionize_edges(ray_session):
+    """A gap EXACTLY equal to gap_us stays in the same session; a gap
+    one microsecond larger starts a new one; session_idx restarts per
+    user; duration is last-minus-first within the session."""
+    import ray.data as rd
+
+    from lighthouse_ray.functions.windows import sessionize
+
+    G = 1_000_000  # 1 s gap
+    rows = [
+        (1, 1, 0, "view", 0.0),
+        (2, 1, G, "view", 0.0),          # gap == G: same session
+        (3, 1, 2 * G + 1, "view", 0.0),  # gap == G+1: NEW session
+        (4, 2, 0, "view", 0.0),          # other user: its own session 1
+    ]
+    got = sorted(
+        (int(r["user_id"]), int(r["session_idx"]), int(r["n_events"]), int(r["dur_us"]))
+        for r in sessionize(
+            rd.from_arrow(_events_table(rows)).repartition(2), gap_us=G, num_parts=3
+        ).take_all()
+    )
+    assert got == [(1, 1, 2, G), (1, 2, 1, 0), (2, 1, 1, 0)]
+
+
+def test_window_ops_layout_independent(ray_session):
+    """window_agg / asof_join / sessionize results must not depend on
+    the input's block layout."""
+    import ray.data as rd
+
+    from lighthouse_ray.functions.windows import asof_join, sessionize, tumbling_window_agg
+
+    rng = __import__("numpy").random.RandomState(7)
+    rows = [
+        (i, int(rng.randint(0, 5)), int(rng.randint(0, 10)) * 3_600_000_000,
+         ["click", "purchase", "view"][int(rng.randint(0, 3))],
+         float(round(float(rng.rand()) * 100, 2)))
+        for i in range(200)
+    ]
+    t = _events_table(rows)
+
+    def run(nblocks, fn, **kw):
+        out = fn(rd.from_arrow(t).repartition(nblocks), **kw).to_pandas()
+        out = out[sorted(out.columns)].astype(str)
+        return sorted(map(tuple, out.itertuples(index=False)))
+
+    for fn, kw in [
+        (tumbling_window_agg, {}),
+        (asof_join, dict(left_type="click", right_type="purchase", num_parts=5)),
+        (sessionize, dict(gap_us=2 * 3_600_000_000, num_parts=5)),
+    ]:
+        a = run(1, fn, **kw)
+        b = run(9, fn, **kw)
+        assert a == b and len(a) > 0, fn.__name__
