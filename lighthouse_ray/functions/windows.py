@@ -175,6 +175,98 @@ def asof_join(ds, left_type: str, right_type: str, key_col: str = "user_id",
     )
 
 
+def range_join_count(ds, left_type: str, right_type: str, window_us: int,
+                     key_col: str = "user_id", ts_col: str = "ts",
+                     id_col: str = "event_id", num_parts: int = 32):
+    """Range (interval) join within one stream: for every ``left_type``
+    event, the COUNT of the same key's ``right_type`` events with
+    ``ts`` in the inclusive window ``[left.ts - window_us, left.ts]``.
+
+    One spill exchange by key; the reduce is a single merged sort —
+    right rows plus one "left-bound" and one "right-bound" marker per
+    left row, ordered (key, ts, marker) so an equal-ts right row falls
+    INSIDE both inclusive bounds — and a cumulative right-row count
+    whose difference at the two markers is the window count.  No
+    per-key loop, no per-pair work: cost is sort + cumsum regardless
+    of window fan-out (the join itself is never materialized)."""
+
+    def pre(b: pa.Table) -> pa.Table:
+        lt = b.filter(pc.equal(b["event_type"], left_type))
+        rt = b.filter(pc.equal(b["event_type"], right_type))
+        lts = _ts_us(lt[ts_col])
+        parts = [
+            # marker -1: left bound at ts-W (sorts before equal-ts rights)
+            pa.table(
+                {
+                    "k": lt[key_col],
+                    "ts_us": pa.array(lts - window_us),
+                    "marker": pa.array(np.full(len(lts), -1, dtype=np.int8)),
+                    "id": lt[id_col],
+                }
+            ),
+            # marker 0: the right rows being counted
+            pa.table(
+                {
+                    "k": rt[key_col],
+                    "ts_us": pa.array(_ts_us(rt[ts_col])),
+                    "marker": pa.array(np.zeros(rt.num_rows, dtype=np.int8)),
+                    "id": rt[id_col],
+                }
+            ),
+            # marker 1: right bound at ts (sorts after equal-ts rights)
+            pa.table(
+                {
+                    "k": lt[key_col],
+                    "ts_us": pa.array(lts),
+                    "marker": pa.array(np.ones(len(lts), dtype=np.int8)),
+                    "id": lt[id_col],
+                }
+            ),
+        ]
+        return pa.concat_tables(parts)
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_id": pa.array([], type=pa.int64()),
+                "user_id": pa.array([], type=pa.int64()),
+                "n_in_window": pa.array([], type=pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by(
+            [("k", "ascending"), ("ts_us", "ascending"),
+             ("marker", "ascending"), ("id", "ascending")]
+        ).combine_chunks()
+        marker = t["marker"].to_numpy(zero_copy_only=False)
+        cum = np.cumsum(marker == 0)
+        lo = np.flatnonzero(marker == -1)
+        hi = np.flatnonzero(marker == 1)
+        if len(lo) == 0:
+            return empty
+        # both marker lists sort by (k, ts-derived, id): order of the
+        # SAME left rows, so lo[i] and hi[i] belong to one left event
+        ids_lo = t["id"].take(pa.array(lo))
+        ids_hi = t["id"].take(pa.array(hi))
+        order_lo = pc.sort_indices(ids_lo)
+        order_hi = pc.sort_indices(ids_hi)
+        lo = lo[order_lo.to_numpy(zero_copy_only=False)]
+        hi = hi[order_hi.to_numpy(zero_copy_only=False)]
+        return pa.table(
+            {
+                "event_id": ids_lo.take(order_lo),
+                "user_id": t["k"].take(pa.array(lo)),
+                "n_in_window": pa.array(cum[hi] - cum[lo]),
+            }
+        )
+
+    return spill_exchange(
+        ds.map_batches(pre, batch_format="pyarrow"), "k", reduce_fn,
+        num_parts=num_parts,
+    )
+
+
 def sessionize(ds, gap_us: int, key_col: str = "user_id", ts_col: str = "ts",
                id_col: str = "event_id", num_parts: int = 32):
     """Gap-based sessionization: per key, order events by (ts, id) and

@@ -549,6 +549,27 @@ FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
 ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
 """
 
+def q_range_join(sf_dir: str):
+    """Range (interval) join: for every purchase, the count of the same
+    user's clicks within the previous 24 h (inclusive bounds).  One
+    spill exchange by user_id; merged-sort + cumulative-count reduce —
+    the joined pairs are never materialized."""
+    from ..functions.windows import range_join_count
+
+    return range_join_count(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"]),
+        left_type="purchase", right_type="click", window_us=86_400_000_000,
+    )
+
+
+SQL_RANGE_JOIN = """
+SELECT p.event_id, p.user_id, CAST(count(c.event_id) AS BIGINT) AS n_in_window
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id AND c.ts BETWEEN p.ts - INTERVAL 1 DAY AND p.ts
+GROUP BY p.event_id, p.user_id
+"""
+
 SESSION_GAP_US = 6 * 3600 * 1_000_000  # 6 hours
 
 
@@ -1197,6 +1218,7 @@ def make_queries() -> dict:
         "json_props": q_json_props,
         "window_agg": q_window_agg,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "sessionize": q_sessionize,
         "upsert_last_write": q_upsert_last_write,
         "join_broadcast": q_join_broadcast,
@@ -1234,6 +1256,7 @@ def make_oracle_sql() -> dict:
         "json_props": SQL_JSON_PROPS,
         "window_agg": SQL_WINDOW_AGG,
         "asof_join": SQL_ASOF_JOIN,
+        "range_join": SQL_RANGE_JOIN,
         "sessionize": SQL_SESSIONIZE,
         "upsert_last_write": SQL_UPSERT_LAST_WRITE,
         "join_broadcast": SQL_JOIN_BROADCAST,

@@ -489,3 +489,31 @@ def test_window_ops_layout_independent(ray_session):
         a = run(1, fn, **kw)
         b = run(9, fn, **kw)
         assert a == b and len(a) > 0, fn.__name__
+
+
+def test_range_join_count_edges(ray_session):
+    """Both window bounds are inclusive (a click exactly at ts-W and
+    one exactly at ts both count); other users' clicks never leak;
+    left events with no clicks emit 0."""
+    import ray.data as rd
+
+    from lighthouse_ray.functions.windows import range_join_count
+
+    H = 3_600_000_000
+    rows = [
+        (1, 1, 0 * H, "click", 0.0),      # exactly at ts-W (W=2h): counts
+        (2, 1, 1 * H, "click", 0.0),      # inside: counts
+        (3, 1, 2 * H, "click", 0.0),      # exactly at ts: counts
+        (4, 1, 3 * H, "click", 0.0),      # after: no
+        (10, 1, 2 * H, "purchase", 0.0),  # window [0h, 2h] -> 3
+        (5, 2, 1 * H, "click", 0.0),      # other user
+        (11, 2, 9 * H, "purchase", 0.0),  # nothing in [7h, 9h] -> 0
+    ]
+    got = {
+        int(r["event_id"]): int(r["n_in_window"])
+        for r in range_join_count(
+            rd.from_arrow(_events_table(rows)).repartition(3),
+            left_type="purchase", right_type="click", window_us=2 * H, num_parts=4,
+        ).take_all()
+    }
+    assert got == {10: 3, 11: 0}
