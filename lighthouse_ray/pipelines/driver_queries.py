@@ -354,6 +354,35 @@ SELECT doc_id, md5(array_to_string({TOK}, ' ')) AS fingerprint FROM documents
 """
 
 
+def q_hash_split(sf_dir: str):
+    """Deterministic train/val split by content hash — the standard
+    leakage-safe dataset partitioner (duplicate payloads always land in
+    the same split; assignment is reproducible across runs, layouts and
+    cluster sizes).  ~90% train: first md5 byte < 0xe6.  Narrow per-row
+    map; the md5 runs over the raw UTF-8 buffer slices."""
+
+    def f(b: pa.Table) -> pa.Table:
+        h = _md5_hex_column(b["text"])
+        is_train = pc.less(pc.utf8_slice_codeunits(h, 0, 2), "e6")
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "split": pc.if_else(is_train, "train", "val"),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+SQL_HASH_SPLIT = """
+SELECT doc_id,
+       CASE WHEN substr(md5(text), 1, 2) < 'e6' THEN 'train' ELSE 'val' END AS split
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # text quality / language stats (training-data ops; M2 analog)
 # ---------------------------------------------------------------------------
@@ -1213,6 +1242,7 @@ def make_queries() -> dict:
         "sort_topk": q_sort_topk,
         "exact_dedup": q_exact_dedup,
         "fingerprint": q_fingerprint,
+        "hash_split": q_hash_split,
         "quality_stats": q_quality_stats,
         "events_watermark": q_events_watermark,
         "json_props": q_json_props,
@@ -1251,6 +1281,7 @@ def make_oracle_sql() -> dict:
         "sort_topk": SQL_SORT_TOPK,
         "exact_dedup": SQL_EXACT_DEDUP,
         "fingerprint": SQL_FINGERPRINT,
+        "hash_split": SQL_HASH_SPLIT,
         "quality_stats": SQL_QUALITY_STATS,
         "events_watermark": SQL_EVENTS_WATERMARK,
         "json_props": SQL_JSON_PROPS,
