@@ -268,11 +268,13 @@ def ngram_jaccard_pairs(ds, n: int = 3, min_inter: int = 5, text_col: str = "tex
     exploded = ds.map_batches(
         lambda b: doc_shingles(b, text_col, id_col, n), batch_format="pyarrow"
     )
+    st: dict = {}
     partial = spill_exchange(
-        exploded, "sh", _shingle_pairs_reduce(max_df), num_parts=num_parts
+        exploded, "sh", _shingle_pairs_reduce(max_df), num_parts=num_parts, stats=st
     )
     return spill_exchange(
-        partial, ["a", "b"], _pair_agg_reduce(min_inter, None), num_parts=num_parts
+        partial, ["a", "b"], _pair_agg_reduce(min_inter, None), num_parts=num_parts,
+        cleanup_after=[st["root"]],
     )
 
 
@@ -310,12 +312,14 @@ def exact_jaccard_for_pairs(ds, pairs: list[tuple], n: int = 3,
         return doc_shingles(b.filter(sel), text_col, id_col, n)
 
     exploded = ds.map_batches(explode, batch_format="pyarrow")
+    st: dict = {}
     partial = spill_exchange(
         exploded, "sh", _shingle_pairs_reduce(None, pair_key_ref=key_ref),
-        num_parts=num_parts,
+        num_parts=num_parts, stats=st,
     )
     return spill_exchange(
-        partial, ["a", "b"], _pair_agg_reduce(None, None), num_parts=num_parts
+        partial, ["a", "b"], _pair_agg_reduce(None, None), num_parts=num_parts,
+        cleanup_after=[st["root"]],
     )
 
 
@@ -407,7 +411,8 @@ def _band_hashes(sigs: np.ndarray, bands: int) -> np.ndarray:
 
 def minhash_lsh_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
                            num_perm: int = 64, bands: int = 32, k: int = 3,
-                           num_parts: int = 32, dedup: bool = True):
+                           num_parts: int = 32, dedup: bool = True,
+                           stats: dict | None = None):
     """MinHash + banded LSH candidate pairs (a, b), deduplicated.
 
     explode (band, bhash, id) → exchange by (band, bhash): within-run
@@ -479,15 +484,20 @@ def minhash_lsh_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
             )
         return t.group_by(["a", "b"], use_threads=False).aggregate([])
 
+    st: dict = {}
     cands = spill_exchange(
         ds.map_batches(explode, batch_format="pyarrow"),
         ["band", "bhash"],
         bucket_reduce,
         num_parts=num_parts,
+        stats=st,
     )
     if not dedup:
+        if stats is not None:
+            stats["root"] = st["root"]
         return cands
-    return spill_exchange(cands, ["a", "b"], pair_dedup, num_parts=num_parts)
+    return spill_exchange(cands, ["a", "b"], pair_dedup, num_parts=num_parts,
+                          cleanup_after=[st["root"]], stats=stats)
 
 
 def minhash_dedup_pairs(ds, threshold: float = 0.5, k: int = 3,
@@ -503,13 +513,17 @@ def minhash_dedup_pairs(ds, threshold: float = 0.5, k: int = 3,
     deterministic (seeded hashers), so the output is stable across runs
     and layouts.  Every emitted row satisfies the exact SQL predicate,
     which is how the driver oracle checks it."""
+    cst: dict = {}
     cand = minhash_lsh_candidates(
         ds, text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands,
-        k=k, num_parts=num_parts, dedup=False,
+        k=k, num_parts=num_parts, dedup=False, stats=cst,
     )
     # the verification stage sets the pair list, so the candidates'
     # cross-band duplicates collapse here — no distinct exchange needed
     pair_rows = cand.take_all()
+    import shutil
+
+    shutil.rmtree(cst["root"], ignore_errors=True)  # candidates fully drained
     pairs = [(r["a"], r["b"]) for r in pair_rows]
     verified = exact_jaccard_for_pairs(
         ds, pairs, n=k, text_col=text_col, id_col=id_col, num_parts=num_parts
@@ -629,13 +643,16 @@ def simhash_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
         g = t.group_by(["a", "b"], use_threads=False).aggregate([("hamming", "min")])
         return pa.table({"a": g["a"], "b": g["b"], "hamming": g["hamming_min"]})
 
+    st: dict = {}
     cands = spill_exchange(
         ds.map_batches(explode, batch_format="pyarrow"),
         ["band", "key"],
         bucket_reduce,
         num_parts=num_parts,
+        stats=st,
     )
-    return spill_exchange(cands, ["a", "b"], pair_dedup, num_parts=num_parts)
+    return spill_exchange(cands, ["a", "b"], pair_dedup, num_parts=num_parts,
+                          cleanup_after=[st["root"]])
 
 
 # ---------------------------------------------------------------------------
@@ -861,13 +878,16 @@ def embedding_lsh_pairs(ds, threshold: float = 0.9, id_col: str = "vec_id",
         g = t.group_by(["a", "b"], use_threads=False).aggregate([("cos", "min")])
         return pa.table({"a": g["a"], "b": g["b"], "cos": g["cos_min"]})
 
+    st: dict = {}
     cands = spill_exchange(
         ds.map_batches(explode, batch_format="pyarrow"),
         ["band", "key"],
         bucket_reduce,
         num_parts=num_parts,
+        stats=st,
     )
-    return spill_exchange(cands, ["a", "b"], pair_dedup, num_parts=num_parts)
+    return spill_exchange(cands, ["a", "b"], pair_dedup, num_parts=num_parts,
+                          cleanup_after=[st["root"]])
 
 
 # ---------------------------------------------------------------------------
@@ -931,13 +951,15 @@ def _star_reduce(large: bool):
     return reduce_fn
 
 
-def _star_round(edges, large: bool, num_parts: int, stats: dict | None = None):
+def _star_round(edges, large: bool, num_parts: int, stats: dict | None = None,
+                digest: bool = False):
     """One alternating-star round (Kiveris et al., SoCC'14): a spill
     exchange keyed by the star center u with a vectorized per-run
-    reduce.  With ``stats``, the exchange's map pass also folds a
+    reduce.  With ``digest=True``, the exchange's map pass also folds a
     multiset digest of its (prepped) input edges into
     ``stats["digest"]`` — the fixed-point detector rides the exchange
-    for free instead of costing its own dataset pass."""
+    for free instead of costing its own dataset pass; ``stats["root"]``
+    lets the caller GC the round's spills once consumed."""
 
     def undirect(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -958,7 +980,7 @@ def _star_round(edges, large: bool, num_parts: int, stats: dict | None = None):
         "u",
         _star_reduce(large),
         num_parts=num_parts,
-        digest_cols=("u", "v") if stats is not None else None,
+        digest_cols=("u", "v") if digest else None,
         stats=stats,
     )
 
@@ -983,17 +1005,31 @@ def connected_components(edges, nodes, max_rounds: int = 32, num_parts: int = 32
 
     ``nodes`` is a Dataset with column ``id`` covering every node
     (edges may touch a subset)."""
+    import shutil
+
     cur = edges
     prev_sig = None
+    cur_root = None  # our own spill root behind `cur` (None for the input)
     for _ in range(max_rounds):
         st: dict = {}
-        big = _star_round(cur, large=True, num_parts=num_parts, stats=st)
+        big = _star_round(cur, large=True, num_parts=num_parts, stats=st, digest=True)
         # st["digest"] is over undirect(cur) — a multiset function of
         # cur's edge multiset, so equality detects the star fixed point
         if st["digest"] == prev_sig:
+            # the just-spilled large round is discarded; its spills are dead
+            shutil.rmtree(st["root"], ignore_errors=True)
             break
         prev_sig = st["digest"]
-        cur = _star_round(big, large=False, num_parts=num_parts)
+        sst: dict = {}
+        new_cur = _star_round(big, large=False, num_parts=num_parts, stats=sst)
+        # the small map pass consumed big's spills, and the large map
+        # pass consumed the previous round's output — both roots are
+        # dead now (labels only ever read the FINAL round's root):
+        # scratch stays bounded at ~2 edge sets however many rounds run
+        shutil.rmtree(st["root"], ignore_errors=True)
+        if cur_root:
+            shutil.rmtree(cur_root, ignore_errors=True)
+        cur, cur_root = new_cur, sst["root"]
 
     labels = cur.map_batches(
         lambda b: pa.table({"id": b["a"], "cluster": b["b"]}), batch_format="pyarrow"
@@ -1015,4 +1051,7 @@ def connected_components(edges, nodes, max_rounds: int = 32, num_parts: int = 32
         starts, _lens = _run_bounds(t["id"].combine_chunks())
         return t.take(pa.array(starts)).select(["id", "cluster"])
 
-    return spill_exchange(lab, "id", min_label, num_parts=num_parts)
+    # the label-exchange map pass fully consumes the final round's
+    # spills; only the (output-sized) label root outlives the call
+    return spill_exchange(lab, "id", min_label, num_parts=num_parts,
+                          cleanup_after=[cur_root] if cur_root else None)

@@ -149,7 +149,8 @@ class _SpillMap:
 
 
 def spill_exchange(ds, key, reduce_fn, num_parts: int = 32, spill_root: str | None = None,
-                   digest_cols=None, stats: dict | None = None):
+                   digest_cols=None, stats: dict | None = None,
+                   cleanup_after: list[str] | None = None):
     """Exchange ``ds`` by ``key`` and apply ``reduce_fn`` once per
     partition.
 
@@ -162,7 +163,15 @@ def spill_exchange(ds, key, reduce_fn, num_parts: int = 32, spill_root: str | No
       x total cores; it never changes results.
     - ``digest_cols`` + ``stats``: fold a (count, xor) multiset digest
       of the exchange INPUT's given columns into ``stats["digest"]``
-      during the map pass (no extra execution).
+      during the map pass (no extra execution).  ``stats["root"]``
+      always carries this exchange's spill root when ``stats`` is given.
+    - ``cleanup_after``: spill roots of UPSTREAM exchanges to delete
+      once this exchange's map pass has fully consumed its input
+      (Spark-style shuffle-file GC: a chained exchange's lazy reduce
+      lineage references only its OWN root, so the predecessor's spills
+      are dead the moment the successor's map side finishes).
+      Best-effort; assumes consumed blocks are not lineage-reconstructed
+      afterwards (holds for driver-held manifests).
 
     Returns the Dataset of concatenated reduce outputs.  The map side
     materializes only a tiny (part, file) manifest on the driver; row
@@ -187,8 +196,16 @@ def spill_exchange(ds, key, reduce_fn, num_parts: int = 32, spill_root: str | No
             n_s, x_s = r["file"].split(":")
             dig_n += int(n_s)
             dig_x ^= int(x_s, 16)
-    if stats is not None and digest_cols is not None:
-        stats["digest"] = (dig_n, dig_x)
+    if stats is not None:
+        if digest_cols is not None:
+            stats["digest"] = (dig_n, dig_x)
+        stats["root"] = root
+    if cleanup_after:
+        import shutil
+
+        for r in cleanup_after:
+            if r and r != root:
+                shutil.rmtree(r, ignore_errors=True)
     parts = sorted(part_files)
     if not parts:
         # empty input: derive the reduce output schema from an empty table
