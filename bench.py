@@ -123,7 +123,8 @@ def run_bench() -> dict:
         qs = make_queries()
         for name in ["bm25_topk", "term_df", "lineitem_agg", "exact_dedup",
                      "ann_cosine_topk", "join_broadcast", "ngram_jaccard",
-                     "dup_clusters", "minhash_lsh"]:
+                     "dup_clusters", "minhash_lsh", "asof_join", "sessionize",
+                     "window_agg", "range_join"]:
             t0 = time.time()
             out = qs[name](SF_DIR)
             if hasattr(out, "to_pandas"):
