@@ -517,3 +517,30 @@ def test_range_join_count_edges(ray_session):
         ).take_all()
     }
     assert got == {10: 3, 11: 0}
+
+
+def test_exchange_scratch_bounded(ray_session):
+    """Chained exchanges must GC their predecessors' spill roots: a
+    full ngram->CC pipeline may leave at most its output-sized tail
+    roots behind (the caller-held lazy reduces), never one root per
+    exchange/round."""
+    import os
+
+    import ray.data as rd
+
+    from lighthouse_ray.functions.dedup import connected_components, ngram_jaccard_pairs
+
+    root = "/tmp/lighthouse_ray_xchg"
+    before = set(os.listdir(root)) if os.path.isdir(root) else set()
+    rows = [BASE, NEAR, BASE + " tail", OTHER, "another unrelated stream doc"] * 10
+    docs = rd.from_arrow(_docs_table(rows))
+    pairs = ngram_jaccard_pairs(docs, n=3, min_inter=2, num_parts=4)
+    edges = pairs.map_batches(lambda b: b.select(["a", "b"]), batch_format="pyarrow")
+    nodes = docs.map_batches(
+        lambda b: pa.table({"id": b["doc_id"]}), batch_format="pyarrow"
+    )
+    out = connected_components(edges, nodes, num_parts=4)
+    assert out.count() == 50
+    after = set(os.listdir(root))
+    # tail roots: the pair exchange (edges' lineage) + the label exchange
+    assert len(after - before) <= 2, sorted(after - before)
