@@ -544,3 +544,82 @@ def test_exchange_scratch_bounded(ray_session):
     after = set(os.listdir(root))
     # tail roots: the pair exchange (edges' lineage) + the label exchange
     assert len(after - before) <= 2, sorted(after - before)
+
+
+def test_window_ops_randomized_vs_duckdb(ray_session):
+    """Randomized parity for asof_join / range_join_count / sessionize
+    against their DuckDB formulations, on an event table with FORCED
+    timestamp collisions (coarse ts grid) so every tie-break path runs."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from lighthouse_ray.functions.windows import asof_join, range_join_count, sessionize
+
+    rng = np.random.RandomState(1234)
+    n = 600
+    H = 3_600_000_000
+    ts_us = rng.randint(0, 48, size=n) * H  # 48 hourly slots -> heavy ties
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.randint(0, 8, size=n).astype(np.int64),
+            "ts": pd.to_datetime(ts_us, unit="us"),
+            "event_type": np.array(["click", "purchase", "view"])[rng.randint(0, 3, size=n)],
+            "value": np.round(rng.rand(n) * 100, 2),
+        }
+    )
+    t = pa.Table.from_pandas(df, preserve_index=False).set_column(
+        2, "ts", pa.Table.from_pandas(df[["ts"]])["ts"].cast(pa.timestamp("us"))
+    )
+    ds = rd.from_arrow(t).repartition(5)
+    con = duckdb.connect()
+    con.register("events", df)
+
+    def canon(got):
+        got = got[sorted(got.columns)].copy()
+        for c in got.columns:
+            got[c] = got[c].astype(str)
+        return sorted(map(tuple, got.itertuples(index=False)))
+
+    got = canon(asof_join(ds, "click", "purchase", num_parts=4).to_pandas())
+    want = canon(con.execute("""
+        WITH p AS (SELECT user_id, ts, max_by(value, event_id) AS value
+                   FROM events WHERE event_type='purchase' GROUP BY user_id, ts)
+        SELECT c.event_id, c.user_id, p.value AS asof_value
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type='click') c
+        ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+    """).df())
+    assert got == want
+
+    got = canon(range_join_count(ds, "purchase", "click", window_us=5 * H, num_parts=4).to_pandas())
+    want = canon(con.execute("""
+        SELECT p.event_id, p.user_id, CAST(count(c.event_id) AS BIGINT) AS n_in_window
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type='purchase') p
+        LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type='click') c
+          ON c.user_id = p.user_id AND c.ts BETWEEN p.ts - INTERVAL 5 HOUR AND p.ts
+        GROUP BY p.event_id, p.user_id
+    """).df())
+    assert got == want
+
+    gap = 3 * H
+    got = canon(sessionize(ds, gap_us=gap, num_parts=4).to_pandas())
+    want = canon(con.execute(f"""
+        WITH o AS (
+          SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                 CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > {gap}
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+        ), s AS (
+          SELECT user_id, ts_us,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sess
+          FROM o
+        )
+        SELECT user_id, CAST(sess AS BIGINT) AS session_idx,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(max(ts_us) - min(ts_us) AS BIGINT) AS dur_us
+        FROM s GROUP BY user_id, sess
+    """).df())
+    assert got == want
