@@ -915,8 +915,13 @@ WHERE len(list_filter(range(1, len(toks)),
 
 def q_top_terms_per_lang(sf_dir: str):
     """Per-group top-N window (G-family): 3 highest-df terms per lang,
-    ties by term; per-batch partial df then groupby + map_groups."""
-    from ray.data.aggregate import Sum
+    ties by term.  Per-batch partial df, then ONE spill exchange keyed
+    by lang with a vectorized reduce (Arrow group-sum + run-length
+    head-3 — no per-group Python, no groupby sort shuffle).  One lang's
+    (term, df) table is vocabulary-bounded, so it always fits a reduce
+    task."""
+    from ..functions.dedup import _run_bounds
+    from ..functions.exchange import spill_exchange
 
     def partial(b: pa.Table) -> pa.Table:
         parents, _pos, terms, _n = flat_tokens(b["text"])
@@ -928,14 +933,31 @@ def q_top_terms_per_lang(sf_dir: str):
                          "n": agg["parent_count"].cast(pa.int64())})
 
     ds = _read(sf_dir, "documents", ["lang", "text"]).map_batches(partial, batch_format="pyarrow")
-    agg = ds.groupby(["lang", "term"]).aggregate(Sum("n", alias_name="df"))
 
-    def top3(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["df", "term"], ascending=[False, True]).head(3)
-        g["df"] = g["df"].astype("int64")
-        return g[["lang", "term", "df"]]
+    def top3(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "lang": pa.array([], type=pa.string()),
+                "term": pa.array([], type=pa.string()),
+                "df": pa.array([], type=pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        g = t.group_by(["lang", "term"], use_threads=False).aggregate([("n", "sum")])
+        g = pa.table(
+            {"lang": g["lang"], "term": g["term"], "df": g["n_sum"].cast(pa.int64())}
+        ).sort_by(
+            [("lang", "ascending"), ("df", "descending"), ("term", "ascending")]
+        ).combine_chunks()
+        starts, lens = _run_bounds(g["lang"].combine_chunks())
+        k = np.minimum(lens, 3)
+        cum = np.zeros(len(k), dtype=np.int64)
+        np.cumsum(k[:-1], out=cum[1:])
+        idx = np.repeat(starts, k) + (np.arange(int(k.sum()), dtype=np.int64) - np.repeat(cum, k))
+        return g.take(pa.array(idx))
 
-    return agg.groupby("lang").map_groups(top3, batch_format="pandas")
+    return spill_exchange(ds, "lang", top3, num_parts=8)
 
 
 SQL_TOP_TERMS_PER_LANG = f"""
