@@ -760,16 +760,38 @@ GROUP BY c.c_nationkey
 
 def q_group_concat(sf_dir: str):
     """GROUP_CONCAT analog (chainquery.go:63 tags aggregation): supplier
-    names per nation, sorted and comma-joined."""
+    names per nation, sorted and comma-joined.  One key-hashed spill
+    exchange; the reduce sorts (key, name) once and joins each run with
+    one Arrow ``binary_join`` over a run-offset list array — no
+    per-group Python."""
+    from ..functions.dedup import _run_bounds
+    from ..functions.exchange import spill_exchange
 
-    def cat(g: pd.DataFrame) -> pd.DataFrame:
-        names = ",".join(sorted(g["s_name"].tolist()))
-        return pd.DataFrame(
-            {"nationkey": [np.int64(g["s_nationkey"].iloc[0])], "suppliers": [names]}
+    def concat_reduce(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "nationkey": pa.array([], type=pa.int64()),
+                "suppliers": pa.array([], type=pa.string()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by(
+            [("s_nationkey", "ascending"), ("s_name", "ascending")]
+        ).combine_chunks()
+        keys = t["s_nationkey"].combine_chunks().cast(pa.int64())
+        starts, lens = _run_bounds(keys)
+        offs = np.append(starts, t.num_rows).astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(offs), t["s_name"].combine_chunks())
+        return pa.table(
+            {
+                "nationkey": keys.take(pa.array(starts)),
+                "suppliers": pc.binary_join(lists, ","),
+            }
         )
 
     ds = _read(sf_dir, "supplier", ["s_nationkey", "s_name"])
-    return ds.groupby("s_nationkey").map_groups(cat, batch_format="pandas")
+    return spill_exchange(ds, "s_nationkey", concat_reduce, num_parts=8)
 
 
 SQL_GROUP_CONCAT = """
