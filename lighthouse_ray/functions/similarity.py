@@ -64,6 +64,134 @@ def brute_force_topk(ds, query_vecs: np.ndarray, k: int = 10,
     )
 
 
+def knn_graph(ds, k: int = 3, id_col: str = "vec_id", vec_col: str = "embedding",
+              block_rows: int = 4096, num_parts: int = 16):
+    """k-NN graph over the embedding column: for EVERY vector, its top-k
+    cosine neighbors (self excluded) — the building block for
+    embedding-cluster dedup and semantic dedup sampling.
+
+    Same blocked shape as :func:`..functions.dedup.embedding_cosine_pairs`:
+    rows persist once as normalized blocks, one task per block PAIR emits
+    each side's PARTIAL top-k against the other block (k rows per vector
+    per block — never the full similarity row), and one spill exchange
+    keyed by the source id reduces partials to the global top-k with a
+    run-length head-k.  Ranking uses cosine ROUNDED to 6 decimals with
+    an id tie-break, so results are layout-independent and exactly
+    SQL-mirrorable.  Memory per task is 2 blocks; shuffled volume is
+    N x num_blocks x k rows, not N^2."""
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..util import atomic_write_bytes
+    from .dedup import _run_bounds
+    from .exchange import spill_exchange
+
+    root = os.path.join("/tmp/lighthouse_ray_xchg", "knn-" + uuid.uuid4().hex[:16])
+    os.makedirs(root, exist_ok=True)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        import hashlib as _h
+
+        if batch.num_rows == 0:
+            return pa.table({"file": pa.array([], type=pa.string())})
+        m = _to_matrix(batch, vec_col)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        t = pa.table(
+            {
+                "id": pa.array(batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)),
+                "vec": pa.FixedSizeListArray.from_arrays(pa.array(m.reshape(-1)), m.shape[1]),
+            }
+        )
+        sink = pa.BufferOutputStream()
+        pq.write_table(t, sink, compression="zstd", compression_level=1)
+        data = sink.getvalue().to_pybytes()
+        fname = f"{uuid.uuid4().hex[:16]}-{_h.sha256(data).hexdigest()[:12]}.parquet"
+        atomic_write_bytes(os.path.join(root, fname), data)
+        return pa.table({"file": pa.array([fname], type=pa.string())})
+
+    files = sorted(
+        r["file"]
+        for r in ds.map_batches(write_block, batch_format="pyarrow", batch_size=block_rows).take_all()
+    )
+    empty = pa.table(
+        {
+            "a": pa.array([], type=pa.int64()),
+            "b": pa.array([], type=pa.int64()),
+            "cos": pa.array([], type=pa.float64()),
+        }
+    )
+    if not files:
+        return rd.from_arrow(
+            pa.table({"vec_id": empty["a"], "nn_id": empty["b"], "cos": empty["cos"]})
+        )
+
+    def _load(fname: str):
+        t = pq.read_table(os.path.join(root, fname))
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        m = np.asarray(t["vec"].combine_chunks().flatten(), dtype=np.float64).reshape(len(t), -1)
+        return ids, m
+
+    def _partial_topk(cos: np.ndarray, ids_src: np.ndarray, ids_dst: np.ndarray) -> pa.Table:
+        """Per-row top-k of one (src x dst) cosine block, ranked by
+        (round6 desc, dst id asc)."""
+        n, m = cos.shape
+        kk = min(k, m)
+        r6 = np.round(cos, 6)
+        # lexsort per row: primary -r6, secondary dst id — done via one
+        # global argsort over packed keys per row
+        order = np.lexsort((np.broadcast_to(ids_dst, (n, m)), -r6), axis=1)[:, :kk]
+        rows = np.repeat(np.arange(n), kk)
+        cols = order.reshape(-1)
+        sel = np.isfinite(r6[rows, cols])
+        return pa.table(
+            {
+                "a": pa.array(ids_src[rows[sel]]),
+                "b": pa.array(ids_dst[cols[sel]]),
+                "cos": pa.array(r6[rows[sel], cols[sel]]),
+            }
+        )
+
+    def block_pair(bt: pa.Table) -> pa.Table:
+        outs = []
+        for i, j in zip(bt["i"].to_pylist(), bt["j"].to_pylist()):
+            ids_a, ma = _load(files[i])
+            ids_b, mb = _load(files[j]) if j != i else (ids_a, ma)
+            cos = ma @ mb.T
+            if i == j:
+                np.fill_diagonal(cos, -np.inf)  # self excluded
+            outs.append(_partial_topk(cos, ids_a, ids_b))
+            if i != j:
+                outs.append(_partial_topk(cos.T.copy(), ids_b, ids_a))
+        return pa.concat_tables(outs) if outs else empty
+
+    items = [{"i": i, "j": j} for i in range(len(files)) for j in range(i, len(files))]
+    partial = rd.from_items(items, override_num_blocks=len(items)).map_batches(
+        block_pair, batch_format="pyarrow", batch_size=None
+    )
+
+    def topk_reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"vec_id": empty["a"], "nn_id": empty["b"], "cos": empty["cos"]})
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        c = t["cos"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, -c, a))
+        a, b, c = a[order], b[order], c[order]
+        starts, lens = _run_bounds(pa.array(a))
+        kk = np.minimum(lens, k)
+        cum = np.zeros(len(kk), dtype=np.int64)
+        np.cumsum(kk[:-1], out=cum[1:])
+        idx = np.repeat(starts, kk) + (np.arange(int(kk.sum()), dtype=np.int64) - np.repeat(cum, kk))
+        return pa.table(
+            {"vec_id": pa.array(a[idx]), "nn_id": pa.array(b[idx]), "cos": pa.array(c[idx])}
+        )
+
+    return spill_exchange(partial, "a", topk_reduce, num_parts=num_parts)
+
+
 def kmeans_centroids(mat: np.ndarray, n_clusters: int, iters: int = 10, seed: int = 42) -> np.ndarray:
     """Deterministic Lloyd's k-means on the (small, driver-side) sample."""
     rng = np.random.RandomState(seed)

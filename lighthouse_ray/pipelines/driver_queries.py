@@ -1125,6 +1125,27 @@ WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
 """
 
 
+def q_knn_graph(sf_dir: str):
+    """k-NN graph: top-3 cosine neighbors for EVERY vector (self
+    excluded), ranked by cosine rounded to 6 decimals with id
+    tie-break — blocked partial top-k per block pair + one exchange, so
+    shuffled volume is N x blocks x k, never N^2 rows."""
+    from ..functions.similarity import knn_graph
+
+    return knn_graph(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), k=3)
+
+
+_COS = ("list_cosine_similarity(CAST(x.embedding AS DOUBLE[]), "
+        "CAST(y.embedding AS DOUBLE[]))")
+
+# the oracle ranks by the SAME rounded cosine + id tie-break the engine uses
+SQL_KNN_GRAPH = f"""
+SELECT x.vec_id AS vec_id, y.vec_id AS nn_id, round({_COS}, 6) AS cos
+FROM embeddings x JOIN embeddings y ON y.vec_id != x.vec_id
+QUALIFY row_number() OVER (
+  PARTITION BY x.vec_id ORDER BY round({_COS}, 6) DESC, y.vec_id) <= 3
+"""
+
 LSH_COS_THRESHOLD = 0.45
 
 
@@ -1306,6 +1327,7 @@ def make_queries() -> dict:
         "dup_clusters": q_dup_clusters,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_lsh_near_dup": q_embedding_lsh_near_dup,
+        "knn_graph": q_knn_graph,
         "multimodal_meta": q_multimodal_meta,
         "minhash_lsh": q_minhash_lsh,
         "simhash_dedup": q_simhash_dedup,
@@ -1345,6 +1367,7 @@ def make_oracle_sql() -> dict:
         "dup_clusters": SQL_DUP_CLUSTERS,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
         "embedding_lsh_near_dup": SQL_EMBEDDING_LSH_NEAR_DUP,
+        "knn_graph": SQL_KNN_GRAPH,
         "multimodal_meta": SQL_MULTIMODAL_META,
         # minhash: LSH candidates + exact verification == exact SQL;
         # simhash: pigeonhole recall is exactly 1 == exact SQL;

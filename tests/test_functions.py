@@ -623,3 +623,36 @@ def test_window_ops_randomized_vs_duckdb(ray_session):
         FROM s GROUP BY user_id, sess
     """).df())
     assert got == want
+
+
+def test_knn_graph_blocked_vs_bruteforce(ray_session):
+    """knn_graph with tiny blocks (forcing many block pairs and
+    partial-topk merges) must equal the single-matrix brute force, with
+    self excluded and (round6 desc, id asc) ranking."""
+    import ray.data as rd
+
+    from lighthouse_ray.functions.similarity import knn_graph
+
+    rng = np.random.RandomState(3)
+    n, d, k = 40, 8, 3
+    m = rng.randn(n, d)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(m.reshape(-1)), d
+            ).cast(pa.list_(pa.float64())),
+        }
+    )
+    got = {}
+    for r in knn_graph(
+        rd.from_arrow(t).repartition(6), k=k, block_rows=7, num_parts=4
+    ).take_all():
+        got.setdefault(int(r["vec_id"]), []).append((int(r["nn_id"]), float(r["cos"])))
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cos = np.round(mn @ mn.T, 6)
+    np.fill_diagonal(cos, -np.inf)
+    for i in range(n):
+        order = np.lexsort((np.arange(n), -cos[i]))[:k]
+        want = [(int(j), float(cos[i, j])) for j in order]
+        assert got[i] == want, i
