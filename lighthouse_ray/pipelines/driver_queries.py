@@ -382,6 +382,44 @@ SELECT doc_id,
 FROM documents
 """
 
+# per-language keep rates as fixed-width hex thresholds (rate =
+# int(thr,16)/65536): downsample over-represented languages, keep the
+# rest whole.  Fixed-width lowercase hex compares LEXICOGRAPHICALLY
+# like the number it encodes, so both sides are pure string compares.
+SAMPLE_THR = {"en": "8000", "de": "c000"}  # en 50%, de 75%, others 100%
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sampling: per-language keep rates
+    applied via a content-hash threshold (first 4 md5 hex chars below
+    the language's threshold), so the SAME documents are kept on every
+    run, at any parallelism, and duplicate payloads sample
+    identically — the leakage-safe way to downsample over-represented
+    strata.  Narrow per-row map; no shuffle."""
+
+    def f(b: pa.Table) -> pa.Table:
+        h4 = pc.utf8_slice_codeunits(_md5_hex_column(b["text"]), 0, 4)
+        thr = pa.array(
+            [SAMPLE_THR.get(lang, "ffffg")  # > any hex: keep all
+             for lang in b["lang"].to_pylist()],
+            type=pa.string(),
+        )
+        return pa.table({"doc_id": b["doc_id"], "lang": b["lang"]}).filter(
+            pc.less(h4, thr)
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "lang", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang FROM documents
+WHERE substr(md5(text), 1, 4) <
+      CASE lang WHEN 'en' THEN '{SAMPLE_THR['en']}' WHEN 'de' THEN '{SAMPLE_THR['de']}'
+                ELSE 'ffffg' END
+"""
+
 
 # ---------------------------------------------------------------------------
 # text quality / language stats (training-data ops; M2 analog)
@@ -1308,6 +1346,7 @@ def make_queries() -> dict:
         "exact_dedup": q_exact_dedup,
         "fingerprint": q_fingerprint,
         "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
         "quality_stats": q_quality_stats,
         "events_watermark": q_events_watermark,
         "json_props": q_json_props,
@@ -1348,6 +1387,7 @@ def make_oracle_sql() -> dict:
         "exact_dedup": SQL_EXACT_DEDUP,
         "fingerprint": SQL_FINGERPRINT,
         "hash_split": SQL_HASH_SPLIT,
+        "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "quality_stats": SQL_QUALITY_STATS,
         "events_watermark": SQL_EVENTS_WATERMARK,
         "json_props": SQL_JSON_PROPS,
