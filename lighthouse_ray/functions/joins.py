@@ -1,0 +1,144 @@
+"""Large-x-large reduce-side joins.
+
+Ray Data (2.49) has no native join; the repo's broadcast-hash join
+(pipelines/driver_queries.py::q_join_broadcast) covers the
+small-side case.  This module adds the other half: a SHUFFLE HASH
+JOIN for two large inputs, built on the same map-side partitioned
+:func:`..functions.exchange.spill_exchange` every wide operator here
+uses — both sides spill by a routing hash of the key, one reduce task
+per partition sorts its co-located slice once and emits the equal-key
+cross products fully vectorized (repeat/arange arithmetic over run
+lengths — no per-key Python, no hash dict of either side).
+
+Partitioning assumption: all rows of ONE key (both sides together)
+fit a reduce task — the standard shuffle-join contract; skewed keys
+want the same salting treatment the index build gives hot terms.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .exchange import spill_exchange
+
+_SIDE = "__side"
+
+
+def _null_column(n: int, typ: pa.DataType) -> pa.Array:
+    return pa.nulls(n, type=typ)
+
+
+def shuffle_join(left, right, key: str, lcols: list[str], rcols: list[str],
+                 how: str = "inner", num_parts: int = 32):
+    """Join ``left`` and ``right`` Datasets on ``key``.
+
+    ``lcols`` / ``rcols`` name the payload columns to carry from each
+    side (key excluded; output schema is [key, *lcols, *rcols]).
+    ``how``: "inner" or "left" (left outer: unmatched left rows keep
+    nulls in ``rcols``).
+
+    One exchange total: both sides are tagged and mapped to the common
+    output schema (absent side's columns null), the exchange co-locates
+    every key, and the reduce emits each key run's |L|x|R| cross
+    product with pure index arithmetic.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how={how!r}: only inner/left supported")
+    lsch = left.schema()
+    rsch = right.schema()
+    ltypes = {n: t for n, t in zip(lsch.names, lsch.types)}
+    rtypes = {n: t for n, t in zip(rsch.names, rsch.types)}
+    key_t = ltypes[key]
+    out_fields = (
+        [(key, key_t)]
+        + [(c, ltypes[c]) for c in lcols]
+        + [(c, rtypes[c]) for c in rcols]
+    )
+    schema = pa.schema(out_fields + [(_SIDE, pa.int8())])
+
+    if set(lcols) & set(rcols):
+        raise ValueError("lcols/rcols must be disjoint — rename before joining")
+
+    def tag(side: int, cols: list[str]):
+        own = {key, *cols}
+
+        def f(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            arrays = [
+                b[name].combine_chunks().cast(typ) if name in own else _null_column(n, typ)
+                for name, typ in out_fields
+            ]
+            arrays.append(pa.array(np.full(n, side, dtype=np.int8)))
+            return pa.Table.from_arrays(arrays, schema=schema)
+
+        return f
+
+    tagged = left.map_batches(tag(0, lcols), batch_format="pyarrow").union(
+        right.map_batches(tag(1, rcols), batch_format="pyarrow")
+    )
+
+    def join_reduce(t: pa.Table) -> pa.Table:
+        empty = pa.schema(out_fields).empty_table()
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([(key, "ascending"), (_SIDE, "ascending")]).combine_chunks()
+        keys = t[key].combine_chunks()
+        side = t[_SIDE].to_numpy(zero_copy_only=False)
+        m = len(side)
+        neq = pc.not_equal(keys.slice(1), keys.slice(0, m - 1)).to_numpy(
+            zero_copy_only=False
+        ) if m > 1 else np.zeros(0, dtype=bool)
+        change = np.empty(m, dtype=bool)
+        change[0] = True
+        change[1:] = neq
+        starts = np.flatnonzero(change)
+        lens = np.diff(np.append(starts, m))
+        # within each key run, left rows (side 0) precede right rows
+        n_r = np.add.reduceat(side.astype(np.int64), starts)
+        n_l = lens - n_r
+        counts = n_l * n_r
+        if how == "left":
+            lone = (n_r == 0) & (n_l > 0)
+        total = int(counts.sum())
+        li = np.zeros(0, dtype=np.int64)
+        ri = np.zeros(0, dtype=np.int64)
+        if total:
+            run_of = np.repeat(np.arange(len(starts)), counts)
+            cum = np.zeros(len(counts), dtype=np.int64)
+            np.cumsum(counts[:-1], out=cum[1:])
+            local = np.arange(total, dtype=np.int64) - cum[run_of]
+            li = starts[run_of] + local // n_r[run_of]
+            ri = starts[run_of] + n_l[run_of] + local % n_r[run_of]
+        arrays = []
+        lset = set(lcols)
+        if how == "left" and lone.any():
+            # unmatched left rows: every left index of the lone runs
+            lr = np.flatnonzero(lone)
+            nl = n_l[lr]
+            run_pos = np.repeat(np.arange(len(lr)), nl)
+            lcum = np.zeros(len(lr), dtype=np.int64)
+            np.cumsum(nl[:-1], out=lcum[1:])
+            lidx = starts[lr][run_pos] + (
+                np.arange(int(nl.sum()), dtype=np.int64) - lcum[run_pos]
+            )
+            for name, typ in out_fields:
+                col = t[name].combine_chunks()
+                if name == key or name in lset:
+                    a = pa.concat_arrays(
+                        [col.take(pa.array(li)), col.take(pa.array(lidx))]
+                    )
+                else:
+                    a = pa.concat_arrays(
+                        [col.take(pa.array(ri)), _null_column(len(lidx), typ)]
+                    )
+                arrays.append(a)
+            return pa.Table.from_arrays(arrays, schema=pa.schema(out_fields))
+        for name, typ in out_fields:
+            col = t[name].combine_chunks()
+            idx = li if (name == key or name in lset) else ri
+            arrays.append(col.take(pa.array(idx)))
+        return pa.Table.from_arrays(arrays, schema=pa.schema(out_fields))
+
+    return spill_exchange(tagged, key, join_reduce, num_parts=num_parts)

@@ -839,6 +839,79 @@ FROM supplier GROUP BY s_nationkey
 """
 
 
+def q_shuffle_join(sf_dir: str):
+    """Large-x-large shuffle hash join (J+; Ray Data has no native
+    join): high-quantity lineitems joined to their orders.  Both sides
+    spill by the key hash through ONE exchange; the reduce emits
+    equal-key cross products with pure index arithmetic (see
+    functions/joins.py)."""
+    from ..functions.joins import shuffle_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).map_batches(
+        lambda b: b.filter(pc.greater_equal(b["l_quantity"], 48.0)),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        lambda b: pa.table({"l_orderkey": b["o_orderkey"], "o_custkey": b["o_custkey"]}),
+        batch_format="pyarrow",
+    )
+    return shuffle_join(li, orders, key="l_orderkey",
+                        lcols=["l_quantity"], rcols=["o_custkey"])
+
+
+SQL_SHUFFLE_JOIN = """
+SELECT l.l_orderkey, l.l_quantity, o.o_custkey
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_quantity >= 48
+"""
+
+# composed from the ngram-Jaccard and hash-split oracles (nested CTE)
+_SQL_SPLIT_LEAKAGE_TMPL = """
+WITH np AS ({ngram_sql}), sp AS ({split_sql})
+SELECT np.a, np.b, sa.split AS split_a, sb.split AS split_b
+FROM np JOIN sp sa ON np.a = sa.doc_id JOIN sp sb ON np.b = sb.doc_id
+WHERE sa.split != sb.split
+"""
+
+
+def q_split_leakage(sf_dir: str):
+    """Composed leakage audit: near-duplicate pairs whose two docs fall
+    on DIFFERENT sides of the deterministic train/val split — exactly
+    the contamination a leakage-safe pipeline must surface.  Reuses
+    ngram_jaccard_pairs + the hash-split assignment, stitched with two
+    shuffle joins (no broadcast of the N-sized split table)."""
+    from ..functions.dedup import ngram_jaccard_pairs
+    from ..functions.joins import shuffle_join
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs, n=3, min_inter=5, max_df=NGRAM_MAX_DF)
+
+    def split_tbl(b: pa.Table) -> pa.Table:
+        h = _md5_hex_column(b["text"])
+        is_train = pc.less(pc.utf8_slice_codeunits(h, 0, 2), "e6")
+        return pa.table(
+            {"doc_id": b["doc_id"], "split": pc.if_else(is_train, "train", "val")}
+        )
+
+    split = docs.map_batches(split_tbl, batch_format="pyarrow")
+    j1 = shuffle_join(
+        pairs.map_batches(
+            lambda b: pa.table({"doc_id": b["a"], "b": b["b"]}), batch_format="pyarrow"
+        ),
+        split, key="doc_id", lcols=["b"], rcols=["split"],
+    ).map_batches(
+        lambda b: pa.table({"a": b["doc_id"], "doc_id": b["b"], "split_a": b["split"]}),
+        batch_format="pyarrow",
+    )
+    j2 = shuffle_join(j1, split, key="doc_id", lcols=["a", "split_a"], rcols=["split"])
+    return j2.map_batches(
+        lambda b: pa.table(
+            {"a": b["a"], "b": b["doc_id"], "split_a": b["split_a"], "split_b": b["split"]}
+        ).filter(pc.not_equal(b["split_a"], b["split"])),
+        batch_format="pyarrow",
+    )
+
+
 def q_lineitem_agg(sf_dir: str):
     """Wide aggregate with per-batch partials (TPC-H Q1 shape)."""
     from ray.data.aggregate import Sum
@@ -1356,6 +1429,8 @@ def make_queries() -> dict:
         "sessionize": q_sessionize,
         "upsert_last_write": q_upsert_last_write,
         "join_broadcast": q_join_broadcast,
+        "shuffle_join": q_shuffle_join,
+        "split_leakage": q_split_leakage,
         "group_concat": q_group_concat,
         "lineitem_agg": q_lineitem_agg,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1397,6 +1472,10 @@ def make_oracle_sql() -> dict:
         "sessionize": SQL_SESSIONIZE,
         "upsert_last_write": SQL_UPSERT_LAST_WRITE,
         "join_broadcast": SQL_JOIN_BROADCAST,
+        "shuffle_join": SQL_SHUFFLE_JOIN,
+        "split_leakage": _SQL_SPLIT_LEAKAGE_TMPL.format(
+            ngram_sql=SQL_NGRAM_JACCARD, split_sql=SQL_HASH_SPLIT
+        ),
         "group_concat": SQL_GROUP_CONCAT,
         "lineitem_agg": SQL_LINEITEM_AGG,
         "ann_cosine_topk": SQL_ANN_COSINE_TOPK,

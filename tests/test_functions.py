@@ -656,3 +656,36 @@ def test_knn_graph_blocked_vs_bruteforce(ray_session):
         order = np.lexsort((np.arange(n), -cos[i]))[:k]
         want = [(int(j), float(cos[i, j])) for j in order]
         assert got[i] == want, i
+
+
+def test_shuffle_join_inner_and_left(ray_session):
+    """Reduce-side shuffle join: inner and left-outer vs a pandas merge,
+    including duplicate keys on both sides (cross products) and
+    unmatched rows, independent of block layout."""
+    import pandas as pd
+    import ray.data as rd
+
+    from lighthouse_ray.functions.joins import shuffle_join
+
+    rng = np.random.RandomState(11)
+    left = pd.DataFrame(
+        {"k": rng.randint(0, 20, size=100).astype(np.int64),
+         "lv": np.arange(100, dtype=np.int64)}
+    )
+    right = pd.DataFrame(
+        {"k": rng.randint(5, 25, size=60).astype(np.int64),
+         "rv": np.arange(1000, 1060, dtype=np.int64)}
+    )
+
+    def canon(df):
+        df = df[sorted(df.columns)].astype("float64")  # nulls -> NaN uniform
+        return sorted(map(tuple, df.fillna(-1).itertuples(index=False)))
+
+    for how in ("inner", "left"):
+        got = shuffle_join(
+            rd.from_pandas(left).repartition(7),
+            rd.from_pandas(right).repartition(3),
+            key="k", lcols=["lv"], rcols=["rv"], how=how, num_parts=5,
+        ).to_pandas()
+        want = left.merge(right, on="k", how=how)
+        assert canon(got) == canon(want), how
