@@ -493,6 +493,76 @@ WHERE ts >= TIMESTAMP '{WATERMARK}' GROUP BY event_type
 """
 
 
+PCTS = [("p25", 0.25), ("p50", 0.5), ("p75", 0.75), ("p95", 0.95), ("p99", 0.99)]
+
+
+def q_percentiles(sf_dir: str):
+    """EXACT per-language percentiles of n_chars without a global sort:
+    per-batch (lang, value) count partials collapse the data to its
+    value DOMAIN (bounded for discrete columns), one exchange by lang
+    builds each language's cumulative histogram, and the q-quantile is
+    the smallest value whose cumulative count reaches ceil(q*n) — the
+    same discrete-rank definition DuckDB's quantile_disc uses, so the
+    oracle matches exactly.  Shuffled volume is (langs x distinct
+    values), never the row count."""
+    from ..functions.dedup import _run_bounds
+    from ..functions.exchange import spill_exchange
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select(["lang", "n_chars"]).group_by(
+            ["lang", "n_chars"], use_threads=False
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {"lang": g["lang"], "v": g["n_chars"], "c": g["count_all"].cast(pa.int64())}
+        )
+
+    parts = _read(sf_dir, "documents", ["lang", "n_chars"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    def pct_reduce(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "lang": pa.array([], type=pa.string()),
+                "q": pa.array([], type=pa.string()),
+                "value": pa.array([], type=pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        g = t.group_by(["lang", "v"], use_threads=False).aggregate([("c", "sum")])
+        g = g.sort_by([("lang", "ascending"), ("v", "ascending")]).combine_chunks()
+        starts, lens = _run_bounds(g["lang"].combine_chunks())
+        c = g["c_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        cum = np.cumsum(c)
+        langs_out, q_out, v_out = [], [], []
+        for s, ln in zip(starts, lens):  # iterations = distinct langs
+            seg = cum[s : s + ln] - (cum[s - 1] if s else 0)
+            n = int(seg[-1])
+            ranks = np.array([int(np.ceil(qv * n)) for _name, qv in PCTS])
+            idx = np.searchsorted(seg, ranks)
+            langs_out.extend([g["lang"][s].as_py()] * len(PCTS))
+            q_out.extend(name for name, _qv in PCTS)
+            v_out.extend(v[s + idx])
+        return pa.table(
+            {
+                "lang": pa.array(langs_out, type=pa.string()),
+                "q": pa.array(q_out, type=pa.string()),
+                "value": pa.array(np.asarray(v_out, dtype=np.int64)),
+            }
+        )
+
+    return spill_exchange(parts, "lang", pct_reduce, num_parts=8)
+
+
+SQL_PERCENTILES = "\nUNION ALL\n".join(
+    f"SELECT lang, '{name}' AS q, CAST(quantile_disc(n_chars, {qv}) AS BIGINT) AS value "
+    f"FROM documents GROUP BY lang"
+    for name, qv in PCTS
+)
+
+
 def q_json_props(sf_dir: str):
     """JSON value parser with null-skip (M1): parse ``events.props``
     (a JSON string column), extract ``$.k``, DROP rows whose JSON is
@@ -1423,6 +1493,7 @@ def make_queries() -> dict:
         "quality_stats": q_quality_stats,
         "events_watermark": q_events_watermark,
         "json_props": q_json_props,
+        "percentiles": q_percentiles,
         "window_agg": q_window_agg,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
@@ -1466,6 +1537,7 @@ def make_oracle_sql() -> dict:
         "quality_stats": SQL_QUALITY_STATS,
         "events_watermark": SQL_EVENTS_WATERMARK,
         "json_props": SQL_JSON_PROPS,
+        "percentiles": SQL_PERCENTILES,
         "window_agg": SQL_WINDOW_AGG,
         "asof_join": SQL_ASOF_JOIN,
         "range_join": SQL_RANGE_JOIN,
