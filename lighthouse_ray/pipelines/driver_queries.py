@@ -354,6 +354,81 @@ SELECT doc_id, md5(array_to_string({TOK}, ' ')) AS fingerprint FROM documents
 """
 
 
+CHUNK_SIZE, CHUNK_STRIDE = 64, 48  # 16-token overlap
+
+
+def q_chunk_text(sf_dir: str):
+    """Document chunking for context windows (the standard LLM
+    preprocessing op): overlapping fixed-token windows over the
+    normalized token stream — chunk k covers tokens
+    [k*stride, k*stride+size), k while k*stride < len.  Fully
+    vectorized: one flat_tokens pass, window index arithmetic in
+    numpy, one ListArray + binary_join to materialize every chunk
+    string in a single kernel.  Narrow op — no shuffle."""
+
+    def f(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "chunk_idx": pa.array([], type=pa.int64()),
+                "chunk": pa.array([], type=pa.string()),
+                "n_tokens": pa.array([], type=pa.int64()),
+            }
+        )
+        parents, _pos, terms, n = flat_tokens(b["text"])
+        if len(parents) == 0:
+            return empty
+        L = np.bincount(parents, minlength=n).astype(np.int64)
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(L, out=offs[1:])
+        nch = np.where(L > 0, (L - 1) // CHUNK_STRIDE + 1, 0)
+        total = int(nch.sum())
+        if total == 0:
+            return empty
+        doc_of = np.repeat(np.arange(n), nch)
+        cum = np.zeros(n, dtype=np.int64)
+        np.cumsum(nch[:-1], out=cum[1:])
+        k = np.arange(total, dtype=np.int64) - cum[doc_of]
+        starts = offs[doc_of] + k * CHUNK_STRIDE
+        ends = np.minimum(starts + CHUNK_SIZE, offs[doc_of + 1])
+        lens = ends - starts
+        # flat token indices of every chunk (overlap duplicates tokens)
+        ccum = np.zeros(total, dtype=np.int64)
+        np.cumsum(lens[:-1], out=ccum[1:])
+        flat_idx = np.repeat(starts - ccum, lens) + np.arange(int(lens.sum()), dtype=np.int64)
+        chunk_offs = np.zeros(total + 1, dtype=np.int32)
+        np.cumsum(lens, out=chunk_offs[1:])
+        lists = pa.ListArray.from_arrays(
+            pa.array(chunk_offs), pc.take(terms, pa.array(flat_idx))
+        )
+        ids = b["doc_id"].combine_chunks() if isinstance(b["doc_id"], pa.ChunkedArray) else b["doc_id"]
+        return pa.table(
+            {
+                "doc_id": pc.take(ids, pa.array(doc_of)),
+                "chunk_idx": pa.array(k),
+                "chunk": pc.binary_join(lists, " "),
+                "n_tokens": pa.array(lens),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+SQL_CHUNK_TEXT = f"""
+WITH toks AS (SELECT doc_id, {TOK} AS t FROM documents),
+k AS (
+  SELECT doc_id, t, unnest(range(0, ((len(t) - 1) // {CHUNK_STRIDE}) + 1)) AS ck
+  FROM toks WHERE len(t) > 0
+)
+SELECT doc_id, CAST(ck AS BIGINT) AS chunk_idx,
+       array_to_string(t[ck * {CHUNK_STRIDE} + 1 : ck * {CHUNK_STRIDE} + {CHUNK_SIZE}], ' ') AS chunk,
+       CAST(least({CHUNK_SIZE}, len(t) - ck * {CHUNK_STRIDE}) AS BIGINT) AS n_tokens
+FROM k
+"""
+
+
 def q_hash_split(sf_dir: str):
     """Deterministic train/val split by content hash — the standard
     leakage-safe dataset partitioner (duplicate payloads always land in
@@ -1489,6 +1564,7 @@ def make_queries() -> dict:
         "exact_dedup": q_exact_dedup,
         "fingerprint": q_fingerprint,
         "hash_split": q_hash_split,
+        "chunk_text": q_chunk_text,
         "stratified_sample": q_stratified_sample,
         "quality_stats": q_quality_stats,
         "events_watermark": q_events_watermark,
@@ -1533,6 +1609,7 @@ def make_oracle_sql() -> dict:
         "exact_dedup": SQL_EXACT_DEDUP,
         "fingerprint": SQL_FINGERPRINT,
         "hash_split": SQL_HASH_SPLIT,
+        "chunk_text": SQL_CHUNK_TEXT,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "quality_stats": SQL_QUALITY_STATS,
         "events_watermark": SQL_EVENTS_WATERMARK,
