@@ -545,6 +545,82 @@ FROM t
 WATERMARK = "2024-01-15 00:00:00"
 
 
+def q_multiformat_source(sf_dir: str):
+    """Source-format coverage (S-family): the SAME events table served
+    as JSONL and CSV, read through ``ray.data.read_json`` /
+    ``read_csv``, with typed values (timestamps, doubles, embedded JSON
+    strings) surviving both decoders — verified by per-(format, type)
+    counts and exact cent sums that must agree with the parquet oracle.
+    The /tmp copies are derived from the given table once (idempotent
+    marker), never synthesized."""
+    import hashlib as _h
+    import os
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    src = os.path.join(sf_dir, "events.parquet")
+    root = os.path.join(
+        "/tmp/lighthouse_ray_srcfmt", _h.sha256(src.encode()).hexdigest()[:16]
+    )
+    marker = os.path.join(root, ".complete")
+    if not os.path.exists(marker):
+        os.makedirs(os.path.join(root, "jsonl"), exist_ok=True)
+        os.makedirs(os.path.join(root, "csv"), exist_ok=True)
+        df = pd.read_parquet(src, columns=["event_type", "ts", "value", "props"])
+        df["ts"] = df["ts"].astype("datetime64[us]").astype(str)
+        df.to_json(os.path.join(root, "jsonl", "events.jsonl"),
+                   orient="records", lines=True)
+        df.to_csv(os.path.join(root, "csv", "events.csv"), index=False)
+        open(marker, "w").write("ok")
+
+    def agg(fmt: str, ds):
+        def partial(b: pa.Table) -> pa.Table:
+            cents = np.round(
+                b["value"].to_numpy(zero_copy_only=False).astype(np.float64) * 100.0
+            ).astype(np.int64)
+            t = pa.table({"event_type": b["event_type"], "cents": pa.array(cents)})
+            g = t.group_by("event_type", use_threads=False).aggregate(
+                [("cents", "count"), ("cents", "sum")]
+            )
+            return pa.table(
+                {
+                    "format": pa.array([fmt] * g.num_rows, type=pa.string()),
+                    "event_type": g["event_type"],
+                    "n": g["cents_count"].cast(pa.int64()),
+                    "cents": g["cents_sum"].cast(pa.int64()),
+                }
+            )
+
+        return ds.map_batches(partial, batch_format="pyarrow")
+
+    both = agg("jsonl", rd.read_json(os.path.join(root, "jsonl"))).union(
+        agg("csv", rd.read_csv(os.path.join(root, "csv")))
+    )
+    out = both.groupby(["format", "event_type"]).aggregate(
+        Sum("n", alias_name="n"), Sum("cents", alias_name="cents")
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "format": b["format"],
+                "event_type": b["event_type"],
+                "n": b["n"].cast(pa.int64()),
+                "sum_value": pc.divide(b["cents"].cast(pa.float64()), 100.0),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_MULTIFORMAT_SOURCE = """
+SELECT f.format, e.event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+FROM events e CROSS JOIN (VALUES ('jsonl'), ('csv')) f(format)
+GROUP BY f.format, e.event_type
+"""
+
+
 def q_events_watermark(sf_dir: str):
     """Incremental-sync filter (chainquery.go:102 keyset analog):
     events at/after the watermark, counted per type."""
@@ -1568,6 +1644,7 @@ def make_queries() -> dict:
         "stratified_sample": q_stratified_sample,
         "quality_stats": q_quality_stats,
         "events_watermark": q_events_watermark,
+        "multiformat_source": q_multiformat_source,
         "json_props": q_json_props,
         "percentiles": q_percentiles,
         "window_agg": q_window_agg,
@@ -1613,6 +1690,7 @@ def make_oracle_sql() -> dict:
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "quality_stats": SQL_QUALITY_STATS,
         "events_watermark": SQL_EVENTS_WATERMARK,
+        "multiformat_source": SQL_MULTIFORMAT_SOURCE,
         "json_props": SQL_JSON_PROPS,
         "percentiles": SQL_PERCENTILES,
         "window_agg": SQL_WINDOW_AGG,
