@@ -124,7 +124,8 @@ def run_bench() -> dict:
         for name in ["bm25_topk", "term_df", "lineitem_agg", "exact_dedup",
                      "ann_cosine_topk", "join_broadcast", "ngram_jaccard",
                      "dup_clusters", "minhash_lsh", "asof_join", "sessionize",
-                     "window_agg", "range_join"]:
+                     "window_agg", "range_join", "knn_graph", "shuffle_join",
+                     "chunk_text", "percentiles"]:
             t0 = time.time()
             out = qs[name](SF_DIR)
             if hasattr(out, "to_pandas"):

@@ -236,6 +236,60 @@ FROM scored ORDER BY scored.score DESC, doc_id LIMIT 10
 # filters / sort / topk / counts (Q4-Q8, Q16, Q17, Q21)
 # ---------------------------------------------------------------------------
 
+def q_partitioned_sink(sf_dir: str):
+    """Resumable partitioned-parquet sink (S-family): documents written
+    as one directory per language (the unit a restarted run can skip),
+    then read back with PARTITION PRUNING — only the `lang=en`
+    directory's files are opened — and aggregated.  The write happens
+    once (idempotent marker); hash-partitioned output + manifested
+    reads is the same pattern every build stage uses."""
+    import hashlib as _h
+    import os
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    root = os.path.join(
+        "/tmp/lighthouse_ray_sink", _h.sha256(src.encode()).hexdigest()[:16]
+    )
+    marker = os.path.join(root, ".complete")
+    if not os.path.exists(marker):
+        _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]).write_parquet(
+            root, partition_cols=["lang"]
+        )
+        open(marker, "w").write("ok")
+
+    en = rd.read_parquet(os.path.join(root, "lang=en"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n": pa.array([b.num_rows], type=pa.int64()),
+                "sum_chars": pa.array(
+                    [int(b["n_chars"].to_numpy(zero_copy_only=False).sum())],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    out = en.map_batches(partial, batch_format="pyarrow").groupby(None).aggregate(
+        Sum("n", alias_name="n"), Sum("sum_chars", alias_name="sum_chars")
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {"n": b["n"].cast(pa.int64()), "sum_chars": b["sum_chars"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_PARTITIONED_SINK = """
+SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents WHERE lang = 'en'
+"""
+
+
 def q_lang_counts(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -1645,6 +1699,7 @@ def make_queries() -> dict:
         "quality_stats": q_quality_stats,
         "events_watermark": q_events_watermark,
         "multiformat_source": q_multiformat_source,
+        "partitioned_sink": q_partitioned_sink,
         "json_props": q_json_props,
         "percentiles": q_percentiles,
         "window_agg": q_window_agg,
@@ -1691,6 +1746,7 @@ def make_oracle_sql() -> dict:
         "quality_stats": SQL_QUALITY_STATS,
         "events_watermark": SQL_EVENTS_WATERMARK,
         "multiformat_source": SQL_MULTIFORMAT_SOURCE,
+        "partitioned_sink": SQL_PARTITIONED_SINK,
         "json_props": SQL_JSON_PROPS,
         "percentiles": SQL_PERCENTILES,
         "window_agg": SQL_WINDOW_AGG,
