@@ -408,6 +408,155 @@ SELECT doc_id, md5(array_to_string({TOK}, ' ')) AS fingerprint FROM documents
 """
 
 
+PMI_W, PMI_MIN_C, PMI_TOPK = 3, 5, 50
+
+
+def q_pmi_pairs(sf_dir: str):
+    """Term-association mining: top-k ordered token pairs co-occurring
+    within a ±3 window, ranked by the PMI ratio c_xy·n/(c_x·c_y).
+
+    Pair counts come from slice-shifted flat-token streams (no per-row
+    loops) through one exchange; unigram counts are a vocab-bounded
+    aggregate; the two count joins are reduce-side shuffle joins
+    (functions/joins.py).  The score stays a pure multiply/divide of
+    integer counts — IEEE-exact on both sides, so the oracle's rounded
+    ranking matches bit-for-bit (no transcendental log in the compare).
+    """
+    from ..functions.exchange import spill_exchange
+    from ..functions.joins import shuffle_join
+
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        parents, _pos, terms, _n = flat_tokens(b["text"])
+        L = len(parents)
+        parts = []
+        for d in range(1, PMI_W + 1):
+            wn = L - d
+            if wn <= 0:
+                continue
+            valid = pa.array(parents[:wn] == parents[d : d + wn])
+            parts.append(
+                pa.table(
+                    {
+                        "t1": terms.slice(0, wn).filter(valid),
+                        "t2": terms.slice(d, wn).filter(valid),
+                    }
+                )
+            )
+        if not parts:
+            return pa.table(
+                {
+                    "t1": pa.array([], type=pa.string()),
+                    "t2": pa.array([], type=pa.string()),
+                    "c": pa.array([], type=pa.int64()),
+                }
+            )
+        t = pa.concat_tables(parts)
+        g = t.group_by(["t1", "t2"], use_threads=False).aggregate([([], "count_all")])
+        return pa.table({"t1": g["t1"], "t2": g["t2"], "c": g["count_all"].cast(pa.int64())})
+
+    def uni_partial(b: pa.Table) -> pa.Table:
+        _parents, _pos, terms, _n = flat_tokens(b["text"])
+        g = pa.table({"term": terms}).group_by("term", use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table({"term": g["term"], "c": g["count_all"].cast(pa.int64())})
+
+    def sum_reduce(cols, out_c):
+        def f(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table(
+                    {**{c: pa.array([], type=pa.string()) for c in cols},
+                     out_c: pa.array([], type=pa.int64())}
+                )
+            g = t.group_by(cols, use_threads=False).aggregate([("c", "sum")])
+            return pa.table(
+                {**{c: g[c] for c in cols}, out_c: g["c_sum"].cast(pa.int64())}
+            )
+
+        return f
+
+    pairs = spill_exchange(
+        docs.map_batches(pair_partial, batch_format="pyarrow"),
+        ["t1", "t2"], sum_reduce(["t1", "t2"], "c_xy"), num_parts=16,
+    )
+    uni = spill_exchange(
+        docs.map_batches(uni_partial, batch_format="pyarrow"),
+        "term", sum_reduce(["term"], "cx"), num_parts=16,
+    )
+    n_total = sum(
+        r["n"]
+        for r in uni.map_batches(
+            lambda b: pa.table(
+                {"n": pa.array([int(b["cx"].to_numpy(zero_copy_only=False).sum())
+                                if b.num_rows else 0], type=pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ).take_all()
+    )
+
+    j1 = shuffle_join(
+        pairs.map_batches(
+            lambda b: pa.table({"term": b["t1"], "t2": b["t2"], "c_xy": b["c_xy"]}),
+            batch_format="pyarrow",
+        ),
+        uni, key="term", lcols=["t2", "c_xy"], rcols=["cx"], num_parts=16,
+    ).map_batches(
+        lambda b: pa.table(
+            {"term": b["t2"], "t1": b["term"], "c_xy": b["c_xy"], "cx": b["cx"]}
+        ),
+        batch_format="pyarrow",
+    )
+    uni2 = uni.map_batches(
+        lambda b: pa.table({"term": b["term"], "cy": b["cx"]}), batch_format="pyarrow"
+    )
+    j2 = shuffle_join(j1, uni2, key="term", lcols=["t1", "c_xy", "cx"], rcols=["cy"],
+                      num_parts=16)
+
+    def score(b: pa.Table) -> pa.Table:
+        c = b["c_xy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = c >= PMI_MIN_C
+        b = b.filter(pa.array(keep))
+        c = c[keep]
+        cx = b["cx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cy = b["cy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = np.round(c.astype(np.float64) * n_total / (cx * cy), 6)
+        return pa.table(
+            {
+                "t1": b["t1"],
+                "t2": b["term"],
+                "c_xy": pa.array(c),
+                "score": pa.array(s),
+            }
+        )
+
+    return (
+        j2.map_batches(score, batch_format="pyarrow")
+        .sort(["score", "t1", "t2"], descending=[True, False, False])
+        .limit(PMI_TOPK)
+    )
+
+
+SQL_PMI_PAIRS = f"""
+WITH toks AS (SELECT doc_id, {TOK} AS t FROM documents),
+pos AS (SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) AS p FROM toks),
+pairs AS (
+  SELECT a.term AS t1, b.term AS t2, count(*) AS c_xy
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p - a.p BETWEEN 1 AND {PMI_W}
+  GROUP BY a.term, b.term
+),
+uni AS (SELECT term, count(*) AS c FROM pos GROUP BY term),
+tot AS (SELECT count(*) AS n FROM pos)
+SELECT p.t1, p.t2, CAST(p.c_xy AS BIGINT) AS c_xy,
+       round(CAST(p.c_xy AS DOUBLE) * t.n / (ua.c * ub.c), 6) AS score
+FROM pairs p CROSS JOIN tot t
+JOIN uni ua ON p.t1 = ua.term JOIN uni ub ON p.t2 = ub.term
+WHERE p.c_xy >= {PMI_MIN_C}
+ORDER BY score DESC, p.t1, p.t2 LIMIT {PMI_TOPK}
+"""
+
+
 CHUNK_SIZE, CHUNK_STRIDE = 64, 48  # 16-token overlap
 
 
@@ -1695,6 +1844,7 @@ def make_queries() -> dict:
         "fingerprint": q_fingerprint,
         "hash_split": q_hash_split,
         "chunk_text": q_chunk_text,
+        "pmi_pairs": q_pmi_pairs,
         "stratified_sample": q_stratified_sample,
         "quality_stats": q_quality_stats,
         "events_watermark": q_events_watermark,
@@ -1742,6 +1892,7 @@ def make_oracle_sql() -> dict:
         "fingerprint": SQL_FINGERPRINT,
         "hash_split": SQL_HASH_SPLIT,
         "chunk_text": SQL_CHUNK_TEXT,
+        "pmi_pairs": SQL_PMI_PAIRS,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "quality_stats": SQL_QUALITY_STATS,
         "events_watermark": SQL_EVENTS_WATERMARK,
