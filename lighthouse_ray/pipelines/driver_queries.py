@@ -408,6 +408,96 @@ SELECT doc_id, md5(array_to_string({TOK}, ' ')) AS fingerprint FROM documents
 """
 
 
+def q_tfidf_keywords(sf_dir: str):
+    """Keyword extraction: top-3 TF-IDF terms per document, ranked by
+    the ratio tf·N/df (division-only — IEEE-exact vs the SQL oracle),
+    ties by term.  Doc-term tf partials join the df table through ONE
+    reduce-side shuffle join, then a doc-keyed exchange takes each
+    run's head-3 — the same two primitives every wide op here uses."""
+    from ..functions.dedup import _run_bounds
+    from ..functions.exchange import spill_exchange
+    from ..functions.joins import shuffle_join
+
+    import pyarrow.parquet as _pq
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = _pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+
+    def tf_partial(b: pa.Table) -> pa.Table:
+        parents, _pos, terms, _n = flat_tokens(b["text"])
+        ids = b["doc_id"].combine_chunks() if isinstance(b["doc_id"], pa.ChunkedArray) else b["doc_id"]
+        t = pa.table({"doc_id": pc.take(ids, pa.array(parents)), "term": terms})
+        g = t.group_by(["doc_id", "term"], use_threads=False).aggregate([([], "count_all")])
+        return pa.table(
+            {"doc_id": g["doc_id"], "term": g["term"], "tf": g["count_all"].cast(pa.int64())}
+        )
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        parents, _pos, terms, _n = flat_tokens(b["text"])
+        t = pa.table({"term": terms, "p": pa.array(parents)})
+        u = t.group_by(["term", "p"], use_threads=False).aggregate([])
+        g = u.group_by("term", use_threads=False).aggregate([([], "count_all")])
+        return pa.table({"term": g["term"], "c": g["count_all"].cast(pa.int64())})
+
+    def df_reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"term": pa.array([], type=pa.string()), "df": pa.array([], type=pa.int64())}
+            )
+        g = t.group_by("term", use_threads=False).aggregate([("c", "sum")])
+        return pa.table({"term": g["term"], "df": g["c_sum"].cast(pa.int64())})
+
+    dfs = spill_exchange(
+        docs.map_batches(df_partial, batch_format="pyarrow"), "term", df_reduce,
+        num_parts=16,
+    )
+    tfs = docs.map_batches(tf_partial, batch_format="pyarrow")
+    joined = shuffle_join(tfs, dfs, key="term", lcols=["doc_id", "tf"], rcols=["df"],
+                          num_parts=16)
+
+    def head3(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "term": pa.array([], type=pa.string()),
+                "score": pa.array([], type=pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df_ = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = np.round(tf.astype(np.float64) * n_docs / df_, 6)
+        t = t.append_column("score", pa.array(s))
+        t = t.sort_by(
+            [("doc_id", "ascending"), ("score", "descending"), ("term", "ascending")]
+        ).combine_chunks()
+        starts, lens = _run_bounds(t["doc_id"].combine_chunks())
+        k = np.minimum(lens, 3)
+        cum = np.zeros(len(k), dtype=np.int64)
+        np.cumsum(k[:-1], out=cum[1:])
+        idx = np.repeat(starts, k) + (np.arange(int(k.sum()), dtype=np.int64) - np.repeat(cum, k))
+        t = t.take(pa.array(idx))
+        return t.select(["doc_id", "term", "score"])
+
+    return spill_exchange(joined, "doc_id", head3, num_parts=16)
+
+
+SQL_TFIDF_KEYWORDS = f"""
+WITH toks AS (SELECT doc_id, {TOK} AS t FROM documents),
+pos AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM pos GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM pos GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents)
+SELECT tf.doc_id, tf.term,
+       round(CAST(tf.tf AS DOUBLE) * n.n / df.df, 6) AS score
+FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+QUALIFY row_number() OVER (
+  PARTITION BY tf.doc_id
+  ORDER BY round(CAST(tf.tf AS DOUBLE) * n.n / df.df, 6) DESC, tf.term) <= 3
+"""
+
+
 PMI_W, PMI_MIN_C, PMI_TOPK = 3, 5, 50
 
 
@@ -1845,6 +1935,7 @@ def make_queries() -> dict:
         "hash_split": q_hash_split,
         "chunk_text": q_chunk_text,
         "pmi_pairs": q_pmi_pairs,
+        "tfidf_keywords": q_tfidf_keywords,
         "stratified_sample": q_stratified_sample,
         "quality_stats": q_quality_stats,
         "events_watermark": q_events_watermark,
@@ -1893,6 +1984,7 @@ def make_oracle_sql() -> dict:
         "hash_split": SQL_HASH_SPLIT,
         "chunk_text": SQL_CHUNK_TEXT,
         "pmi_pairs": SQL_PMI_PAIRS,
+        "tfidf_keywords": SQL_TFIDF_KEYWORDS,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "quality_stats": SQL_QUALITY_STATS,
         "events_watermark": SQL_EVENTS_WATERMARK,
