@@ -689,3 +689,51 @@ def test_shuffle_join_inner_and_left(ray_session):
         ).to_pandas()
         want = left.merge(right, on="k", how=how)
         assert canon(got) == canon(want), how
+
+
+def test_chunk_and_percentiles_edges(ray_session):
+    """Edge coverage the sf corpora may miss: docs shorter than one
+    chunk, exactly one chunk, and a stride-aligned length; percentile
+    ranks on tiny per-group distributions — both vs DuckDB."""
+    import os
+    import tempfile
+
+    import duckdb
+    import pandas as pd
+
+    from lighthouse_ray.pipelines.driver_queries import (
+        CHUNK_SIZE, CHUNK_STRIDE, SQL_CHUNK_TEXT, SQL_PERCENTILES,
+        q_chunk_text, q_percentiles,
+    )
+
+    words = lambda k: " ".join(f"tok{i}" for i in range(k))
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": [
+                "",                              # empty -> no chunks
+                "single",                        # 1 token
+                words(CHUNK_SIZE),               # exactly one window
+                words(CHUNK_SIZE + 1),           # spills into chunk 1
+                words(CHUNK_STRIDE * 3),         # stride-aligned
+                words(200),
+            ],
+            "lang": ["en", "en", "de", "de", "fr", "fr"],
+            "n_chars": np.array([0, 6, 17, 401, 83, 83], dtype=np.int64),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(os.path.join(d, "documents.parquet"))
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{os.path.join(d, 'documents.parquet')}')"
+        )
+
+        def canon(got):
+            got = got[sorted(got.columns)].copy()
+            for c in got.columns:
+                got[c] = got[c].astype(str)
+            return sorted(map(tuple, got.itertuples(index=False)))
+
+        assert canon(q_chunk_text(d).to_pandas()) == canon(con.execute(SQL_CHUNK_TEXT).df())
+        assert canon(q_percentiles(d).to_pandas()) == canon(con.execute(SQL_PERCENTILES).df())
