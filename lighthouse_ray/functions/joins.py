@@ -24,6 +24,7 @@ import pyarrow.compute as pc
 from .exchange import spill_exchange
 
 _SIDE = "__side"
+_SALT = "__salt"
 
 
 def _null_column(n: int, typ: pa.DataType) -> pa.Array:
@@ -31,7 +32,8 @@ def _null_column(n: int, typ: pa.DataType) -> pa.Array:
 
 
 def shuffle_join(left, right, key: str, lcols: list[str], rcols: list[str],
-                 how: str = "inner", num_parts: int = 32):
+                 how: str = "inner", num_parts: int = 32,
+                 hot_keys=None, salt: int = 8):
     """Join ``left`` and ``right`` Datasets on ``key``.
 
     ``lcols`` / ``rcols`` name the payload columns to carry from each
@@ -43,9 +45,20 @@ def shuffle_join(left, right, key: str, lcols: list[str], rcols: list[str],
     output schema (absent side's columns null), the exchange co-locates
     every key, and the reduce emits each key run's |L|x|R| cross
     product with pure index arithmetic.
+
+    ``hot_keys`` enables the SKEW path (the same treatment the index
+    build gives hot terms): each hot key's RIGHT rows replicate to
+    ``salt`` buckets while its LEFT rows split across them by a
+    content hash, so one giant key's cross product spreads over
+    ``salt`` reduce tasks instead of serializing on one.  The bucket
+    rides as a column and the reduce runs per (key, bucket), so no
+    pair is ever emitted twice.  (Only the left side's rows fan out in
+    count 1; right hot rows cost x``salt`` replication — put the
+    smaller-per-hot-key side on the right.)
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how={how!r}: only inner/left supported")
+    hot = set(hot_keys) if hot_keys else None
     lsch = left.schema()
     rsch = right.schema()
     ltypes = {n: t for n, t in zip(lsch.names, lsch.types)}
@@ -56,7 +69,7 @@ def shuffle_join(left, right, key: str, lcols: list[str], rcols: list[str],
         + [(c, ltypes[c]) for c in lcols]
         + [(c, rtypes[c]) for c in rcols]
     )
-    schema = pa.schema(out_fields + [(_SIDE, pa.int8())])
+    schema = pa.schema(out_fields + [(_SIDE, pa.int8()), (_SALT, pa.int32())])
 
     if set(lcols) & set(rcols):
         raise ValueError("lcols/rcols must be disjoint — rename before joining")
@@ -65,12 +78,40 @@ def shuffle_join(left, right, key: str, lcols: list[str], rcols: list[str],
         own = {key, *cols}
 
         def f(b: pa.Table) -> pa.Table:
+            from .exchange import combine_hashes, routing_hash
+
             n = b.num_rows
             arrays = [
                 b[name].combine_chunks().cast(typ) if name in own else _null_column(n, typ)
                 for name, typ in out_fields
             ]
+            buckets = np.zeros(n, dtype=np.int32)
+            if hot is not None and n:
+                kh = pc.is_in(
+                    b[key], value_set=pa.array(sorted(hot), type=ltypes[key])
+                ).to_numpy(zero_copy_only=False)
+                hi = np.flatnonzero(kh)
+                if len(hi):
+                    if side == 0:
+                        # left hot rows: one bucket each, by content hash
+                        ch = combine_hashes(
+                            *(routing_hash(b[c]) for c in [key, *cols])
+                        )[hi]
+                        buckets[hi] = (ch % np.uint64(salt)).astype(np.int32)
+                    else:
+                        # right hot rows: replicate to every bucket
+                        rep_idx = np.concatenate(
+                            [np.arange(n, dtype=np.int64)]
+                            + [hi] * (salt - 1)
+                        )
+                        arrays = [a.take(pa.array(rep_idx)) for a in arrays]
+                        buckets = np.concatenate(
+                            [buckets]
+                            + [np.full(len(hi), s, dtype=np.int32) for s in range(1, salt)]
+                        )
+                        n = len(rep_idx)
             arrays.append(pa.array(np.full(n, side, dtype=np.int8)))
+            arrays.append(pa.array(buckets))
             return pa.Table.from_arrays(arrays, schema=schema)
 
         return f
@@ -79,20 +120,31 @@ def shuffle_join(left, right, key: str, lcols: list[str], rcols: list[str],
         right.map_batches(tag(1, rcols), batch_format="pyarrow")
     )
 
+    def route(batch: pa.Table) -> np.ndarray:
+        from .exchange import combine_hashes, routing_hash
+
+        return combine_hashes(
+            routing_hash(batch[key]),
+            batch[_SALT].to_numpy(zero_copy_only=False).astype(np.uint64),
+        )
+
     def join_reduce(t: pa.Table) -> pa.Table:
         empty = pa.schema(out_fields).empty_table()
         if t.num_rows == 0:
             return empty
-        t = t.sort_by([(key, "ascending"), (_SIDE, "ascending")]).combine_chunks()
+        t = t.sort_by(
+            [(key, "ascending"), (_SALT, "ascending"), (_SIDE, "ascending")]
+        ).combine_chunks()
         keys = t[key].combine_chunks()
         side = t[_SIDE].to_numpy(zero_copy_only=False)
+        slt = t[_SALT].to_numpy(zero_copy_only=False)
         m = len(side)
         neq = pc.not_equal(keys.slice(1), keys.slice(0, m - 1)).to_numpy(
             zero_copy_only=False
         ) if m > 1 else np.zeros(0, dtype=bool)
         change = np.empty(m, dtype=bool)
         change[0] = True
-        change[1:] = neq
+        change[1:] = neq | (slt[1:] != slt[:-1])
         starts = np.flatnonzero(change)
         lens = np.diff(np.append(starts, m))
         # within each key run, left rows (side 0) precede right rows
@@ -141,4 +193,4 @@ def shuffle_join(left, right, key: str, lcols: list[str], rcols: list[str],
             arrays.append(col.take(pa.array(idx)))
         return pa.Table.from_arrays(arrays, schema=pa.schema(out_fields))
 
-    return spill_exchange(tagged, key, join_reduce, num_parts=num_parts)
+    return spill_exchange(tagged, route, join_reduce, num_parts=num_parts)

@@ -737,3 +737,34 @@ def test_chunk_and_percentiles_edges(ray_session):
 
         assert canon(q_chunk_text(d).to_pandas()) == canon(con.execute(SQL_CHUNK_TEXT).df())
         assert canon(q_percentiles(d).to_pandas()) == canon(con.execute(SQL_PERCENTILES).df())
+
+
+def test_shuffle_join_salted_hot_key(ray_session):
+    """The salted skew path must produce exactly the plain join's
+    multiset — every (hot-left x hot-right) pair exactly once across
+    the salt buckets — for inner and left joins."""
+    import pandas as pd
+    import ray.data as rd
+
+    from lighthouse_ray.functions.joins import shuffle_join
+
+    rng = np.random.RandomState(5)
+    # key 7 is hot: half of the left rows, several right rows
+    lk = np.where(rng.rand(200) < 0.5, 7, rng.randint(0, 20, size=200)).astype(np.int64)
+    left = pd.DataFrame({"k": lk, "lv": np.arange(200, dtype=np.int64)})
+    rk = np.where(rng.rand(40) < 0.3, 7, rng.randint(10, 25, size=40)).astype(np.int64)
+    right = pd.DataFrame({"k": rk, "rv": np.arange(1000, 1040, dtype=np.int64)})
+
+    def canon(df):
+        df = df[sorted(df.columns)].astype("float64")
+        return sorted(map(tuple, df.fillna(-1).itertuples(index=False)))
+
+    for how in ("inner", "left"):
+        got = shuffle_join(
+            rd.from_pandas(left).repartition(5),
+            rd.from_pandas(right).repartition(2),
+            key="k", lcols=["lv"], rcols=["rv"], how=how, num_parts=6,
+            hot_keys=[7], salt=4,
+        ).to_pandas()
+        want = left.merge(right, on="k", how=how)
+        assert canon(got) == canon(want), how
