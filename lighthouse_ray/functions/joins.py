@@ -33,7 +33,8 @@ def _null_column(n: int, typ: pa.DataType) -> pa.Array:
 
 def shuffle_join(left, right, key: str, lcols: list[str], rcols: list[str],
                  how: str = "inner", num_parts: int = 32,
-                 hot_keys=None, salt: int = 8):
+                 hot_keys=None, salt: int = 8,
+                 stats: dict | None = None, cleanup_after: list[str] | None = None):
     """Join ``left`` and ``right`` Datasets on ``key``.
 
     ``lcols`` / ``rcols`` name the payload columns to carry from each
@@ -193,4 +194,7 @@ def shuffle_join(left, right, key: str, lcols: list[str], rcols: list[str],
             arrays.append(col.take(pa.array(idx)))
         return pa.Table.from_arrays(arrays, schema=pa.schema(out_fields))
 
-    return spill_exchange(tagged, route, join_reduce, num_parts=num_parts)
+    # stats/cleanup_after pass straight through to the exchange (root
+    # exposure + Spark-style shuffle GC of consumed upstream roots)
+    return spill_exchange(tagged, route, join_reduce, num_parts=num_parts,
+                          stats=stats, cleanup_after=cleanup_after)

@@ -447,13 +447,15 @@ def q_tfidf_keywords(sf_dir: str):
         g = t.group_by("term", use_threads=False).aggregate([("c", "sum")])
         return pa.table({"term": g["term"], "df": g["c_sum"].cast(pa.int64())})
 
+    dst: dict = {}
     dfs = spill_exchange(
         docs.map_batches(df_partial, batch_format="pyarrow"), "term", df_reduce,
-        num_parts=16,
+        num_parts=16, stats=dst,
     )
     tfs = docs.map_batches(tf_partial, batch_format="pyarrow")
+    jst: dict = {}
     joined = shuffle_join(tfs, dfs, key="term", lcols=["doc_id", "tf"], rcols=["df"],
-                          num_parts=16)
+                          num_parts=16, stats=jst, cleanup_after=[dst["root"]])
 
     def head3(t: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -480,7 +482,8 @@ def q_tfidf_keywords(sf_dir: str):
         t = t.take(pa.array(idx))
         return t.select(["doc_id", "term", "score"])
 
-    return spill_exchange(joined, "doc_id", head3, num_parts=16)
+    return spill_exchange(joined, "doc_id", head3, num_parts=16,
+                          cleanup_after=[jst["root"]])
 
 
 SQL_TFIDF_KEYWORDS = f"""
@@ -567,13 +570,15 @@ def q_pmi_pairs(sf_dir: str):
 
         return f
 
+    pst: dict = {}
+    ust: dict = {}
     pairs = spill_exchange(
         docs.map_batches(pair_partial, batch_format="pyarrow"),
-        ["t1", "t2"], sum_reduce(["t1", "t2"], "c_xy"), num_parts=16,
+        ["t1", "t2"], sum_reduce(["t1", "t2"], "c_xy"), num_parts=16, stats=pst,
     )
     uni = spill_exchange(
         docs.map_batches(uni_partial, batch_format="pyarrow"),
-        "term", sum_reduce(["term"], "cx"), num_parts=16,
+        "term", sum_reduce(["term"], "cx"), num_parts=16, stats=ust,
     )
     n_total = sum(
         r["n"]
@@ -586,12 +591,14 @@ def q_pmi_pairs(sf_dir: str):
         ).take_all()
     )
 
+    j1st: dict = {}
     j1 = shuffle_join(
         pairs.map_batches(
             lambda b: pa.table({"term": b["t1"], "t2": b["t2"], "c_xy": b["c_xy"]}),
             batch_format="pyarrow",
         ),
         uni, key="term", lcols=["t2", "c_xy"], rcols=["cx"], num_parts=16,
+        stats=j1st, cleanup_after=[pst["root"]],  # pairs fully consumed here
     ).map_batches(
         lambda b: pa.table(
             {"term": b["t2"], "t1": b["term"], "c_xy": b["c_xy"], "cx": b["cx"]}
@@ -601,8 +608,10 @@ def q_pmi_pairs(sf_dir: str):
     uni2 = uni.map_batches(
         lambda b: pa.table({"term": b["term"], "cy": b["cx"]}), batch_format="pyarrow"
     )
+    # j2's map pass drains both the first join's root and (via uni2)
+    # the unigram root — GC both
     j2 = shuffle_join(j1, uni2, key="term", lcols=["t1", "c_xy", "cx"], rcols=["cy"],
-                      num_parts=16)
+                      num_parts=16, cleanup_after=[j1st["root"], ust["root"]])
 
     def score(b: pa.Table) -> pa.Table:
         c = b["c_xy"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1408,16 +1417,18 @@ def q_split_leakage(sf_dir: str):
         )
 
     split = docs.map_batches(split_tbl, batch_format="pyarrow")
+    l1st: dict = {}
     j1 = shuffle_join(
         pairs.map_batches(
             lambda b: pa.table({"doc_id": b["a"], "b": b["b"]}), batch_format="pyarrow"
         ),
-        split, key="doc_id", lcols=["b"], rcols=["split"],
+        split, key="doc_id", lcols=["b"], rcols=["split"], stats=l1st,
     ).map_batches(
         lambda b: pa.table({"a": b["doc_id"], "doc_id": b["b"], "split_a": b["split"]}),
         batch_format="pyarrow",
     )
-    j2 = shuffle_join(j1, split, key="doc_id", lcols=["a", "split_a"], rcols=["split"])
+    j2 = shuffle_join(j1, split, key="doc_id", lcols=["a", "split_a"], rcols=["split"],
+                      cleanup_after=[l1st["root"]])
     return j2.map_batches(
         lambda b: pa.table(
             {"a": b["a"], "b": b["doc_id"], "split_a": b["split_a"], "split_b": b["split"]}
