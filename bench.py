@@ -125,7 +125,8 @@ def run_bench() -> dict:
                      "ann_cosine_topk", "join_broadcast", "ngram_jaccard",
                      "dup_clusters", "minhash_lsh", "asof_join", "sessionize",
                      "window_agg", "range_join", "knn_graph", "shuffle_join",
-                     "chunk_text", "percentiles"]:
+                     "chunk_text", "percentiles", "decontaminate",
+                     "repetition_stats", "curation_funnel"]:
             t0 = time.time()
             out = qs[name](SF_DIR)
             if hasattr(out, "to_pandas"):

@@ -1931,6 +1931,243 @@ def q_ann_ivf_topk(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# corpus curation family (decontamination, repetition filters, funnel)
+# ---------------------------------------------------------------------------
+
+DECON_N, DECON_MOD = 4, 37
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: flag corpus documents sharing any
+    token-``DECON_N``-gram with the "benchmark" slice (here the
+    deterministic ``doc_id % DECON_MOD == 0`` subset stands in for an
+    eval set).  The benchmark side is tiny relative to the corpus (eval
+    suites are MBs vs 100 TB), so its distinct shingles are collected
+    once and broadcast via ``ray.put``; the corpus pass is then
+    embarrassingly parallel — one ``pc.is_in`` hash-set probe per batch,
+    no shuffle at all.  Output: (doc_id, n_overlap) for contaminated
+    non-benchmark docs, n_overlap = distinct overlapping shingles."""
+    import ray
+
+    from ..functions.dedup import doc_shingles
+
+    def _bench_mask(ids: pa.Array) -> np.ndarray:
+        return ids.to_numpy(zero_copy_only=False) % DECON_MOD == 0
+
+    def bench_part(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].combine_chunks() if isinstance(b["doc_id"], pa.ChunkedArray) else b["doc_id"]
+        b = b.filter(pa.array(_bench_mask(ids)))
+        sh = doc_shingles(b, "text", "doc_id", DECON_N)
+        # distinct within the batch; global distinct happens on collect
+        return pa.table({"s": sh["sh"].unique()})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    bench_vals = ds.map_batches(bench_part, batch_format="pyarrow").to_pandas()["s"]
+    bench_ref = ray.put(pa.array(sorted(set(bench_vals)), type=pa.string()))
+
+    def flag(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].combine_chunks() if isinstance(b["doc_id"], pa.ChunkedArray) else b["doc_id"]
+        b = b.filter(pa.array(~_bench_mask(ids)))
+        sh = doc_shingles(b, "text", "doc_id", DECON_N)
+        hit = sh.filter(pc.is_in(sh["sh"], value_set=ray.get(bench_ref)))
+        agg = hit.group_by("id", use_threads=False).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "doc_id": agg["id"].cast(pa.int64()),
+                "n_overlap": agg["count_all"].cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
+_DECON_SH = " || ' ' || ".join(f"t[i+{k}]" if k else "t[i]" for k in range(DECON_N))
+SQL_DECONTAMINATE = f"""
+WITH toks AS (SELECT doc_id, {TOK} AS t FROM documents),
+sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         range(1, len(t) - {DECON_N} + 2), i -> {_DECON_SH}))) AS s
+       FROM toks),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % {DECON_MOD} = 0)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+FROM sh
+WHERE doc_id % {DECON_MOD} <> 0 AND s IN (SELECT s FROM bench)
+GROUP BY doc_id
+"""
+
+
+def q_repetition_stats(sf_dir: str):
+    """Within-doc repetition signals (the Gopher repetition filters,
+    Rae et al. 2021 §A1.1, over token 2-grams): per doc the bigram
+    total, the most frequent bigram's share, and the share of bigram
+    occurrences whose bigram occurs more than once.  One vectorized
+    batch pass — a doc is one row and never spans batches, so there is
+    no shuffle; bigrams come from two slices of the flat token stream
+    joined by one Arrow kernel."""
+
+    def f(b: pa.Table) -> pa.Table:
+        parents, _pos, terms, nrows = flat_tokens(b["text"])
+        ids = b["doc_id"].combine_chunks() if isinstance(b["doc_id"], pa.ChunkedArray) else b["doc_id"]
+        L = len(parents)
+        W = L - 1
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_bigrams": pa.array([], type=pa.int64()),
+                "top_bigram_frac": pa.array([], type=pa.float64()),
+                "dup_bigram_frac": pa.array([], type=pa.float64()),
+            }
+        )
+        if W <= 0:
+            return empty
+        bg = pc.binary_join_element_wise(terms.slice(0, W), terms.slice(1, W), " ")
+        valid = parents[:W] == parents[1:]
+        t = pa.table({"p": pa.array(parents[:W][valid]), "bg": bg.filter(pa.array(valid))})
+        cnt = t.group_by(["p", "bg"], use_threads=False).aggregate([([], "count_all")])
+        p = cnt["p"].to_numpy(zero_copy_only=False)
+        c = cnt["count_all"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = np.bincount(p, weights=c, minlength=nrows)
+        top = np.zeros(nrows, dtype=np.float64)
+        np.maximum.at(top, p, c)
+        dupmask = c > 1
+        dup = np.bincount(p[dupmask], weights=c[dupmask], minlength=nrows)
+        keep = nb > 0
+        if not keep.any():
+            return empty
+        safe = nb[keep]
+        return pa.table(
+            {
+                "doc_id": ids.filter(pa.array(keep)).cast(pa.int64()),
+                "n_bigrams": pa.array(safe.astype(np.int64)),
+                "top_bigram_frac": pa.array(np.round(top[keep] / safe, 6)),
+                "dup_bigram_frac": pa.array(np.round(dup[keep] / safe, 6)),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+SQL_REPETITION_STATS = f"""
+WITH toks AS (SELECT doc_id, {TOK} AS t FROM documents),
+bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+       FROM toks),
+cnt AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+       round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_bigram_frac,
+       round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c), 6) AS dup_bigram_frac
+FROM cnt GROUP BY doc_id
+"""
+
+
+CUR_MIN_TOK, CUR_MAX_TOK, CUR_STOP_CAP = 20, 90, 0.12
+CUR_LANGS = ("de", "en", "es", "fr")
+
+
+def q_curation_funnel(sf_dir: str):
+    """End-to-end corpus-curation funnel, the composed headline shape of
+    a training-data pipeline: quality bounds (token count, stopword
+    ratio) → language allowlist → exact dedup (keep min doc_id per
+    content hash) → per-lang survivor stats.  The dedup winner's
+    attributes ride INSIDE the packed Min key (fixed-width-hex doc_id
+    prefix, then n_tokens, then lang), so the whole funnel is one
+    filtering map pass plus two plain aggregates — no join, no
+    per-group Python, one small shuffle keyed by content hash."""
+    from ray.data.aggregate import Count, Min, Sum
+
+    stop_arr = pa.array(list(STOPWORDS))
+    lang_arr = pa.array(list(CUR_LANGS))
+
+    def score(b: pa.Table) -> pa.Table:
+        parents, _pos, terms, n = flat_tokens(b["text"])
+        counts = np.bincount(parents, minlength=n).astype(np.float64)
+        is_stop = pc.is_in(terms, value_set=stop_arr).to_numpy(zero_copy_only=False)
+        stop_counts = np.bincount(parents[is_stop], minlength=n)
+        ratio = stop_counts / np.maximum(counts, 1.0)
+        lang_ok = pc.is_in(b["lang"], value_set=lang_arr).to_numpy(zero_copy_only=False)
+        keep = (
+            (counts >= CUR_MIN_TOK)
+            & (counts <= CUR_MAX_TOK)
+            & (ratio <= CUR_STOP_CAP)
+            & lang_ok
+        )
+        kept = b.filter(pa.array(keep))
+        if kept.num_rows == 0:
+            return pa.table(
+                {"h": pa.array([], type=pa.string()), "k": pa.array([], type=pa.string())}
+            )
+        n_tok = pa.array(counts[keep].astype(np.int64))
+        packed = pc.binary_join_element_wise(
+            pc.utf8_lpad(pc.cast(kept["doc_id"], pa.string()), 20, "0"),
+            pc.utf8_lpad(pc.cast(n_tok, pa.string()), 10, "0"),
+            kept["lang"],
+            "",
+        )
+        return pa.table({"h": _md5_hex_column(kept["text"]), "k": packed})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    winners = ds.map_batches(score, batch_format="pyarrow").groupby("h").aggregate(
+        Min("k", alias_name="k")
+    )
+
+    decode_empty = pa.schema(
+        [("lang", pa.string()), ("n_tokens", pa.int64())]
+    ).empty_table()
+
+    def decode(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            # stable schema for empty aggregate partitions (avoids
+            # RefBundle schema-drift warnings / inference hazards)
+            return decode_empty
+        return pa.table(
+            {
+                "lang": pc.utf8_slice_codeunits(b["k"], 30, 99),
+                "n_tokens": pc.cast(pc.utf8_slice_codeunits(b["k"], 20, 30), pa.int64()),
+            }
+        )
+
+    out = winners.map_batches(decode, batch_format="pyarrow").groupby("lang").aggregate(
+        Count(alias_name="n_docs"), Sum("n_tokens", alias_name="n_tokens")
+    )
+    final_empty = pa.schema(
+        [("lang", pa.string()), ("n_docs", pa.int64()), ("n_tokens", pa.int64())]
+    ).empty_table()
+
+    def finalize(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return final_empty
+        return pa.table(
+            {
+                "lang": b["lang"],
+                "n_docs": b["n_docs"].cast(pa.int64()),
+                "n_tokens": b["n_tokens"].cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+_CUR_LANG_SQL = ", ".join(f"'{x}'" for x in CUR_LANGS)
+SQL_CURATION_FUNNEL = f"""
+WITH t AS (SELECT doc_id, lang, {TOK} AS toks, md5(text) AS h FROM documents),
+scored AS (
+  SELECT doc_id, lang, len(toks) AS n_tokens,
+         CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+           / greatest(len(toks), 1) AS stop_ratio, h
+  FROM t
+),
+kept AS (
+  SELECT * FROM scored
+  WHERE n_tokens BETWEEN {CUR_MIN_TOK} AND {CUR_MAX_TOK}
+    AND stop_ratio <= {CUR_STOP_CAP} AND lang IN ({_CUR_LANG_SQL})
+),
+win AS (SELECT h, min(doc_id) AS m FROM kept GROUP BY h)
+SELECT k.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(k.n_tokens) AS BIGINT) AS n_tokens
+FROM kept k JOIN win w ON k.h = w.h AND k.doc_id = w.m
+GROUP BY k.lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1980,6 +2217,9 @@ def make_queries() -> dict:
         "minhash_lsh": q_minhash_lsh,
         "simhash_dedup": q_simhash_dedup,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "decontaminate": q_decontaminate,
+        "repetition_stats": q_repetition_stats,
+        "curation_funnel": q_curation_funnel,
     }
 
 
@@ -2034,6 +2274,9 @@ def make_oracle_sql() -> dict:
         "minhash_lsh": SQL_MINHASH_LSH,
         "simhash_dedup": SQL_SIMHASH_DEDUP,
         "ann_ivf_topk": SQL_ANN_COSINE_TOPK,
+        "decontaminate": SQL_DECONTAMINATE,
+        "repetition_stats": SQL_REPETITION_STATS,
+        "curation_funnel": SQL_CURATION_FUNNEL,
     }
 
 

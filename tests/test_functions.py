@@ -768,3 +768,72 @@ def test_shuffle_join_salted_hot_key(ray_session):
         ).to_pandas()
         want = left.merge(right, on="k", how=how)
         assert canon(got) == canon(want), how
+
+
+def test_curation_ops_vs_bruteforce(ray_session):
+    """decontaminate / repetition_stats / curation_funnel pinned against
+    a pure-Python reference at sf0.001 — independent of the DuckDB
+    oracle the driver uses."""
+    import collections
+    import hashlib
+    import random
+
+    import pyarrow.parquet as pq
+
+    from lighthouse_ray.analysis import tokenize_text
+    from lighthouse_ray.pipelines.driver_queries import (
+        CUR_LANGS, CUR_MAX_TOK, CUR_MIN_TOK, CUR_STOP_CAP, DECON_MOD, DECON_N,
+        STOPWORDS, q_curation_funnel, q_decontaminate, q_repetition_stats,
+    )
+
+    docs = pq.read_table(SF + "/documents.parquet", columns=["doc_id", "text", "lang"])
+    ids = docs["doc_id"].to_pylist()
+    texts = docs["text"].to_pylist()
+    langs = docs["lang"].to_pylist()
+    toks = {d: tokenize_text(t) for d, t in zip(ids, texts)}
+
+    # decontaminate: flagged docs (and only those) share >=1 benchmark shingle
+    def shingles(ts):
+        return {" ".join(ts[i : i + DECON_N]) for i in range(len(ts) - DECON_N + 1)}
+
+    bench = set().union(*(shingles(ts) for d, ts in toks.items() if d % DECON_MOD == 0))
+    want = {
+        d: len(shingles(ts) & bench)
+        for d, ts in toks.items()
+        if d % DECON_MOD != 0 and shingles(ts) & bench
+    }
+    got = q_decontaminate(SF).to_pandas()
+    assert dict(zip(got.doc_id, got.n_overlap)) == want and len(want) > 0
+
+    # repetition_stats: spot-check 25 docs against a Counter reference
+    rs = q_repetition_stats(SF).to_pandas().set_index("doc_id")
+    for d in random.Random(0).sample(ids, 25):
+        ts = toks[d]
+        bgs = [" ".join(ts[i : i + 2]) for i in range(len(ts) - 1)]
+        if not bgs:
+            assert d not in rs.index
+            continue
+        c = collections.Counter(bgs)
+        row = rs.loc[d]
+        assert row.n_bigrams == len(bgs)
+        assert abs(row.top_bigram_frac - round(max(c.values()) / len(bgs), 6)) < 1e-9
+        dup = sum(v for v in c.values() if v > 1)
+        assert abs(row.dup_bigram_frac - round(dup / len(bgs), 6)) < 1e-9
+
+    # curation funnel: quality bounds + lang allowlist + min-doc_id dedup
+    kept = {}
+    for d, t, lang in zip(ids, texts, langs):
+        ts = toks[d]
+        n = len(ts)
+        ratio = sum(x in STOPWORDS for x in ts) / max(n, 1)
+        if CUR_MIN_TOK <= n <= CUR_MAX_TOK and ratio <= CUR_STOP_CAP and lang in CUR_LANGS:
+            h = hashlib.md5(t.encode()).hexdigest()
+            if h not in kept or d < kept[h][0]:
+                kept[h] = (d, lang, n)
+    agg = {}
+    for _d, lang, n in kept.values():
+        a = agg.setdefault(lang, [0, 0])
+        a[0] += 1
+        a[1] += n
+    gotf = q_curation_funnel(SF).to_pandas()
+    assert {r.lang: [r.n_docs, r.n_tokens] for r in gotf.itertuples()} == agg
