@@ -2145,6 +2145,98 @@ def q_curation_funnel(sf_dir: str):
     return out.map_batches(finalize, batch_format="pyarrow")
 
 
+# integer weights for the quality "model" (fastText-style linear doc
+# classifier stand-in): products stay exact in int64, one final
+# division — IEEE-identical to the SQL oracle (no transcendentals)
+QM_W_TOK, QM_W_STOP, QM_W_CHARS, QM_BIAS = 3, -40, 2, 7
+
+
+class QualityModelStage:
+    """Batched model inference as an actor-pool stage: the "model"
+    (weight vector) is fetched from the object store ONCE per actor in
+    ``__init__`` (the pattern for a real fastText/ONNX quality
+    classifier — load once, score per batch); ``__call__`` featurizes
+    a batch vectorized and scores it with integer dot products.  The
+    model here is a deterministic linear scorer so the DuckDB oracle
+    can verify every output value exactly."""
+
+    def __init__(self, weights_ref):
+        import ray as _r
+
+        self.w = _r.get(weights_ref)  # (w_tok, w_stop, w_chars, bias)
+        self.stop_set = pa.array(list(STOPWORDS))
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        parents, _pos, terms, n = flat_tokens(b["text"])
+        counts = np.bincount(parents, minlength=n)
+        is_stop = pc.is_in(terms, value_set=self.stop_set).to_numpy(zero_copy_only=False)
+        stop_counts = np.bincount(parents[is_stop], minlength=n)
+        tok_lens = pc.utf8_length(terms).to_numpy(zero_copy_only=False)
+        char_sums = np.bincount(parents, weights=tok_lens.astype(np.float64), minlength=n).astype(np.int64)
+        w_tok, w_stop, w_chars, bias = self.w
+        z = w_tok * counts + w_stop * stop_counts + w_chars * char_sums + bias
+        score = np.round(z / np.maximum(counts, 1), 6)
+        return pa.table({"doc_id": b["doc_id"], "quality_score": pa.array(score)})
+
+
+def q_model_score(sf_dir: str):
+    """Quality-classifier inference over every document (the batched
+    model-scoring stage of a training-data pipeline): an actor pool of
+    ``QualityModelStage`` workers, weights broadcast once via
+    ``ray.put``, scoring vectorized per batch."""
+    import ray
+
+    wref = ray.put((QM_W_TOK, QM_W_STOP, QM_W_CHARS, QM_BIAS))
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        QualityModelStage,
+        fn_constructor_kwargs={"weights_ref": wref},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+
+SQL_MODEL_SCORE = f"""
+WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents),
+f AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tok,
+         CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS BIGINT) AS n_stop,
+         CAST(coalesce(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))), 0) AS BIGINT) AS n_chars
+  FROM t
+)
+SELECT doc_id,
+       round(CAST({QM_W_TOK} * n_tok + {QM_W_STOP} * n_stop + {QM_W_CHARS} * n_chars
+                  + {QM_BIAS} AS DOUBLE) / greatest(n_tok, 1), 6) AS quality_score
+FROM f
+"""
+
+
+HH_K = 15
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Exact top-15 token bigrams by total count via the Misra-Gries
+    heavy-hitters sketch (bounded per-batch summaries + exact candidate
+    recount; see functions/sketch.py for the exactness argument).  The
+    shuffle carries at most sketch_size rows per batch instead of the
+    full bigram domain — the scale path for huge key domains."""
+    from ..functions.sketch import heavy_hitters
+
+    out = heavy_hitters(
+        _read(sf_dir, "documents", ["text"]), k=HH_K, sketch_size=4096
+    )
+    return out.rename(columns={"key": "bigram"})
+
+
+SQL_HEAVY_HITTERS = f"""
+WITH toks AS (SELECT {TOK} AS t FROM documents),
+bg AS (SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+       FROM toks)
+SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+FROM bg GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT {HH_K}
+"""
+
+
 _CUR_LANG_SQL = ", ".join(f"'{x}'" for x in CUR_LANGS)
 SQL_CURATION_FUNNEL = f"""
 WITH t AS (SELECT doc_id, lang, {TOK} AS toks, md5(text) AS h FROM documents),
@@ -2220,6 +2312,8 @@ def make_queries() -> dict:
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
         "curation_funnel": q_curation_funnel,
+        "heavy_hitters": q_heavy_hitters,
+        "model_score": q_model_score,
     }
 
 
@@ -2277,6 +2371,8 @@ def make_oracle_sql() -> dict:
         "decontaminate": SQL_DECONTAMINATE,
         "repetition_stats": SQL_REPETITION_STATS,
         "curation_funnel": SQL_CURATION_FUNNEL,
+        "heavy_hitters": SQL_HEAVY_HITTERS,
+        "model_score": SQL_MODEL_SCORE,
     }
 
 

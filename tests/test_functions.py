@@ -837,3 +837,38 @@ def test_curation_ops_vs_bruteforce(ray_session):
         a[1] += n
     gotf = q_curation_funnel(SF).to_pandas()
     assert {r.lang: [r.n_docs, r.n_tokens] for r in gotf.itertuples()} == agg
+
+
+def test_heavy_hitters_sketch_exact(ray_session):
+    """Misra-Gries heavy hitters: the compress bound holds, and the
+    operator returns the EXACT top-k both on the comfortable path
+    (sketch >= vocab) and with a tiny sketch that forces per-batch
+    decrements (where the conclusiveness check / fallback must still
+    yield the exact answer)."""
+    import collections
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from lighthouse_ray.analysis import tokenize_text
+    from lighthouse_ray.functions.sketch import bigram_counts, heavy_hitters, mg_compress
+
+    docs = pq.read_table(SF + "/documents.parquet", columns=["doc_id", "text"])
+    want = collections.Counter()
+    for t in docs["text"].to_pylist():
+        ts = tokenize_text(t)
+        want.update(" ".join(ts[i : i + 2]) for i in range(len(ts) - 1))
+    top_want = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    # compress bound: <= S survivors, undercount of any key <= d
+    cnt = bigram_counts(docs, "text")
+    comp, d = mg_compress(cnt, 32)
+    assert comp.num_rows <= 32 and d > 0
+    orig = dict(zip(cnt["key"].to_pylist(), cnt["c"].to_pylist()))
+    for key, c in zip(comp["key"].to_pylist(), comp["c"].to_pylist()):
+        assert orig[key] - c == d
+
+    ds = rd.from_arrow(docs).repartition(8)
+    for s in (4096, 64):  # comfortable and decrement-forcing sketches
+        got = heavy_hitters(ds, 10, sketch_size=s)
+        assert list(zip(got["key"], got["cnt"])) == top_want, s
