@@ -126,7 +126,8 @@ def run_bench() -> dict:
                      "dup_clusters", "minhash_lsh", "asof_join", "sessionize",
                      "window_agg", "range_join", "knn_graph", "shuffle_join",
                      "chunk_text", "percentiles", "decontaminate",
-                     "repetition_stats", "curation_funnel", "heavy_hitters"]:
+                     "repetition_stats", "curation_funnel", "heavy_hitters",
+                     "train_shuffle", "seq_pack"]:
             t0 = time.time()
             out = qs[name](SF_DIR)
             if hasattr(out, "to_pandas"):

@@ -2237,6 +2237,78 @@ FROM bg GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT {HH_K}
 """
 
 
+SHUF_SHARDS = 16
+PACK_SEQ_LEN, PACK_BUCKETS = 256, 8
+
+
+def q_train_shuffle(sf_dir: str):
+    """Seeded deterministic global shuffle into reader shards (the
+    epoch-ordering step of a training pipeline): affine-hash shuffle
+    key, shard = key % N, per-shard dense rank — one bounded exchange,
+    no global sort (see functions/packing.py)."""
+    from ..functions.packing import shuffle_shards
+
+    return shuffle_shards(
+        _read(sf_dir, "documents", ["doc_id"]), n_shards=SHUF_SHARDS
+    )
+
+
+SQL_TRAIN_SHUFFLE = f"""
+WITH k AS (
+  SELECT doc_id,
+         CAST((CAST(doc_id AS HUGEINT) * 2654435761 + 1013904223) % 4294967296 AS BIGINT)
+           AS shuffle_key
+  FROM documents
+)
+SELECT doc_id, shuffle_key,
+       CAST(shuffle_key % {SHUF_SHARDS} AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY shuffle_key % {SHUF_SHARDS}
+                               ORDER BY shuffle_key, doc_id) - 1 AS BIGINT) AS pos
+FROM k
+"""
+
+
+def q_seq_pack(sf_dir: str):
+    """GPT-style sequence-packing manifest: docs concatenated per
+    bucket in id order, the token stream cut every ``PACK_SEQ_LEN``
+    tokens; emits each doc's absolute stream offset and the sequence
+    id / intra-sequence offset it starts at (functions/packing.py)."""
+    from ..functions.packing import seq_pack
+
+    def count_tokens(b: pa.Table) -> pa.Table:
+        parents, _pos, _terms, n = flat_tokens(b["text"])
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_tokens": pa.array(np.bincount(parents, minlength=n), type=pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        count_tokens, batch_format="pyarrow"
+    )
+    return seq_pack(ds, seq_len=PACK_SEQ_LEN, n_buckets=PACK_BUCKETS)
+
+
+SQL_SEQ_PACK = f"""
+WITH t AS (
+  SELECT doc_id, CAST(doc_id % {PACK_BUCKETS} AS BIGINT) AS bucket,
+         CAST(len({TOK}) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, bucket, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_tok
+  FROM t
+)
+SELECT doc_id, bucket, n_tokens, start_tok,
+       CAST(start_tok // {PACK_SEQ_LEN} AS BIGINT) AS seq_id,
+       CAST(start_tok % {PACK_SEQ_LEN} AS BIGINT) AS seq_off
+FROM c
+"""
+
+
 _CUR_LANG_SQL = ", ".join(f"'{x}'" for x in CUR_LANGS)
 SQL_CURATION_FUNNEL = f"""
 WITH t AS (SELECT doc_id, lang, {TOK} AS toks, md5(text) AS h FROM documents),
@@ -2314,6 +2386,8 @@ def make_queries() -> dict:
         "curation_funnel": q_curation_funnel,
         "heavy_hitters": q_heavy_hitters,
         "model_score": q_model_score,
+        "train_shuffle": q_train_shuffle,
+        "seq_pack": q_seq_pack,
     }
 
 
@@ -2373,6 +2447,8 @@ def make_oracle_sql() -> dict:
         "curation_funnel": SQL_CURATION_FUNNEL,
         "heavy_hitters": SQL_HEAVY_HITTERS,
         "model_score": SQL_MODEL_SCORE,
+        "train_shuffle": SQL_TRAIN_SHUFFLE,
+        "seq_pack": SQL_SEQ_PACK,
     }
 
 

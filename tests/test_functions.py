@@ -872,3 +872,44 @@ def test_heavy_hitters_sketch_exact(ray_session):
     for s in (4096, 64):  # comfortable and decrement-forcing sketches
         got = heavy_hitters(ds, 10, sketch_size=s)
         assert list(zip(got["key"], got["cnt"])) == top_want, s
+
+
+def test_training_layout_ops_vs_bruteforce(ray_session):
+    """shuffle_shards is a permutation with dense per-shard ranks that
+    match a brute-force sort, and seq_pack's offsets equal the
+    brute-force per-bucket running totals — on an id set with gaps and
+    across a multi-partition input."""
+    import pandas as pd
+    import ray.data as rd
+
+    from lighthouse_ray.functions.packing import seq_pack, shuffle_key, shuffle_shards
+
+    rng = np.random.default_rng(7)
+    ids = np.unique(rng.integers(0, 100_000, size=900)).astype(np.int64)
+    t = pa.table({"doc_id": pa.array(ids)})
+    got = (
+        shuffle_shards(rd.from_arrow(t).repartition(7), n_shards=5, num_parts=6)
+        .to_pandas()
+        .sort_values(["shard", "pos"])
+        .reset_index(drop=True)
+    )
+    assert sorted(got["doc_id"]) == sorted(ids)  # permutation, nothing lost
+    key = shuffle_key(ids)
+    order = np.lexsort((ids, key, key % 5))
+    want = pd.DataFrame({"doc_id": ids[order], "shard": (key % 5)[order]})
+    want["pos"] = want.groupby("shard").cumcount()
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "shard", "pos"]],
+        want.sort_values(["shard", "pos"]).reset_index(drop=True),
+        check_dtype=False,
+    )
+
+    n_tok = rng.integers(0, 500, size=len(ids)).astype(np.int64)  # incl. empty docs
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids), "n_tokens": pa.array(n_tok)})).repartition(7)
+    gotp = seq_pack(ds, seq_len=128, n_buckets=4, num_parts=6).to_pandas()
+    gotp = gotp.sort_values("doc_id").reset_index(drop=True)
+    df = pd.DataFrame({"doc_id": ids, "bucket": ids % 4, "n_tokens": n_tok}).sort_values("doc_id")
+    df["start_tok"] = df.groupby("bucket")["n_tokens"].cumsum() - df["n_tokens"]
+    df["seq_id"] = df["start_tok"] // 128
+    df["seq_off"] = df["start_tok"] % 128
+    pd.testing.assert_frame_equal(gotp, df.reset_index(drop=True), check_dtype=False)
