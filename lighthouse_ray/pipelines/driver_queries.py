@@ -2309,6 +2309,29 @@ FROM c
 """
 
 
+KM_K, KM_ITERS = 8, 3
+
+
+def q_kmeans(sf_dir: str):
+    """Distributed Lloyd k-means over the embedding column (corpus
+    clustering for mixture balancing / semantic grouping): per-batch
+    assignment against broadcast centroids + per-cluster partial sums,
+    driver reduces k rows per batch per iteration — no shuffle.  Runs
+    on an integer lattice so the result is hash-exact against the
+    unrolled SQL mirror (functions/clustering.py)."""
+    from ..functions.clustering import kmeans_assign
+
+    return kmeans_assign(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), k=KM_K, iters=KM_ITERS
+    )
+
+
+def _sql_kmeans() -> str:
+    from ..functions.clustering import make_kmeans_sql
+
+    return make_kmeans_sql(k=KM_K, iters=KM_ITERS)
+
+
 _CUR_LANG_SQL = ", ".join(f"'{x}'" for x in CUR_LANGS)
 SQL_CURATION_FUNNEL = f"""
 WITH t AS (SELECT doc_id, lang, {TOK} AS toks, md5(text) AS h FROM documents),
@@ -2388,6 +2411,7 @@ def make_queries() -> dict:
         "model_score": q_model_score,
         "train_shuffle": q_train_shuffle,
         "seq_pack": q_seq_pack,
+        "kmeans_clusters": q_kmeans,
     }
 
 
@@ -2449,6 +2473,7 @@ def make_oracle_sql() -> dict:
         "model_score": SQL_MODEL_SCORE,
         "train_shuffle": SQL_TRAIN_SHUFFLE,
         "seq_pack": SQL_SEQ_PACK,
+        "kmeans_clusters": _sql_kmeans(),
     }
 
 

@@ -913,3 +913,42 @@ def test_training_layout_ops_vs_bruteforce(ray_session):
     df["seq_id"] = df["start_tok"] // 128
     df["seq_off"] = df["start_tok"] % 128
     pd.testing.assert_frame_equal(gotp, df.reset_index(drop=True), check_dtype=False)
+
+
+def test_kmeans_vs_bruteforce_with_empty_cluster(ray_session):
+    """Quantized Lloyd matches a single-process reference implementing
+    the same integer algorithm, on data engineered so a seed cluster
+    empties after the first update (duplicated seed points) and across
+    a multi-partition input."""
+    import ray.data as rd
+
+    from lighthouse_ray.functions.clustering import _assign, _quantize, kmeans_assign
+
+    rng = np.random.default_rng(11)
+    # two tight blobs + duplicated points at the low ids: seeds 0..3
+    # sit nearly on top of each other, so some seed clusters empty out
+    base = np.concatenate([
+        np.tile(rng.normal(0.3, 0.01, size=(1, 6)), (4, 1)),
+        rng.normal(-0.2, 0.02, size=(60, 6)),
+        rng.normal(0.35, 0.02, size=(60, 6)),
+    ]).astype(np.float32)
+    ids = np.arange(len(base), dtype=np.int64)
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array(list(base), type=pa.list_(pa.float32()))})
+    k, iters = 4, 3
+    got = (kmeans_assign(rd.from_arrow(t).repartition(5), k=k, iters=iters)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+
+    q = _quantize(base, 1000, 1000)
+    cent = q[np.argsort(ids)[:k]].copy()
+    for _ in range(iters - 1):
+        a, _ = _assign(q, cent)
+        for c in range(k):
+            sel = a == c
+            if sel.any():
+                n, s = int(sel.sum()), q[sel].sum(axis=0)
+                cent[c] = (2 * s + n) // (2 * n)
+    a, d2 = _assign(q, cent)
+    assert got["cluster"].tolist() == a.tolist()
+    assert got["d2"].tolist() == d2.tolist()
+    assert len(set(a)) < k  # the engineered empty cluster actually happened
