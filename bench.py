@@ -127,7 +127,8 @@ def run_bench() -> dict:
                      "window_agg", "range_join", "knn_graph", "shuffle_join",
                      "chunk_text", "percentiles", "decontaminate",
                      "repetition_stats", "curation_funnel", "heavy_hitters",
-                     "train_shuffle", "seq_pack", "kmeans_clusters"]:
+                     "train_shuffle", "seq_pack", "kmeans_clusters",
+                     "bloom_anti_join"]:
             t0 = time.time()
             out = qs[name](SF_DIR)
             if hasattr(out, "to_pandas"):

@@ -198,3 +198,109 @@ def shuffle_join(left, right, key: str, lcols: list[str], rcols: list[str],
     # exposure + Spark-style shuffle GC of consumed upstream roots)
     return spill_exchange(tagged, route, join_reduce, num_parts=num_parts,
                           stats=stats, cleanup_after=cleanup_after)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join reduction (anti-join against a large key set)
+# ---------------------------------------------------------------------------
+
+_SM1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM2 = np.uint64(0x94D049BB133111EB)
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _splitmix(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (public domain; Steele et al. OOPSLA'14)
+    over a uint64 array — natural wraparound does the mod-2^64."""
+    x = (x ^ (x >> np.uint64(30))) * _SM1
+    x = (x ^ (x >> np.uint64(27))) * _SM2
+    return x ^ (x >> np.uint64(31))
+
+
+def _bloom_positions(keys: np.ndarray, m_bits: int, k_hashes: int) -> np.ndarray:
+    """(n, k) bit positions via double hashing h1 + i*h2 (Kirsch &
+    Mitzenmacher 2006)."""
+    x = keys.astype(np.uint64)
+    h1 = _splitmix(x + _GOLD)
+    h2 = _splitmix(x ^ _SM1) | np.uint64(1)
+    i = np.arange(k_hashes, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m_bits)).astype(np.int64)
+
+
+def bloom_anti_join(big, keys, key: str, cols: list[str],
+                    m_bits: int = 1 << 20, k_hashes: int = 4,
+                    num_parts: int = 32, stats: dict | None = None):
+    """Rows of ``big`` whose ``key`` does NOT appear in ``keys`` —
+    exact result, bloom-accelerated.
+
+    The scale problem: scrubbing a 100 TB corpus against a key set too
+    big to broadcast exactly (billions of URLs/ids) normally shuffles
+    the ENTIRE corpus through an anti-join exchange.  The classic fix
+    is a semi-join reduction: broadcast a Bloom filter of the key set
+    (m_bits/8 bytes — MBs where the exact set is GBs), let every batch
+    drop its bloom-NEGATIVE rows locally (definite keeps — a bloom has
+    no false negatives), and route only the bloom-POSITIVE sliver
+    through the exact left-outer :func:`shuffle_join` to weed out the
+    false positives.  Exchange volume drops from |big| to
+    |matches| + fp_rate x |big|.
+
+    The filter itself is built distributed: each ``keys`` batch emits
+    one packed-bitmap row, the driver ORs the per-batch bitmaps (one
+    m/8-byte row per batch reaches the driver, never the key rows).
+
+    ``stats`` (tests/observability): filled with ``fast_keeps`` /
+    ``candidates`` Dataset handles so callers can count the split.
+    """
+    import ray
+
+    nbytes = (m_bits + 7) // 8
+
+    def build(b: pa.Table) -> pa.Table:
+        bits = np.zeros(nbytes, dtype=np.uint8)
+        if b.num_rows:
+            k = b[key].to_numpy(zero_copy_only=False)
+            pos = _bloom_positions(k, m_bits, k_hashes).ravel()
+            np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        return pa.table({"bits": pa.array([bits.tobytes()], type=pa.binary())})
+
+    parts = keys.map_batches(build, batch_format="pyarrow").take_all()
+    bits = np.zeros(nbytes, dtype=np.uint8)
+    for r in parts:
+        bits |= np.frombuffer(r["bits"], dtype=np.uint8)
+    bref = ray.put(bits)
+
+    def probe(want_positive: bool):
+        def f(b: pa.Table) -> pa.Table:
+            import ray as _r
+
+            out_cols = [key, *cols]
+            if b.num_rows == 0:
+                return b.select(out_cols)
+            bm = _r.get(bref)
+            pos = _bloom_positions(
+                b[key].to_numpy(zero_copy_only=False), m_bits, k_hashes
+            )
+            hit = ((bm[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1).all(axis=1)
+            keep = hit if want_positive else ~hit
+            return b.select(out_cols).filter(pa.array(keep))
+
+        return f
+
+    fast_keeps = big.map_batches(probe(False), batch_format="pyarrow")
+    candidates = big.map_batches(probe(True), batch_format="pyarrow")
+    if stats is not None:
+        stats["fast_keeps"] = fast_keeps
+        stats["candidates"] = candidates
+
+    marked = keys.map_batches(
+        lambda b: pa.table({key: b[key],
+                            "__hit": pa.array(np.ones(b.num_rows, dtype=np.int8))}),
+        batch_format="pyarrow",
+    )
+    joined = shuffle_join(candidates, marked, key=key, lcols=cols,
+                          rcols=["__hit"], how="left", num_parts=num_parts)
+    verified = joined.map_batches(
+        lambda b: b.filter(pc.is_null(b["__hit"])).select([key, *cols]),
+        batch_format="pyarrow",
+    )
+    return fast_keeps.union(verified)

@@ -2309,6 +2309,31 @@ FROM c
 """
 
 
+def q_bloom_anti_join(sf_dir: str):
+    """Blocklist scrub as a bloom semi-join reduction: orders whose
+    customer is NOT in the blocked set (customers of nations 0-4).
+    The bloom filter of the blocked keys is built distributed and
+    broadcast (MBs); bloom-negative rows never enter the exchange —
+    only the positive sliver goes through the exact left-outer
+    shuffle join (functions/joins.py::bloom_anti_join)."""
+    from ..functions.joins import bloom_anti_join
+
+    blocked = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda b: pa.table(
+            {"o_custkey": b.filter(pc.less(b["c_nationkey"], 5))["c_custkey"]}
+        ),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    return bloom_anti_join(orders, blocked, key="o_custkey", cols=["o_orderkey"])
+
+
+SQL_BLOOM_ANTI_JOIN = """
+SELECT o_custkey, o_orderkey FROM orders
+WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_nationkey < 5)
+"""
+
+
 KM_K, KM_ITERS = 8, 3
 
 
@@ -2412,6 +2437,7 @@ def make_queries() -> dict:
         "train_shuffle": q_train_shuffle,
         "seq_pack": q_seq_pack,
         "kmeans_clusters": q_kmeans,
+        "bloom_anti_join": q_bloom_anti_join,
     }
 
 
@@ -2474,6 +2500,7 @@ def make_oracle_sql() -> dict:
         "train_shuffle": SQL_TRAIN_SHUFFLE,
         "seq_pack": SQL_SEQ_PACK,
         "kmeans_clusters": _sql_kmeans(),
+        "bloom_anti_join": SQL_BLOOM_ANTI_JOIN,
     }
 
 

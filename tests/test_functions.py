@@ -952,3 +952,35 @@ def test_kmeans_vs_bruteforce_with_empty_cluster(ray_session):
     assert got["cluster"].tolist() == a.tolist()
     assert got["d2"].tolist() == d2.tolist()
     assert len(set(a)) < k  # the engineered empty cluster actually happened
+
+
+def test_bloom_anti_join_exact_under_false_positives(ray_session):
+    """bloom_anti_join returns the exact anti-join even with a filter
+    sized to force heavy false positives (m_bits=64), and with an
+    honest filter the bloom actually prunes (most keeps never enter
+    the exchange)."""
+    import ray.data as rd
+
+    from lighthouse_ray.functions.joins import bloom_anti_join
+
+    rng = np.random.default_rng(3)
+    big_keys = rng.integers(0, 5000, size=4000).astype(np.int64)
+    big = pa.table({"k": pa.array(big_keys),
+                    "v": pa.array(np.arange(4000, dtype=np.int64))})
+    bad = np.unique(rng.choice(np.unique(big_keys), size=800, replace=False))
+    keys = pa.table({"k": pa.array(bad)})
+    want = {(int(k), int(v)) for k, v in zip(big_keys, np.arange(4000))
+            if int(k) not in set(bad.tolist())}
+
+    for m_bits in (64, 1 << 16):  # collision-saturated and honest
+        stats = {}
+        got = bloom_anti_join(
+            rd.from_arrow(big).repartition(5), rd.from_arrow(keys).repartition(3),
+            key="k", cols=["v"], m_bits=m_bits, num_parts=6, stats=stats,
+        ).to_pandas()
+        assert {(int(r.k), int(r.v)) for r in got.itertuples()} == want, m_bits
+        if m_bits == 1 << 16:
+            n_fast = stats["fast_keeps"].count()
+            n_cand = stats["candidates"].count()
+            assert n_fast + n_cand == 4000
+            assert n_fast > 0.8 * len(want)  # the bloom really pruned
