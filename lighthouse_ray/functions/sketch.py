@@ -202,3 +202,82 @@ def heavy_hitters(
         f"cutoff={cutoff}, eps={eps}, N={n_total}) — exact fallback"
     )
     return _full_exact(ds, k, text_col, counter)
+
+
+def kmv_distinct(ds, *, k: int = 64, text_col: str = "text",
+                 group_col: str = "lang", num_parts: int = 8):
+    """Per-group approximate distinct-token count via the k-minimum-
+    values sketch (Bar-Yossef et al. RANDOM'02): each batch contributes
+    its k smallest distinct md5-low64 token hashes per group, the merge
+    keeps the k smallest of the union, and the estimator is
+    ``(k-1) * 2^64 // h_k`` (exact count when a group has fewer than k
+    distinct hashes).  All arithmetic is integer, and the estimate is
+    a deterministic function of the distinct-hash SET — independent of
+    batch layout and execution order — so the SQL oracle reproduces it
+    bit-for-bit with ``md5_number_lower``.
+
+    Shuffle volume: <= k rows per group per batch; the full token
+    stream never enters an exchange (the point at 100 TB, where
+    count-distinct via groupby would shuffle the whole vocabulary).
+    """
+    from ..analysis import flat_tokens as _ft
+    from .dedup import _md5_low64
+    from .exchange import spill_exchange
+    from .packing import _run_starts
+
+    empty = pa.table({group_col: pa.array([], type=pa.string()),
+                      "hv": pa.array([], type=pa.uint64())})
+
+    def partial(b: pa.Table) -> pa.Table:
+        parents, _pos, terms, _n = _ft(b[text_col])
+        if len(parents) == 0:
+            return empty
+        grp = b[group_col]
+        grp = grp.combine_chunks() if isinstance(grp, pa.ChunkedArray) else grp
+        gcodes = grp.dictionary_encode()
+        gidx = gcodes.indices.to_numpy(zero_copy_only=False)[parents]
+        tcodes = terms.dictionary_encode()
+        uh = _md5_low64(tcodes.dictionary.to_pylist())
+        hv = uh[tcodes.indices.to_numpy(zero_copy_only=False)]
+        # distinct (group, hash) pairs, then k smallest hashes per group
+        pair = np.unique(np.stack([gidx.astype(np.uint64), hv], axis=1), axis=0)
+        g, h = pair[:, 0], pair[:, 1]
+        starts = _run_starts(g)
+        counts = np.diff(np.append(starts, len(g)))
+        keep = (np.arange(len(g)) - np.repeat(starts, counts)) < k
+        gd = gcodes.dictionary.to_pylist()
+        return pa.table({
+            group_col: pa.array([gd[int(i)] for i in g[keep]], type=pa.string()),
+            "hv": pa.array(h[keep], type=pa.uint64()),
+        })
+
+    out_schema = pa.table({group_col: pa.array([], type=pa.string()),
+                           "est_distinct": pa.array([], type=pa.int64())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema
+        t = t.group_by([group_col, "hv"]).aggregate([]).sort_by(
+            [(group_col, "ascending"), ("hv", "ascending")]
+        )
+        grps = t[group_col].to_pylist()
+        hv = t["hv"].to_numpy(zero_copy_only=False)
+        rows_g, rows_e = [], []
+        i = 0
+        while i < len(grps):
+            j = i
+            while j < len(grps) and grps[j] == grps[i]:
+                j += 1
+            cnt = j - i
+            if cnt < k:
+                est = cnt
+            else:
+                est = (k - 1) * (1 << 64) // int(hv[i + k - 1])
+            rows_g.append(grps[i])
+            rows_e.append(est)
+            i = j
+        return pa.table({group_col: pa.array(rows_g, type=pa.string()),
+                         "est_distinct": pa.array(rows_e, type=pa.int64())})
+
+    pds = ds.map_batches(partial, batch_format="pyarrow")
+    return spill_exchange(pds, group_col, merge, num_parts=num_parts)

@@ -2309,6 +2309,36 @@ FROM c
 """
 
 
+KMV_K = 64
+
+
+def q_kmv_distinct(sf_dir: str):
+    """Per-language approximate distinct-token count via the KMV
+    sketch: k smallest md5-low64 hashes per group per batch, merged to
+    the k smallest of the union — the token stream never enters an
+    exchange.  The estimator is a deterministic function of the
+    distinct-hash set, so SQL mirrors it exactly (functions/sketch.py)."""
+    from ..functions.sketch import kmv_distinct
+
+    return kmv_distinct(_read(sf_dir, "documents", ["lang", "text"]), k=KMV_K)
+
+
+SQL_KMV_DISTINCT = f"""
+WITH toks AS (SELECT lang, unnest({TOK}) AS t FROM documents),
+u AS (SELECT DISTINCT lang, md5_number_lower(t) AS hv FROM toks),
+r AS (SELECT lang, hv,
+             row_number() OVER (PARTITION BY lang ORDER BY hv) AS rk,
+             count(*) OVER (PARTITION BY lang) AS cnt
+      FROM u)
+SELECT lang,
+       CAST(CASE WHEN cnt < {KMV_K} THEN cnt
+                 ELSE ({KMV_K} - 1) * CAST(18446744073709551616 AS HUGEINT) // CAST(hv AS HUGEINT)
+            END AS BIGINT) AS est_distinct
+FROM r
+WHERE rk = CASE WHEN cnt < {KMV_K} THEN cnt ELSE {KMV_K} END
+"""
+
+
 def q_bloom_anti_join(sf_dir: str):
     """Blocklist scrub as a bloom semi-join reduction: orders whose
     customer is NOT in the blocked set (customers of nations 0-4).
@@ -2438,6 +2468,7 @@ def make_queries() -> dict:
         "seq_pack": q_seq_pack,
         "kmeans_clusters": q_kmeans,
         "bloom_anti_join": q_bloom_anti_join,
+        "kmv_distinct": q_kmv_distinct,
     }
 
 
@@ -2501,6 +2532,7 @@ def make_oracle_sql() -> dict:
         "seq_pack": SQL_SEQ_PACK,
         "kmeans_clusters": _sql_kmeans(),
         "bloom_anti_join": SQL_BLOOM_ANTI_JOIN,
+        "kmv_distinct": SQL_KMV_DISTINCT,
     }
 
 

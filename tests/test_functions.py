@@ -984,3 +984,31 @@ def test_bloom_anti_join_exact_under_false_positives(ray_session):
             n_cand = stats["candidates"].count()
             assert n_fast + n_cand == 4000
             assert n_fast > 0.8 * len(want)  # the bloom really pruned
+
+
+def test_kmv_distinct_accuracy_and_exact_small_groups(ray_session):
+    """KMV estimate is within the theoretical error band for a large
+    group, EXACT for a group with fewer than k distinct tokens, and
+    layout-independent (same answer at different partitionings)."""
+    import ray.data as rd
+
+    from lighthouse_ray.analysis import tokenize_text
+    from lighthouse_ray.functions.sketch import kmv_distinct
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(3000)]
+    big_rows = [" ".join(rng.choice(vocab, size=40)) for _ in range(400)]
+    small_rows = ["alpha beta gamma delta", "beta gamma", "alpha epsilon"]
+    t = pa.table({
+        "lang": pa.array(["big"] * len(big_rows) + ["tiny"] * len(small_rows)),
+        "text": pa.array(big_rows + small_rows),
+    })
+    outs = []
+    for parts in (3, 9):
+        got = (kmv_distinct(rd.from_arrow(t).repartition(parts), k=64)
+               .to_pandas().set_index("lang")["est_distinct"])
+        outs.append(got)
+        truth = len({tok for r in big_rows for tok in tokenize_text(r)})
+        assert abs(got["big"] - truth) / truth < 0.30  # ~2/sqrt(64) band
+        assert got["tiny"] == 5  # < k distinct -> exact by definition
+    assert outs[0].equals(outs[1])  # layout-independent
