@@ -128,7 +128,7 @@ def run_bench() -> dict:
                      "chunk_text", "percentiles", "decontaminate",
                      "repetition_stats", "curation_funnel", "heavy_hitters",
                      "train_shuffle", "seq_pack", "kmeans_clusters",
-                     "bloom_anti_join", "kmv_distinct"]:
+                     "bloom_anti_join", "kmv_distinct", "pii_scrub"]:
             t0 = time.time()
             out = qs[name](SF_DIR)
             if hasattr(out, "to_pandas"):

@@ -2309,6 +2309,52 @@ FROM c
 """
 
 
+# PII-style scrub patterns, applied in order (RE2 in BOTH engines:
+# Arrow's replace_substring_regex and DuckDB's regexp_replace are RE2,
+# so match semantics are identical by construction)
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"[0-9]+", "<NUM>"),
+)
+
+
+def q_pii_scrub(sf_dir: str):
+    """PII / identifier scrubbing over event payloads (the redaction
+    stage of a curation pipeline): sequential vectorized RE2
+    replacements (email -> IPv4 -> digit runs) with per-row redaction
+    counts.  Pure per-batch kernels — no shuffle, no Python loop."""
+
+    def f(b: pa.Table) -> pa.Table:
+        s = b["props"]
+        s = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+        total = np.zeros(len(s), dtype=np.int64)
+        for pat, rep in PII_PATTERNS:
+            total += pc.count_substring_regex(s, pat).to_numpy(zero_copy_only=False)
+            s = pc.replace_substring_regex(s, pattern=pat, replacement=rep)
+        return pa.table({
+            "event_id": b["event_id"],
+            "scrubbed": s,
+            "n_redacted": pa.array(total),
+        })
+
+    return _read(sf_dir, "events", ["event_id", "props"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def _sql_pii_scrub() -> str:
+    expr, counts = "props", []
+    for pat, rep in PII_PATTERNS:
+        counts.append(f"len(regexp_extract_all({expr}, '{pat}'))")
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    return f"""
+SELECT event_id, {expr} AS scrubbed,
+       CAST({' + '.join(counts)} AS BIGINT) AS n_redacted
+FROM events
+"""
+
+
 KMV_K = 64
 
 
@@ -2469,6 +2515,7 @@ def make_queries() -> dict:
         "kmeans_clusters": q_kmeans,
         "bloom_anti_join": q_bloom_anti_join,
         "kmv_distinct": q_kmv_distinct,
+        "pii_scrub": q_pii_scrub,
     }
 
 
@@ -2533,6 +2580,7 @@ def make_oracle_sql() -> dict:
         "kmeans_clusters": _sql_kmeans(),
         "bloom_anti_join": SQL_BLOOM_ANTI_JOIN,
         "kmv_distinct": SQL_KMV_DISTINCT,
+        "pii_scrub": _sql_pii_scrub(),
     }
 
 

@@ -1012,3 +1012,42 @@ def test_kmv_distinct_accuracy_and_exact_small_groups(ray_session):
         assert abs(got["big"] - truth) / truth < 0.30  # ~2/sqrt(64) band
         assert got["tiny"] == 5  # < k distinct -> exact by definition
     assert outs[0].equals(outs[1])  # layout-independent
+
+
+def test_pii_scrub_vs_python_re(ray_session):
+    """The scrub pipeline matches a plain-Python re reference on text
+    with real PII shapes (emails, IPs, numbers, adjacent and
+    overlapping-pattern cases), applied in the same pattern order."""
+    import re
+
+    from lighthouse_ray.pipelines.driver_queries import PII_PATTERNS
+
+    rows = [
+        "contact john.doe+spam@example.co.uk or 10.0.0.1 now",
+        "ids 12345 and 99, ip 192.168.1.255, mail a@b.io",
+        "no pii here at all",
+        "edge 999.999.999.999 1.2.3.4.5 x@y.z",
+        "",
+    ]
+    t = pa.table({"event_id": pa.array(range(len(rows)), type=pa.int64()),
+                  "props": pa.array(rows)})
+
+    def ref(s):
+        n = 0
+        for pat, rep in PII_PATTERNS:
+            n += len(re.findall(pat, s))
+            s = re.sub(pat, rep, s)
+        return s, n
+
+    # drive the same kernel sequence the gate uses, over the table
+    import pyarrow.compute as _pc
+
+    s = t["props"]
+    total = np.zeros(len(rows), dtype=np.int64)
+    for pat, rep in PII_PATTERNS:
+        total += _pc.count_substring_regex(s, pat).to_numpy(zero_copy_only=False)
+        s = _pc.replace_substring_regex(s, pattern=pat, replacement=rep)
+    for i, r in enumerate(rows):
+        ws, wn = ref(r)
+        assert s[i].as_py() == ws, r
+        assert int(total[i]) == wn, r
