@@ -2160,10 +2160,13 @@ class QualityModelStage:
     model here is a deterministic linear scorer so the DuckDB oracle
     can verify every output value exactly."""
 
-    def __init__(self, weights_ref):
-        import ray as _r
-
-        self.w = _r.get(weights_ref)  # (w_tok, w_stop, w_chars, bias)
+    def __init__(self, weights):
+        # Ray Data ships constructor kwargs through the object store
+        # once per actor (its startup log cites ray#53727 — benign for
+        # driver-held datasets), so this is already the load-once
+        # broadcast pattern; real model weights (MBs-GBs) ride the
+        # same path, or pass a `ray.put` ref pinned on the driver.
+        self.w = weights  # (w_tok, w_stop, w_chars, bias)
         self.stop_set = pa.array(list(STOPWORDS))
 
     def __call__(self, b: pa.Table) -> pa.Table:
@@ -2182,14 +2185,11 @@ class QualityModelStage:
 def q_model_score(sf_dir: str):
     """Quality-classifier inference over every document (the batched
     model-scoring stage of a training-data pipeline): an actor pool of
-    ``QualityModelStage`` workers, weights broadcast once via
-    ``ray.put``, scoring vectorized per batch."""
-    import ray
-
-    wref = ray.put((QM_W_TOK, QM_W_STOP, QM_W_CHARS, QM_BIAS))
+    ``QualityModelStage`` workers, model loaded once per actor in
+    ``__init__``, scoring vectorized per batch."""
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         QualityModelStage,
-        fn_constructor_kwargs={"weights_ref": wref},
+        fn_constructor_kwargs={"weights": (QM_W_TOK, QM_W_STOP, QM_W_CHARS, QM_BIAS)},
         batch_format="pyarrow",
         concurrency=2,
     )
