@@ -133,7 +133,8 @@ def run_bench() -> dict:
                      "chunk_text", "percentiles", "decontaminate",
                      "repetition_stats", "curation_funnel", "heavy_hitters",
                      "train_shuffle", "seq_pack", "kmeans_clusters",
-                     "bloom_anti_join", "kmv_distinct", "pii_scrub"]:
+                     "bloom_anti_join", "kmv_distinct", "pii_scrub",
+                     "shard_stream"]:
             if time.time() - sweep_t0 > budget_s:
                 results[name] = -1  # skipped: bench budget exhausted
                 continue

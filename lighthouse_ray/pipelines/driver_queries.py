@@ -2309,6 +2309,54 @@ FROM c
 """
 
 
+SHARD_TO_READ = 3
+
+
+def q_shard_stream(sf_dir: str):
+    """The consumption side of the training layout: materialize ONE
+    reader shard — each document of shard 3 with its stream position
+    and a content fingerprint — by joining the seeded-shuffle manifest
+    back to the payload table through the shuffle join (manifest side
+    filtered to the shard BEFORE the exchange, so only 1/N of the
+    manifest and the matching payloads move)."""
+    from ..functions.joins import shuffle_join
+    from ..functions.packing import shuffle_shards
+
+    manifest = shuffle_shards(
+        _read(sf_dir, "documents", ["doc_id"]), n_shards=SHUF_SHARDS
+    ).map_batches(
+        lambda b: b.filter(pc.equal(b["shard"], SHARD_TO_READ)),
+        batch_format="pyarrow",
+    )
+
+    payload = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda b: pa.table(
+            {"doc_id": b["doc_id"], "fingerprint": _md5_hex_column(b["text"])}
+        ),
+        batch_format="pyarrow",
+    )
+    return shuffle_join(manifest, payload, key="doc_id",
+                        lcols=["pos"], rcols=["fingerprint"])
+
+
+SQL_SHARD_STREAM = f"""
+WITH k AS (
+  SELECT doc_id,
+         CAST((CAST(doc_id AS HUGEINT) * 2654435761 + 1013904223) % 4294967296 AS BIGINT)
+           AS shuffle_key
+  FROM documents
+), s AS (
+  SELECT doc_id, shuffle_key % {SHUF_SHARDS} AS shard,
+         CAST(row_number() OVER (PARTITION BY shuffle_key % {SHUF_SHARDS}
+                                 ORDER BY shuffle_key, doc_id) - 1 AS BIGINT) AS pos
+  FROM k
+)
+SELECT s.doc_id, s.pos, md5(d.text) AS fingerprint
+FROM s JOIN documents d ON d.doc_id = s.doc_id
+WHERE s.shard = {SHARD_TO_READ}
+"""
+
+
 # PII-style scrub patterns, applied in order (RE2 in BOTH engines:
 # Arrow's replace_substring_regex and DuckDB's regexp_replace are RE2,
 # so match semantics are identical by construction)
@@ -2516,6 +2564,7 @@ def make_queries() -> dict:
         "bloom_anti_join": q_bloom_anti_join,
         "kmv_distinct": q_kmv_distinct,
         "pii_scrub": q_pii_scrub,
+        "shard_stream": q_shard_stream,
     }
 
 
@@ -2581,6 +2630,7 @@ def make_oracle_sql() -> dict:
         "bloom_anti_join": SQL_BLOOM_ANTI_JOIN,
         "kmv_distinct": SQL_KMV_DISTINCT,
         "pii_scrub": _sql_pii_scrub(),
+        "shard_stream": SQL_SHARD_STREAM,
     }
 
 
