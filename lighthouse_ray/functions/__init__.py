@@ -1,3 +1,25 @@
-from . import dedup, multimodal, similarity, textstats
+from . import (
+    clustering,
+    dedup,
+    exchange,
+    joins,
+    multimodal,
+    packing,
+    similarity,
+    sketch,
+    textstats,
+    windows,
+)
 
-__all__ = ["dedup", "similarity", "textstats", "multimodal"]
+__all__ = [
+    "clustering",
+    "dedup",
+    "exchange",
+    "joins",
+    "multimodal",
+    "packing",
+    "similarity",
+    "sketch",
+    "textstats",
+    "windows",
+]
