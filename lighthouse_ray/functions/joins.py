@@ -204,25 +204,16 @@ def shuffle_join(left, right, key: str, lcols: list[str], rcols: list[str],
 # Bloom-filter semi-join reduction (anti-join against a large key set)
 # ---------------------------------------------------------------------------
 
-_SM1 = np.uint64(0xBF58476D1CE4E5B9)
-_SM2 = np.uint64(0x94D049BB133111EB)
-_GOLD = np.uint64(0x9E3779B97F4A7C15)
-
-
-def _splitmix(x: np.ndarray) -> np.ndarray:
-    """splitmix64 finalizer (public domain; Steele et al. OOPSLA'14)
-    over a uint64 array — natural wraparound does the mod-2^64."""
-    x = (x ^ (x >> np.uint64(30))) * _SM1
-    x = (x ^ (x >> np.uint64(27))) * _SM2
-    return x ^ (x >> np.uint64(31))
-
-
 def _bloom_positions(keys: np.ndarray, m_bits: int, k_hashes: int) -> np.ndarray:
     """(n, k) bit positions via double hashing h1 + i*h2 (Kirsch &
-    Mitzenmacher 2006)."""
+    Mitzenmacher 2006), both derived from the exchange's splitmix64
+    (one finalizer implementation in the repo; nothing pins the bloom
+    hash family — correctness is exact regardless)."""
+    from .exchange import _SPLITMIX_C1, splitmix64
+
     x = keys.astype(np.uint64)
-    h1 = _splitmix(x + _GOLD)
-    h2 = _splitmix(x ^ _SM1) | np.uint64(1)
+    h1 = splitmix64(x)
+    h2 = splitmix64(x ^ _SPLITMIX_C1) | np.uint64(1)
     i = np.arange(k_hashes, dtype=np.uint64)
     return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m_bits)).astype(np.int64)
 

@@ -2178,7 +2178,10 @@ class QualityModelStage:
         char_sums = np.bincount(parents, weights=tok_lens.astype(np.float64), minlength=n).astype(np.int64)
         w_tok, w_stop, w_chars, bias = self.w
         z = w_tok * counts + w_stop * stop_counts + w_chars * char_sums + bias
-        score = np.round(z / np.maximum(counts, 1), 6)
+        # round-half-up via floor(x*1e6 + 0.5): np.round is half-to-
+        # even but SQL round() is half-away — exact .5e-6 ties (any
+        # power-of-two token count makes one) would hash-mismatch
+        score = np.floor(z / np.maximum(counts, 1) * 1e6 + 0.5) / 1e6
         return pa.table({"doc_id": b["doc_id"], "quality_score": pa.array(score)})
 
 
@@ -2205,8 +2208,9 @@ f AS (
   FROM t
 )
 SELECT doc_id,
-       round(CAST({QM_W_TOK} * n_tok + {QM_W_STOP} * n_stop + {QM_W_CHARS} * n_chars
-                  + {QM_BIAS} AS DOUBLE) / greatest(n_tok, 1), 6) AS quality_score
+       floor(CAST({QM_W_TOK} * n_tok + {QM_W_STOP} * n_stop + {QM_W_CHARS} * n_chars
+                  + {QM_BIAS} AS DOUBLE) / greatest(n_tok, 1) * 1000000 + 0.5)
+         / 1000000 AS quality_score
 FROM f
 """
 

@@ -1051,3 +1051,36 @@ def test_pii_scrub_vs_python_re(ray_session):
         ws, wn = ref(r)
         assert s[i].as_py() == ws, r
         assert int(total[i]) == wn, r
+
+
+def test_model_score_rounding_tie_matches_sql():
+    """Any 128-token document makes z/128 * 1e6 an exact .5 tie (z is
+    always odd there), where np.round (half-to-even) and SQL round
+    (half-away) disagree — the stage must match DuckDB bit-for-bit via
+    the shared floor(x*1e6 + 0.5) rule."""
+    import duckdb
+
+    from lighthouse_ray.pipelines.driver_queries import (
+        SQL_MODEL_SCORE,
+        QualityModelStage,
+        QM_BIAS,
+        QM_W_CHARS,
+        QM_W_STOP,
+        QM_W_TOK,
+    )
+
+    text = " ".join(f"tok{i}" for i in range(128))
+    t = pa.table({"doc_id": pa.array([1], type=pa.int64()),
+                  "text": pa.array([text])})
+    stage = QualityModelStage((QM_W_TOK, QM_W_STOP, QM_W_CHARS, QM_BIAS))
+    got = stage(t)["quality_score"][0].as_py()
+
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = con.execute(SQL_MODEL_SCORE).fetchone()[1]
+    assert got == want
+    # and the case really exercises a tie: the unrounded score lands
+    # exactly on a .5e-6 boundary (odd z over a power-of-two count)
+    n_chars = sum(len(f"tok{i}") for i in range(128))
+    z = QM_W_TOK * 128 + QM_W_CHARS * n_chars + QM_BIAS
+    assert z % 2 == 1 and (z / 128 * 1e6) % 1 == 0.5
