@@ -134,7 +134,7 @@ def run_bench() -> dict:
                      "repetition_stats", "curation_funnel", "heavy_hitters",
                      "train_shuffle", "seq_pack", "kmeans_clusters",
                      "bloom_anti_join", "kmv_distinct", "pii_scrub",
-                     "shard_stream"]:
+                     "shard_stream", "dedup_keep"]:
             if time.time() - sweep_t0 > budget_s:
                 results[name] = -1  # skipped: bench budget exhausted
                 continue

@@ -1716,6 +1716,20 @@ def q_dup_clusters(sf_dir: str):
     )
 
 
+def q_dedup_keep(sf_dir: str):
+    """Near-dup REMOVAL — the end product of the dedup funnel: the
+    documents that survive when each near-duplicate cluster keeps only
+    its representative (min doc_id).  Same CC pipeline as dup_clusters,
+    one vectorized keep-filter on top (a doc survives iff it IS its
+    cluster id), joined to nothing — the filter is a column compare."""
+    return q_dup_clusters(sf_dir).map_batches(
+        lambda b: pa.table(
+            {"doc_id": b.filter(pc.equal(b["doc_id"], b["cluster"]))["doc_id"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 SQL_DUP_CLUSTERS = f"""
 WITH RECURSIVE toks AS (SELECT doc_id, {TOK} AS t FROM documents),
 sh AS (
@@ -1738,6 +1752,11 @@ reach(id, label) AS (
   SELECT u.a, r.label FROM und u JOIN reach r ON r.id = u.b
 )
 SELECT id AS doc_id, min(label) AS cluster FROM reach GROUP BY id
+"""
+
+SQL_DEDUP_KEEP = f"""
+WITH c AS ({SQL_DUP_CLUSTERS})
+SELECT doc_id FROM c WHERE doc_id = cluster
 """
 
 
@@ -2569,6 +2588,7 @@ def make_queries() -> dict:
         "kmv_distinct": q_kmv_distinct,
         "pii_scrub": q_pii_scrub,
         "shard_stream": q_shard_stream,
+        "dedup_keep": q_dedup_keep,
     }
 
 
@@ -2635,6 +2655,7 @@ def make_oracle_sql() -> dict:
         "kmv_distinct": SQL_KMV_DISTINCT,
         "pii_scrub": _sql_pii_scrub(),
         "shard_stream": SQL_SHARD_STREAM,
+        "dedup_keep": SQL_DEDUP_KEEP,
     }
 
 
