@@ -1084,3 +1084,25 @@ def test_model_score_rounding_tie_matches_sql():
     n_chars = sum(len(f"tok{i}") for i in range(128))
     z = QM_W_TOK * 128 + QM_W_CHARS * n_chars + QM_BIAS
     assert z % 2 == 1 and (z / 128 * 1e6) % 1 == 0.5
+
+
+def test_driver_contract_consistency():
+    """queries() and oracle_sql() stay in lockstep: identical key sets
+    and every oracle SQL plans against the driver's table views (an
+    EXPLAIN catches syntax/column drift without executing anything)."""
+    import os
+
+    import duckdb
+
+    import __ray_entry__ as m
+
+    qs, sqls = m.queries(), m.oracle_sql()
+    assert set(qs) == set(sqls)
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        p = f"{SF}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    for name, sql in sqls.items():
+        con.execute("EXPLAIN " + sql)  # raises on any parse/bind error
