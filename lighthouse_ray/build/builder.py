@@ -82,7 +82,7 @@ def build_index(
     os.makedirs(index_dir, exist_ok=True)
     manifest = _load_manifest(index_dir) if resume else {"stages": {}}
     if not resume:
-        for sub in ("docstore", "docmeta", "postings", "segments", "doclens", "payload", "payload_dfsample"):
+        for sub in ("docstore", "docmeta", "postings", "segments", "doclens", "payload", "payload_dfsample", "ordmap"):
             shutil.rmtree(os.path.join(index_dir, sub), ignore_errors=True)
     # a resume with a different LAYOUT config would mix incompatible
     # partitioning/encoding decisions into one index — refuse loudly.
@@ -164,29 +164,7 @@ def build_index(
     offsets = part_offsets(part_rows, cfg.num_doc_parts)
     n_docs = sum(part_rows.values())
 
-    docstore_paths = [
-        os.path.join(index_dir, "docstore", f"part-{p:05d}.parquet")
-        for p in sorted(part_rows)
-        if part_rows[p] > 0
-    ]
-
-    # doc_id -> ordinal broadcast map from the (small) doc-store meta.
-    # The 128-bit identity keys were precomputed in the (parallel)
-    # finalize tasks, so the driver only reads four numeric columns and
-    # lexsorts — no serial hex re-parse of 100 chars/row here.
-    import pyarrow.dataset as pads
-
-    from .docs import lookup_ordinals
-
-    meta = pads.dataset(docstore_paths).to_table(
-        columns=["key_hi", "key_lo", "part", "rank"]
-    )
-    off = np.asarray(offsets, dtype=np.int64)
-    ordv = off[meta["part"].to_numpy()] + meta["rank"].to_numpy()
-    hi = meta["key_hi"].to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
-    lo = meta["key_lo"].to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
-    order = np.lexsort((lo, hi))
-    ord_map = (hi[order], lo[order], np.ascontiguousarray(ordv, dtype=np.int64)[order])
+    ordmap_dir = os.path.join(index_dir, "ordmap")
 
     # ---- Stage H: hot-term estimate ----------------------------------------
     if "hot_terms" not in stages:
@@ -196,15 +174,21 @@ def build_index(
         sample_dir = payload_dir + "_dfsample"
         hot: list[str] = []
         if os.path.isdir(sample_dir) and os.listdir(sample_dir):
+            import pyarrow.dataset as pads
+
+            from .docs import sidecar_live_mask
+
             sample_bytes = sum(
                 os.path.getsize(os.path.join(sample_dir, f)) for f in os.listdir(sample_dir)
             )
 
             def live_only(t: pa.Table) -> pa.Table:
-                # restrict the sample to live winner ROWS (full identity:
-                # doc_id + content hash) so the hot set (and therefore the
-                # segment layout) is a pure function of the logical row set
-                keep = lookup_ordinals(ord_map, t["doc_id"], t["content_sha256"]) >= 0
+                # restrict the sample to live winner ROWS so the hot set
+                # (and therefore the segment layout) is a pure function of
+                # the logical row set.  Membership comes from the ordmap
+                # sidecars of the rows' own payload files — per-file
+                # partitioned reads, no broadcast state.
+                keep = sidecar_live_mask(ordmap_dir, t["payload_file"], t["payload_row"])
                 return t.filter(pa.array(keep))
 
             if sample_bytes < 4 << 20:
@@ -212,7 +196,7 @@ def build_index(
                 # job's scheduling barrier
                 t = live_only(
                     pads.dataset(sample_dir).to_table(
-                        columns=["doc_id", "content_sha256", "content"]
+                        columns=["payload_file", "payload_row", "content"]
                     )
                 )
                 partials = [_sample_df_partial(t, limit_threads=False)]
@@ -222,18 +206,15 @@ def build_index(
                 # tiny driver-side group_by, no Ray groupby barrier
                 import ray as _ray
 
-                map_ref = _ray.put(ord_map)
-
                 def live_partial(t: pa.Table) -> pa.Table:
-                    m = _ray.get(map_ref)
-                    keep = lookup_ordinals(m, t["doc_id"], t["content_sha256"]) >= 0
+                    keep = sidecar_live_mask(ordmap_dir, t["payload_file"], t["payload_row"])
                     return _sample_df_partial(t.filter(pa.array(keep)))
 
                 nb_s = max(int(_ray.cluster_resources().get("CPU", 4)) * 2, 8)
                 partials = list(
                     rd.read_parquet(
                         sample_dir,
-                        columns=["doc_id", "content_sha256", "content"],
+                        columns=["payload_file", "payload_row", "content"],
                         override_num_blocks=nb_s,
                     )
                     .map_batches(live_partial, batch_format="pyarrow")
@@ -282,10 +263,10 @@ def build_index(
         todo = [f for f in files if f not in progress]
 
         if todo:
-            ord_map_ref = _ray.put(ord_map)
             stage_kwargs = {
                 "payload_dir": payload_dir,
-                "ord_map_ref": ord_map_ref,
+                "offsets": offsets,
+                "ordmap_dir": ordmap_dir,
                 "hot_terms": hot_terms,
                 "cfg_json": cfg.to_json(),
                 "spill_dir": postings_dir,
@@ -474,7 +455,7 @@ def build_index(
     # spills.  At 100 TB leaving these would double the index footprint
     # (postings spill ~= segment bytes; docmeta spill ~= docstore).
     if cfg.cleanup_spills:
-        for sub in ("postings", "docmeta", "payload_dfsample"):
+        for sub in ("postings", "docmeta", "payload_dfsample", "ordmap"):
             shutil.rmtree(os.path.join(index_dir, sub), ignore_errors=True)
 
     n_postings = sum(v["n_postings"] for v in seg_done.values())

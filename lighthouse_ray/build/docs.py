@@ -17,6 +17,13 @@ one ``finalize_part`` task per partition over its own spill files.
   partition, and the global ordinal is ``part_offset[part] + rank``
   where the offsets come from the per-partition counts recorded in the
   manifest.  Nothing depends on block arrival order or CPU count.
+- **ordinal sidecars instead of a broadcast map**: each finalize task
+  also writes, per payload file it saw winner rows from, a tiny
+  ``(payload_row, part, rank)`` sidecar under ``ordmap/<file>/``.  The
+  tokenize stage for payload file F reads only F's sidecars (bytes
+  O(F's rows)) and assigns ``ordinal = offsets[part] + rank`` by row
+  position — no whole-corpus id→ordinal state exists anywhere, on the
+  driver or in workers, at any corpus size.
 - per-row invariant: ``content_sha256`` computed at ingest and stored in
   the doc-store; a per-partition digest over the sorted row hashes goes
   into the manifest (lineage; BASELINE.json input_hint).
@@ -170,10 +177,18 @@ def derive_batch(
 
     # deterministic 1/df_sample_mod content sample, spilled alongside so the
     # hot-term estimate never re-reads the full payload (membership by
-    # doc_id hash -> independent of block layout)
+    # doc_id hash -> independent of block layout).  (payload_file,
+    # payload_row) ride along so the hot-term stage can restrict the
+    # sample to live winner rows via the ordmap sidecars — no broadcast.
     sample_mask = (h64 % np.uint64(cfg.df_sample_mod)) == 0
     if sample_mask.any():
-        sample = payload.filter(pa.array(sample_mask)).select(["doc_id", "content_sha256", "content"])
+        sample = pa.table(
+            {
+                "payload_file": pa.array([fname] * int(sample_mask.sum()), type=pa.string()),
+                "payload_row": pa.array(np.flatnonzero(sample_mask).astype(np.int64)),
+                "content": content.filter(pa.array(sample_mask)),
+            }
+        )
         sink2 = pa.BufferOutputStream()
         pq.write_table(sample, sink2, compression="zstd", compression_level=1, write_statistics=False)
         atomic_write_bytes(
@@ -274,14 +289,13 @@ def make_finalize_part(index_dir: str, cfg: IndexConfig):
         digest = hashlib.sha256(
             "".join(sorted(t["content_sha256"].to_pylist())).encode()
         ).hexdigest()
-        # precompute the 128-bit row-identity key here (32-wide, in
-        # parallel) so the driver's ordinal-map build reads two numeric
-        # columns instead of re-parsing 100 hex chars per row serially
-        out = (
-            t.append_column("rank", pa.array(np.arange(t.num_rows, dtype=np.int64)))
-            .append_column("key_hi", pa.array(hex_prefix_u64(t["doc_id"])))
-            .append_column("key_lo", pa.array(hex_prefix_u64(t["content_sha256"])))
-        )
+        out = t.append_column("rank", pa.array(np.arange(t.num_rows, dtype=np.int64)))
+        # ordinal sidecars: per payload file seen in this partition, a
+        # tiny (payload_row, part, rank) parquet.  This is stage B's
+        # only ordinal state — each tokenize task reads only its own
+        # file's sidecars, so no whole-corpus map is ever built.
+        if "payload_file" in out.column_names:
+            write_ordmap_sidecars(index_dir, out, part)
         sink = pa.BufferOutputStream()
         pq.write_table(out, sink, compression="zstd")
         atomic_write_bytes(
@@ -370,43 +384,98 @@ def make_finalize_group(index_dir: str, cfg: IndexConfig, meta_dir: str):
     return finalize_group
 
 
-def _ids_to_u64_pairs(doc_ids, shas) -> tuple[np.ndarray, np.ndarray]:
-    """128-bit row-identity key (doc_id, content_sha256) as two uint64
-    columns: the 64-bit prefixes of the two digests.  Two distinct rows
-    collide only on a 128-bit coincidence — same guarantee a fresh
-    128-bit hash of the concatenated key would give, with no per-row
-    Python hashing."""
-    return hex_prefix_u64(doc_ids), hex_prefix_u64(shas)
+def _sidecar_dir(ordmap_dir: str, payload_file: str) -> str:
+    stem = payload_file[:-8] if payload_file.endswith(".parquet") else payload_file
+    return os.path.join(ordmap_dir, stem)
 
 
-def build_ordinal_map(doc_ids, shas, ordinals: np.ndarray):
-    """Pack row-identity key -> ordinal as sorted numpy arrays (128-bit
-    hash keys).  Broadcast via ray.put: plasma gives actors the arrays
-    zero-copy, unlike a Python dict which would be re-pickled per actor."""
-    hi, lo = _ids_to_u64_pairs(doc_ids, shas)
-    order = np.lexsort((lo, hi))
-    return hi[order], lo[order], np.ascontiguousarray(ordinals, dtype=np.int64)[order]
+def write_ordmap_sidecars(index_dir: str, out: pa.Table, part: int) -> None:
+    """Per payload file touched by this partition's winner rows, write a
+    tiny ``(payload_row, part, rank)`` parquet under ``ordmap/<file>/``.
+    Rows are sorted by payload_row, so bytes are deterministic; the
+    path is deterministic per (file, part), so task retries overwrite
+    idempotently (atomic rename)."""
+    pf = out["payload_file"].combine_chunks().dictionary_encode()
+    codes = pf.indices.to_numpy(zero_copy_only=False)
+    files = pf.dictionary.to_pylist()
+    rows = out["payload_row"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ranks = out["rank"].to_numpy(zero_copy_only=False)
+    n = len(codes)
+    if n == 0:
+        return
+    order = np.lexsort((rows, codes))
+    codes_s, rows_s, ranks_s = codes[order], rows[order], ranks[order]
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    np.not_equal(codes_s[1:], codes_s[:-1], out=change[1:])
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], n)
+    ordmap_dir = os.path.join(index_dir, "ordmap")
+    for s, e in zip(starts, ends):
+        tbl = pa.table(
+            {
+                "payload_row": pa.array(rows_s[s:e]),
+                "part": pa.array(np.full(e - s, part, dtype=np.int32)),
+                "rank": pa.array(ranks_s[s:e]),
+            }
+        )
+        sink = pa.BufferOutputStream()
+        pq.write_table(tbl, sink, compression="zstd", compression_level=1, write_statistics=False)
+        atomic_write_bytes(
+            os.path.join(_sidecar_dir(ordmap_dir, files[int(codes_s[s])]), f"part-{part:05d}.parquet"),
+            sink.getvalue().to_pybytes(),
+        )
 
 
-def lookup_ordinals(packed, doc_ids, shas) -> np.ndarray:
-    """Vectorized map lookup; -1 for keys not present (dedup losers)."""
-    hi_s, lo_s, ord_s = packed
-    hi, lo = _ids_to_u64_pairs(doc_ids, shas)
-    left = np.searchsorted(hi_s, hi, side="left")
-    right = np.searchsorted(hi_s, hi, side="right")
-    out = np.full(len(hi), -1, dtype=np.int64)
-    simple = (right - left == 1)
-    idx = left[simple]
-    ok = (hi_s[idx] == hi[simple]) & (lo_s[idx] == lo[simple])
-    tmp = np.full(int(simple.sum()), -1, dtype=np.int64)
-    tmp[ok] = ord_s[idx[ok]]
-    out[simple] = tmp
-    for i in np.flatnonzero(~simple):  # rare: equal 64-bit prefixes
-        for j in range(left[i], right[i]):
-            if lo_s[j] == lo[i]:
-                out[i] = ord_s[j]
-                break
+def read_sidecar(ordmap_dir: str, payload_file: str):
+    """(payload_row, part, rank) arrays for one payload file (winner
+    rows only); empty arrays when the file produced no winners."""
+    d = _sidecar_dir(ordmap_dir, payload_file)
+    if not os.path.isdir(d):
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.astype(np.int32), z
+    parts = [
+        pq.read_table(os.path.join(d, f))
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+    t = pa.concat_tables(parts)
+    return (
+        t["payload_row"].to_numpy(zero_copy_only=False),
+        t["part"].to_numpy(zero_copy_only=False),
+        t["rank"].to_numpy(zero_copy_only=False),
+    )
+
+
+def file_ordinals(ordmap_dir: str, payload_file: str, n_rows: int, offsets) -> np.ndarray:
+    """Ordinals aligned to one payload file's rows; -1 for dedup losers
+    and delete-routed docs.  Reads only this file's sidecars — the
+    tokenize stage's entire ordinal state is O(one file's rows)."""
+    pr, pt, rk = read_sidecar(ordmap_dir, payload_file)
+    out = np.full(n_rows, -1, dtype=np.int64)
+    if len(pr):
+        out[pr] = np.asarray(offsets, dtype=np.int64)[pt] + rk
     return out
+
+
+def sidecar_live_mask(ordmap_dir: str, payload_file_col, payload_row_col) -> np.ndarray:
+    """Boolean mask over (payload_file, payload_row) pairs: True iff the
+    row is a live winner (present in its file's sidecar).  Used by the
+    hot-term sample so the hot set stays a pure function of the logical
+    row set, with no broadcast state."""
+    pf = payload_file_col
+    if isinstance(pf, pa.ChunkedArray):
+        pf = pf.combine_chunks()
+    codes_arr = pf.dictionary_encode()
+    codes = codes_arr.indices.to_numpy(zero_copy_only=False)
+    files = codes_arr.dictionary.to_pylist()
+    rows = payload_row_col.to_numpy(zero_copy_only=False)
+    keep = np.zeros(len(codes), dtype=bool)
+    for c, fname in enumerate(files):
+        sel = codes == c
+        pr, _pt, _rk = read_sidecar(ordmap_dir, fname)
+        keep[sel] = np.isin(rows[sel], pr)
+    return keep
 
 
 def part_offsets(part_rows: dict[int, int], num_parts: int) -> list[int]:

@@ -72,23 +72,23 @@ POSTINGS_SCHEMA = pa.schema(
 
 
 class TokenizerStage:
-    """Tokenize stage state: ordinal map, hot set, salt memos — built
+    """Tokenize stage state: part offsets, hot set, salt memos — built
     once per worker (task path memoizes via ``_TASK_STAGE``; actor path
-    builds in ``__init__``), per-batch work in ``__call__``.
+    builds in ``__init__``), per-file work in ``tokenize_file_task``.
 
-    Consumes payload files in their own order (content never shuffled);
-    the doc_id -> ordinal map is broadcast via ``ray.put`` (sandbox
-    scale).  At 10^12 docs the map would be range-partitioned by doc_id
-    and fetched per batch instead of held whole."""
+    Consumes payload files in their own order (content never shuffled).
+    Ordinal state is NOT broadcast: each task reads only its own payload
+    file's ordmap sidecars (written by the stage-A finalize tasks, bytes
+    O(that file's rows)) and assigns ``ordinal = offsets[part] + rank``
+    by row position.  The only shared state is the per-partition offset
+    array (``num_doc_parts`` int64s) and the hot-term list — both O(1)
+    in corpus size."""
 
-    def __init__(self, ord_map_ref, hot_terms: list[str], cfg_json: dict, spill_dir: str | None = None):
+    def __init__(self, offsets, ordmap_dir: str, hot_terms: list[str], cfg_json: dict, spill_dir: str | None = None):
         limit_worker_threads()
-        import ray as _ray
-
         self.cfg = IndexConfig.from_json(cfg_json)
-        self.ord_map = (
-            _ray.get(ord_map_ref) if not isinstance(ord_map_ref, tuple) else ord_map_ref
-        )
+        self.offsets = np.asarray(offsets, dtype=np.int64)
+        self.ordmap_dir = ordmap_dir
         self.hot = set(hot_terms)
         self.spill_dir = spill_dir
         self._shard_memo: dict[str, int] = {}
@@ -109,18 +109,11 @@ class TokenizerStage:
             self._salt_memo[key] = s
         return s
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        out = self.postings_table(batch)
-        if self.spill_dir is None:
-            return out
-        return self._spill(out)
-
-    def postings_table(self, batch: pa.Table) -> pa.Table:
-        """Flat posting rows for one batch (no spill)."""
-        from .docs import lookup_ordinals
-
-        ordinals = lookup_ordinals(self.ord_map, batch["doc_id"], batch["content_sha256"])
-        keep = ordinals >= 0  # dedup losers / delete-routed docs
+    def postings_table(self, batch: pa.Table, ordinals: np.ndarray) -> pa.Table:
+        """Flat posting rows for one batch (no spill).  ``ordinals`` is
+        aligned to the batch rows; -1 marks dedup losers / delete-routed
+        docs (from the ordmap sidecar of the batch's payload file)."""
+        keep = ordinals >= 0
         if not keep.all():
             batch = batch.filter(pa.array(keep))
             ordinals = ordinals[keep]
@@ -305,27 +298,12 @@ class TokenizerStage:
 
 # Worker-global stage memo for the task-based tokenize path: Ray Data
 # tasks run on prewarmed worker processes, so building the stage once
-# per worker (keyed by the broadcast ref) gives actor-pool state
+# per worker (keyed by the ordmap/spill dirs) gives actor-pool state
 # semantics with zero pool-ramp cost.  The actor-pool path
 # (cfg.tokenize_actor_pool) remains for stages with genuinely expensive
-# per-worker setup; the tokenizer's state is a zero-copy plasma read,
-# so tasks are the faster default on and off the sandbox.
+# per-worker setup; the tokenizer's state here is a few scalars and the
+# shard memos, so tasks are the faster default on and off the sandbox.
 _TASK_STAGE: dict[str, TokenizerStage] = {}
-
-
-def tokenize_batch_task(
-    batch: pa.Table, *, ord_map_ref, hot_terms, cfg_json, spill_dir=None
-) -> pa.Table:
-    hex_fn = getattr(ord_map_ref, "hex", None)
-    key = (hex_fn() if hex_fn else str(id(ord_map_ref))) + str(spill_dir)
-    st = _TASK_STAGE.get(key)
-    if st is None:
-        _TASK_STAGE.clear()
-        st = TokenizerStage(
-            ord_map_ref=ord_map_ref, hot_terms=hot_terms, cfg_json=cfg_json, spill_dir=spill_dir
-        )
-        _TASK_STAGE[key] = st
-    return st(batch)
 
 
 SPILL_ROW_SCHEMA = pa.schema(
@@ -341,22 +319,30 @@ SPILL_ROW_SCHEMA = pa.schema(
 
 
 def tokenize_file_task(
-    batch: pa.Table, *, payload_dir, ord_map_ref, hot_terms, cfg_json, spill_dir
+    batch: pa.Table, *, payload_dir, offsets, ordmap_dir, hot_terms, cfg_json, spill_dir
 ) -> pa.Table:
     """Stage B unit of work and of RESUME: one payload file per task.
-    Reads the file directly (no object-store pass), tokenizes it in
-    slices of tokenize_batch_size, spills per-group posting files, and
-    returns the spill-manifest rows tagged with the source file — the
-    builder records completed source files incrementally, so a killed
-    build re-runs only unfinished files (spill writes are
-    content-addressed, hence idempotent)."""
-    hex_fn = getattr(ord_map_ref, "hex", None)
-    key = (hex_fn() if hex_fn else str(id(ord_map_ref))) + str(spill_dir)
+    Reads the file directly (no object-store pass), assigns ordinals
+    from the file's own ordmap sidecars, tokenizes in slices of
+    tokenize_batch_size, spills per-group posting files, and returns the
+    spill-manifest rows tagged with the source file — the builder
+    records completed source files incrementally, so a killed build
+    re-runs only unfinished files (spill writes are content-addressed,
+    hence idempotent)."""
+    import json as _json
+
+    from .docs import file_ordinals
+
+    # key includes the full cfg: a resume may re-run with different
+    # execution knobs (cfg.extra) on the same dirs and must not reuse a
+    # stage memoized from the previous attempt
+    key = f"{ordmap_dir}|{spill_dir}|{_json.dumps(cfg_json, sort_keys=True, default=str)}|{sorted(hot_terms)}"
     st = _TASK_STAGE.get(key)
     if st is None:
         _TASK_STAGE.clear()
         st = TokenizerStage(
-            ord_map_ref=ord_map_ref, hot_terms=hot_terms, cfg_json=cfg_json, spill_dir=spill_dir
+            offsets=offsets, ordmap_dir=ordmap_dir, hot_terms=hot_terms,
+            cfg_json=cfg_json, spill_dir=spill_dir,
         )
         _TASK_STAGE[key] = st
     fail = set(st.cfg.extra.get("fail_files", ()))
@@ -369,14 +355,18 @@ def tokenize_file_task(
             raise RuntimeError(f"injected failure at {fname}")
         t = pq.read_table(
             os.path.join(payload_dir, fname),
-            columns=["doc_id", "content_sha256", "repo", "path", "name", "content"],
+            columns=["repo", "path", "name", "content"],
         )
+        ords = file_ordinals(ordmap_dir, fname, t.num_rows, st.offsets)
         bs = st.cfg.tokenize_batch_size
         # tokenize in batch-size slices (bounds the working set for
         # MB-scale payloads) but spill ONCE per (file, group) — one file
         # per group per task keeps spill-file counts linear in payload
         # files, not in batches
-        parts = [st.postings_table(t.slice(s, bs)) for s in range(0, t.num_rows, bs)]
+        parts = [
+            st.postings_table(t.slice(s, bs), ords[s : s + bs])
+            for s in range(0, t.num_rows, bs)
+        ]
         parts = [p for p in parts if p.num_rows]
         if parts:
             rows = st._spill(pa.concat_tables(parts))

@@ -103,19 +103,43 @@ def test_hex_prefix_u64_paths():
     assert len(hex_prefix_u64(pa.array([], type=pa.string()))) == 0
 
 
-def test_ordinal_map_roundtrip_and_misses():
-    import numpy as np
+def test_ordmap_sidecar_roundtrip(tmp_path):
+    """Sidecar write/read: ordinals land at the right payload rows,
+    losers (rows absent from the sidecar) read back as -1."""
+    import pyarrow as pa
 
-    from lighthouse_ray.build.docs import build_ordinal_map, lookup_ordinals
+    from lighthouse_ray.build.docs import file_ordinals, sidecar_live_mask, write_ordmap_sidecars
 
-    import hashlib
-
-    doc_ids = [hashlib.sha1(f"d{i}".encode()).hexdigest() for i in range(300)]
-    shas = [hashlib.sha256(f"c{i}".encode()).hexdigest() for i in range(300)]
-    ords = np.arange(300, dtype=np.int64)[::-1].copy()
-    packed = build_ordinal_map(doc_ids, shas, ords)
-    got = lookup_ordinals(packed, doc_ids, shas)
-    assert (got == ords).all()
-    # same doc_id, different content hash -> miss (collision handling)
-    other_shas = [hashlib.sha256(f"x{i}".encode()).hexdigest() for i in range(300)]
-    assert (lookup_ordinals(packed, doc_ids, other_shas) == -1).all()
+    idx = str(tmp_path)
+    # two payload files, winners interleaved across two partitions
+    out = pa.table(
+        {
+            "payload_file": pa.array(["aa.parquet"] * 3 + ["bb.parquet"] * 2),
+            "payload_row": pa.array([0, 2, 5, 1, 3], type=pa.int64()),
+            "rank": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+        }
+    )
+    write_ordmap_sidecars(idx, out, part=1)
+    out2 = pa.table(
+        {
+            "payload_file": pa.array(["aa.parquet"]),
+            "payload_row": pa.array([4], type=pa.int64()),
+            "rank": pa.array([0], type=pa.int64()),
+        }
+    )
+    write_ordmap_sidecars(idx, out2, part=0)
+    ordmap = f"{idx}/ordmap"
+    offsets = [0, 10]  # part 0 -> base 0, part 1 -> base 10
+    got = file_ordinals(ordmap, "aa.parquet", 6, offsets)
+    assert got.tolist() == [10, -1, 11, -1, 0, 12]
+    got_b = file_ordinals(ordmap, "bb.parquet", 4, offsets)
+    assert got_b.tolist() == [-1, 13, -1, 14]
+    # missing file -> all losers
+    assert (file_ordinals(ordmap, "cc.parquet", 3, offsets) == -1).all()
+    # live mask agrees with sidecar membership across mixed files
+    mask = sidecar_live_mask(
+        ordmap,
+        pa.array(["aa.parquet", "aa.parquet", "bb.parquet", "cc.parquet"]),
+        pa.array([1, 4, 3, 0], type=pa.int64()),
+    )
+    assert mask.tolist() == [False, True, True, False]
