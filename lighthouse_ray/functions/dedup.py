@@ -323,6 +323,128 @@ def exact_jaccard_for_pairs(ds, pairs: list[tuple], n: int = 3,
     )
 
 
+def exact_jaccard_for_pair_ds(ds, cand, n: int = 3,
+                              text_col: str = "text", id_col: str = "doc_id",
+                              num_parts: int = 32,
+                              m_bits: int = 1 << 20, k_hashes: int = 4,
+                              cleanup_after: list[str] | None = None):
+    """Exact distinct-shingle Jaccard for a candidate-pair DATASET
+    (columns ``a``, ``b``; duplicate rows allowed) — the streaming
+    sibling of :func:`exact_jaccard_for_pairs`.  Nothing pair-sized
+    ever reaches the driver, so a pathological corpus where every doc
+    is a near-dup (candidates ≫ driver RAM) still verifies in bounded
+    driver memory:
+
+    1. a Bloom filter of the candidate ids is built distributed (each
+       candidate batch sends one m/8-byte bitmap row; the driver ORs
+       bitmaps — fixed size regardless of candidate count);
+    2. corpus batches drop bloom-NEGATIVE docs locally (a bloom has no
+       false negatives) and shingle only the surviving sliver;
+    3. the shingle exchange emits within-run co-shingle pair partials
+       (a, b, na, nb, inter) — false-positive docs only add partials;
+    4. the (a, b) exchange unions those partials with candidate MARKER
+       rows and keeps only marker-covered groups — the exact pair
+       filter, as a join instead of a broadcast keyset.
+    """
+    import ray.data as rd
+
+    from .exchange import routing_hash
+    from .joins import _bloom_positions
+
+    nbytes = (m_bits + 7) // 8
+    out_schema = pa.schema(
+        [
+            ("a", pa.int64()),
+            ("b", pa.int64()),
+            ("inter", pa.int64()),
+            ("jaccard", pa.float64()),
+        ]
+    )
+    # candidates are consumed twice (bloom build + markers): materialize
+    # once so the LSH reduce doesn't re-run — output-sized blocks in the
+    # object store, never on the driver
+    cand = cand.materialize()
+
+    def build_bloom(b: pa.Table) -> pa.Table:
+        bits = np.zeros(nbytes, dtype=np.uint8)
+        if b.num_rows:
+            h = np.concatenate([routing_hash(b["a"]), routing_hash(b["b"])])
+            pos = _bloom_positions(h, m_bits, k_hashes).ravel()
+            np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        return pa.table({"bits": pa.array([bits.tobytes()], type=pa.binary())})
+
+    import ray
+
+    bits = np.zeros(nbytes, dtype=np.uint8)
+    for r in cand.map_batches(build_bloom, batch_format="pyarrow").take_all():
+        bits |= np.frombuffer(r["bits"], dtype=np.uint8)
+    bref = ray.put(bits)
+
+    def explode(b: pa.Table) -> pa.Table:
+        import ray as _r
+
+        if b.num_rows:
+            bm = _r.get(bref)
+            pos = _bloom_positions(routing_hash(b[id_col]), m_bits, k_hashes)
+            hit = ((bm[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1).all(axis=1)
+            b = b.filter(pa.array(hit))
+        return doc_shingles(b, text_col, id_col, n)
+
+    st: dict = {}
+    partial = spill_exchange(
+        ds.map_batches(explode, batch_format="pyarrow"), "sh",
+        _shingle_pairs_reduce(None), num_parts=num_parts, stats=st,
+    )
+
+    def tag_partial(t: pa.Table) -> pa.Table:
+        return t.append_column("is_cand", pa.array(np.zeros(t.num_rows, dtype=np.int8)))
+
+    def tag_marker(t: pa.Table) -> pa.Table:
+        m = t.num_rows
+        big = np.full(m, np.iinfo(np.int64).max, dtype=np.int64)
+        return pa.table(
+            {
+                "a": t["a"],
+                "b": t["b"],
+                "na": pa.array(big),
+                "nb": pa.array(big),
+                "inter": pa.array(np.zeros(m, dtype=np.int64)),
+                "is_cand": pa.array(np.ones(m, dtype=np.int8)),
+            }
+        )
+
+    def marked_reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        g = t.group_by(["a", "b"], use_threads=False).aggregate(
+            [("inter", "sum"), ("na", "min"), ("nb", "min"), ("is_cand", "max")]
+        )
+        inter = g["inter_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        na = g["na_min"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = g["nb_min"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_c = g["is_cand_max"].to_numpy(zero_copy_only=False)
+        # keep candidate pairs that share >= 1 shingle (same rows the
+        # keyset-filtered path produced: non-candidates out, zero-
+        # intersection candidates produce no partial row there either)
+        keep = (is_c >= 1) & (inter >= 1)
+        jac = np.round(inter / np.maximum(na + nb - inter, 1), 6)
+        ka = pa.array(keep)
+        return pa.table(
+            {
+                "a": g["a"].filter(ka),
+                "b": g["b"].filter(ka),
+                "inter": pa.array(inter[keep]),
+                "jaccard": pa.array(jac[keep]),
+            }
+        )
+
+    markers = cand.map_batches(tag_marker, batch_format="pyarrow")
+    unioned = partial.map_batches(tag_partial, batch_format="pyarrow").union(markers)
+    roots = [st["root"]] + (cleanup_after or [])
+    return spill_exchange(unioned, ["a", "b"], marked_reduce,
+                          num_parts=num_parts, cleanup_after=roots)
+
+
 # ---------------------------------------------------------------------------
 # minhash + LSH
 # ---------------------------------------------------------------------------
@@ -512,21 +634,22 @@ def minhash_dedup_pairs(ds, threshold: float = 0.5, k: int = 3,
     jaccard >= 0.5 is (1 - j^2)^32 <= 7e-5 — and the whole pipeline is
     deterministic (seeded hashers), so the output is stable across runs
     and layouts.  Every emitted row satisfies the exact SQL predicate,
-    which is how the driver oracle checks it."""
+    which is how the driver oracle checks it.
+
+    Candidates stay a DATASET end-to-end: verification routes them
+    through :func:`exact_jaccard_for_pair_ds` (bloom id filter + marker
+    join), so the driver never holds the pair list — a corpus where
+    every doc is a near-dup verifies in bounded driver memory."""
     cst: dict = {}
     cand = minhash_lsh_candidates(
         ds, text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands,
         k=k, num_parts=num_parts, dedup=False, stats=cst,
     )
-    # the verification stage sets the pair list, so the candidates'
-    # cross-band duplicates collapse here — no distinct exchange needed
-    pair_rows = cand.take_all()
-    import shutil
-
-    shutil.rmtree(cst["root"], ignore_errors=True)  # candidates fully drained
-    pairs = [(r["a"], r["b"]) for r in pair_rows]
-    verified = exact_jaccard_for_pairs(
-        ds, pairs, n=k, text_col=text_col, id_col=id_col, num_parts=num_parts
+    # the verification stage's marker join collapses the candidates'
+    # cross-band duplicates — no distinct exchange needed
+    verified = exact_jaccard_for_pair_ds(
+        ds, cand, n=k, text_col=text_col, id_col=id_col, num_parts=num_parts,
+        cleanup_after=[cst["root"]],
     )
     return verified.map_batches(
         lambda b: b.filter(pc.greater_equal(b["jaccard"], threshold)),

@@ -63,6 +63,46 @@ def test_minhash_lsh_finds_near_dups(ray_session):
     assert got == pytest.approx(want, abs=1e-6)
 
 
+def test_minhash_adversarial_all_near_dups(ray_session):
+    """Pathological corpus: EVERY doc is a near-dup of every other, so
+    candidate pairs are O(N²) — the case the streamed verification
+    (bloom id filter + marker join) exists for.  All emitted jaccards
+    must equal the brute-force exact values; no pair may be missing at
+    this jaccard level (r=2, bands=32: miss prob < 1e-9 per pair)."""
+    import itertools
+
+    import ray.data as rd
+
+    from lighthouse_ray.analysis import tokenize_text
+    from lighthouse_ray.functions.dedup import minhash_dedup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog while reading parquet files "
+    rows = [base * 3 + f"suffix token {i}" for i in range(24)]
+    out = (
+        minhash_dedup_pairs(
+            rd.from_arrow(_docs_table(rows)).repartition(5), threshold=0.5, k=3
+        )
+        .to_pandas()
+        .sort_values(["a", "b"])
+    )
+
+    def shset(s):
+        toks = tokenize_text(s)
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sets = [shset(s) for s in rows]
+    want = {}
+    for i, j in itertools.combinations(range(len(rows)), 2):
+        jac = len(sets[i] & sets[j]) / len(sets[i] | sets[j])
+        if jac >= 0.5:
+            want[(i, j)] = round(jac, 6)
+    got = {(int(r.a), int(r.b)): r.jaccard for r in out.itertuples()}
+    assert set(got) == set(want)          # all ~N²/2 near-dup pairs found
+    assert len(want) >= 200               # the corpus really is adversarial
+    for p, jac in want.items():
+        assert got[p] == pytest.approx(jac, abs=1e-6)
+
+
 def test_simhash_near_dup(ray_session):
     import ray.data as rd
 
