@@ -122,8 +122,12 @@ def run_bench() -> dict:
         shutil.rmtree("/tmp/lighthouse_ray_idx", ignore_errors=True)  # honest bm25_topk
         qs = make_queries()
         # soft wall budget: on a degraded host window the per-pipeline
-        # sweep could run for many minutes — skip the tail (marked -1)
-        # rather than risk the whole bench being killed with no output
+        # sweep could run for many minutes — skip the tail rather than
+        # risk the whole bench being killed with no output.  Skipped and
+        # failed pipelines are recorded in a separate status map (never
+        # as sentinel values in the seconds field, which consumers
+        # average/plot).
+        status: dict[str, str] = {}
         budget_s = float(os.environ.get("GRAFT_BENCH_BUDGET_S", "420"))
         sweep_t0 = time.time()
         for name in ["bm25_topk", "term_df", "lineitem_agg", "exact_dedup",
@@ -136,7 +140,7 @@ def run_bench() -> dict:
                      "bloom_anti_join", "kmv_distinct", "pii_scrub",
                      "shard_stream", "dedup_keep"]:
             if time.time() - sweep_t0 > budget_s:
-                results[name] = -1  # skipped: bench budget exhausted
+                status[name] = "skipped_budget"
                 continue
             t0 = time.time()
             try:
@@ -146,7 +150,7 @@ def run_bench() -> dict:
                 results[name] = round(time.time() - t0, 3)
             except Exception as e:  # noqa: BLE001 — one pipeline must not kill the bench
                 print(f"[bench] {name} failed: {e}", file=sys.stderr)
-                results[name] = -2
+                status[name] = "failed"
 
     # box-quality reading in the SAME run: this sandbox is a shared VM
     # whose memory bandwidth swings up to ~10x between windows (see
@@ -160,7 +164,7 @@ def run_bench() -> dict:
         pool.map(_calibration_task, range(48))
         cal = round(48 / (time.time() - t0), 1)
 
-    return {
+    out = {
         "metric": "index_build_sec",
         "value": results["index_build"],
         "unit": "sec",
@@ -172,6 +176,9 @@ def run_bench() -> dict:
         "n_postings": int(res.n_postings),
         "calibration_tasks_per_sec_16w": cal,
     }
+    if not HEADLINE_ONLY and status:
+        out["query_status"] = status
+    return out
 
 
 # ---------------------------------------------------------------------------

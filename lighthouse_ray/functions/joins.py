@@ -239,12 +239,24 @@ def bloom_anti_join(big, keys, key: str, cols: list[str],
     one packed-bitmap row, the driver ORs the per-batch bitmaps (one
     m/8-byte row per batch reaches the driver, never the key rows).
 
+    Both inputs are scanned ONCE: ``keys`` is materialized (object
+    store, distributed) and feeds the bloom build and the join's marker
+    side; ``big`` runs a single probe pass that tags every row with its
+    bloom verdict, the tagged blocks are materialized, and the
+    fast-keep / candidate split filters those blocks zero-copy — no
+    second read-and-rehash of the dominant input.  (Trade-off: the
+    tagged corpus transits the object store and may spill; where source
+    re-reads are cheaper than local spill capacity, re-scanning would
+    be preferable — at the blocklist scales this targets, one scan
+    wins.)
+
     ``stats`` (tests/observability): filled with ``fast_keeps`` /
     ``candidates`` Dataset handles so callers can count the split.
     """
     import ray
 
     nbytes = (m_bits + 7) // 8
+    keys = keys.materialize()
 
     def build(b: pa.Table) -> pa.Table:
         bits = np.zeros(nbytes, dtype=np.uint8)
@@ -260,25 +272,32 @@ def bloom_anti_join(big, keys, key: str, cols: list[str],
         bits |= np.frombuffer(r["bits"], dtype=np.uint8)
     bref = ray.put(bits)
 
-    def probe(want_positive: bool):
-        def f(b: pa.Table) -> pa.Table:
-            import ray as _r
+    out_cols = [key, *cols]
 
-            out_cols = [key, *cols]
-            if b.num_rows == 0:
-                return b.select(out_cols)
-            bm = _r.get(bref)
-            pos = _bloom_positions(
-                b[key].to_numpy(zero_copy_only=False), m_bits, k_hashes
+    def probe_tag(b: pa.Table) -> pa.Table:
+        import ray as _r
+
+        if b.num_rows == 0:
+            return b.select(out_cols).append_column(
+                "__bloom", pa.array([], type=pa.int8())
             )
-            hit = ((bm[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1).all(axis=1)
-            keep = hit if want_positive else ~hit
-            return b.select(out_cols).filter(pa.array(keep))
+        bm = _r.get(bref)
+        pos = _bloom_positions(
+            b[key].to_numpy(zero_copy_only=False), m_bits, k_hashes
+        )
+        hit = ((bm[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1).all(axis=1)
+        return b.select(out_cols).append_column("__bloom", pa.array(hit.astype(np.int8)))
+
+    tagged = big.map_batches(probe_tag, batch_format="pyarrow").materialize()
+
+    def side(want: int):
+        def f(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b["__bloom"], want)).select(out_cols)
 
         return f
 
-    fast_keeps = big.map_batches(probe(False), batch_format="pyarrow")
-    candidates = big.map_batches(probe(True), batch_format="pyarrow")
+    fast_keeps = tagged.map_batches(side(0), batch_format="pyarrow")
+    candidates = tagged.map_batches(side(1), batch_format="pyarrow")
     if stats is not None:
         stats["fast_keeps"] = fast_keeps
         stats["candidates"] = candidates

@@ -164,10 +164,15 @@ def heavy_hitters(
             ),
             batch_format="pyarrow",
         )
-        .sort("c", descending=True)
+        .sort(["c", "key"], descending=[True, False])
         .limit(m + 1)
         .to_pandas()
     )
+    # secondary key sort: ties at the cutoff would otherwise pick an
+    # arbitrary candidate subset — the RESULT stays exact either way
+    # (the cutoff+eps check covers missed keys) but whether the sketch
+    # path or the full-aggregate fallback runs must not vary between
+    # identical runs
     if len(top_sketch) <= m:
         cutoff = 0  # every key that survived any sketch is a candidate
         cand = top_sketch["key"]

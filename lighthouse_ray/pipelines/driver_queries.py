@@ -36,6 +36,15 @@ K1, B = 1.2, 0.75
 _INDEX_CACHE: dict[str, str] = {}
 
 
+def _round6(x: np.ndarray) -> np.ndarray:
+    """Round-half-up to 6 dp via floor(x*1e6 + 0.5), mirrored in SQL as
+    floor(x*1000000 + 0.5)/1000000: np.round is half-to-even but DuckDB
+    round() is half-away-from-zero, so an exact .5e-6 tie (any
+    power-of-two denominator makes one, e.g. a ratio k/128) would
+    hash-mismatch the oracle.  Callers pass nonnegative values only."""
+    return np.floor(x * 1e6 + 0.5) / 1e6
+
+
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data as rd
 
@@ -819,8 +828,8 @@ def q_quality_stats(sf_dir: str):
             {
                 "doc_id": b["doc_id"],
                 "n_tokens": pa.array(counts.astype(np.int64)),
-                "stop_ratio": pa.array(np.round(stop_counts / safe, 6)),
-                "mean_tok_len": pa.array(np.round(len_sums / safe, 6)),
+                "stop_ratio": pa.array(_round6(stop_counts / safe)),
+                "mean_tok_len": pa.array(_round6(len_sums / safe)),
             }
         )
 
@@ -832,10 +841,10 @@ SQL_QUALITY_STATS = f"""
 WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents)
 SELECT doc_id,
   CAST(len(toks) AS BIGINT) AS n_tokens,
-  round(CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS DOUBLE)
-        / greatest(len(toks), 1), 6) AS stop_ratio,
-  round(CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE))) AS DOUBLE)
-        / greatest(len(toks), 1), 6) AS mean_tok_len
+  floor(CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+        / greatest(len(toks), 1) * 1000000 + 0.5) / 1000000 AS stop_ratio,
+  floor(CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE))) AS DOUBLE)
+        / greatest(len(toks), 1) * 1000000 + 0.5) / 1000000 AS mean_tok_len
 FROM t
 """
 
@@ -2057,8 +2066,8 @@ def q_repetition_stats(sf_dir: str):
             {
                 "doc_id": ids.filter(pa.array(keep)).cast(pa.int64()),
                 "n_bigrams": pa.array(safe.astype(np.int64)),
-                "top_bigram_frac": pa.array(np.round(top[keep] / safe, 6)),
-                "dup_bigram_frac": pa.array(np.round(dup[keep] / safe, 6)),
+                "top_bigram_frac": pa.array(_round6(top[keep] / safe)),
+                "dup_bigram_frac": pa.array(_round6(dup[keep] / safe)),
             }
         )
 
@@ -2071,8 +2080,9 @@ bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' |
        FROM toks),
 cnt AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg)
 SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
-       round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_bigram_frac,
-       round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c), 6) AS dup_bigram_frac
+       floor(CAST(max(c) AS DOUBLE) / sum(c) * 1000000 + 0.5) / 1000000 AS top_bigram_frac,
+       floor(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c) * 1000000 + 0.5)
+         / 1000000 AS dup_bigram_frac
 FROM cnt GROUP BY doc_id
 """
 

@@ -1093,6 +1093,52 @@ def test_pii_scrub_vs_python_re(ray_session):
         assert int(total[i]) == wn, r
 
 
+def test_repetition_stats_rounding_tie_matches_sql(ray_session, tmp_path):
+    """A 129-distinct-token doc has 128 bigrams each with count 1, so
+    top_bigram_frac = 1/128 * 1e6 = an exact .5 tie where np.round
+    (half-to-even) and DuckDB round() (half-away) disagree; both sides
+    must use the shared floor(x*1e6 + 0.5) rule."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from lighthouse_ray.pipelines.driver_queries import (
+        SQL_REPETITION_STATS,
+        q_repetition_stats,
+    )
+
+    text = " ".join(f"tok{i}" for i in range(129))
+    t = pa.table({"doc_id": pa.array([1], type=pa.int64()), "text": pa.array([text])})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = q_repetition_stats(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = con.execute(SQL_REPETITION_STATS).df()
+    assert (1 / 128 * 1e6) % 1 == 0.5  # the case really is a tie
+    assert got["top_bigram_frac"].iloc[0] == want["top_bigram_frac"].iloc[0]
+    assert got["top_bigram_frac"].iloc[0] == 0.007813  # half-up, not half-even
+
+
+def test_quality_stats_rounding_tie_matches_sql(ray_session, tmp_path):
+    """One stopword among 128 tokens: stop_ratio = 1/128 — the same
+    .5e-6 tie class, fixed with the same shared rounding rule."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from lighthouse_ray.pipelines.driver_queries import SQL_QUALITY_STATS, q_quality_stats
+
+    text = "the " + " ".join(f"tok{i}" for i in range(127))
+    t = pa.table({"doc_id": pa.array([1], type=pa.int64()), "text": pa.array([text])})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = q_quality_stats(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = con.execute(SQL_QUALITY_STATS).df()
+    assert got["n_tokens"].iloc[0] == 128
+    assert got["stop_ratio"].iloc[0] == want["stop_ratio"].iloc[0]
+    assert got["stop_ratio"].iloc[0] == 0.007813
+    assert got["mean_tok_len"].iloc[0] == want["mean_tok_len"].iloc[0]
+
+
 def test_model_score_rounding_tie_matches_sql():
     """Any 128-token document makes z/128 * 1e6 an exact .5 tie (z is
     always odd there), where np.round (half-to-even) and SQL round
