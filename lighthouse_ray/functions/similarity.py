@@ -192,21 +192,6 @@ def knn_graph(ds, k: int = 3, id_col: str = "vec_id", vec_col: str = "embedding"
     return spill_exchange(partial, "a", topk_reduce, num_parts=num_parts)
 
 
-def kmeans_centroids(mat: np.ndarray, n_clusters: int, iters: int = 10, seed: int = 42) -> np.ndarray:
-    """Deterministic Lloyd's k-means on the (small, driver-side) sample."""
-    rng = np.random.RandomState(seed)
-    idx = rng.choice(len(mat), size=min(n_clusters, len(mat)), replace=False)
-    cent = mat[np.sort(idx)].copy()
-    for _ in range(iters):
-        d = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
-        for c in range(len(cent)):
-            sel = assign == c
-            if sel.any():
-                cent[c] = mat[sel].mean(axis=0)
-    return cent
-
-
 class IvfIndex:
     """Coarse quantizer + bucketed vectors as partitioned parquet (one
     directory per centroid).  The driver holds ONLY the centroid matrix
@@ -222,13 +207,16 @@ class IvfIndex:
 
 
 def ivf_index(ds, n_clusters: int = 16, id_col: str = "vec_id",
-              vec_col: str = "embedding", sample_rows: int = 10_000,
+              vec_col: str = "embedding", train_iters: int = 3,
               out_dir: str | None = None) -> IvfIndex:
-    """Train the coarse quantizer on a bounded driver-side sample, then
-    bucket all rows by nearest centroid INSIDE map tasks, each task
-    writing its rows as one parquet file per touched bucket directory
-    (``bucket=N/``).  Only the (bucket, file) manifest reaches the
-    driver; probes later read just the probed bucket partitions.
+    """Train the coarse quantizer with the repo's DISTRIBUTED quantized
+    Lloyd k-means (``clustering.kmeans_fit``: per-round driver traffic
+    is k partial-sum rows per batch — no driver-side sample, no
+    sample-size knob), then bucket all rows by nearest centroid INSIDE
+    map tasks, each task writing its rows as one parquet file per
+    touched bucket directory (``bucket=N/``).  Only the (bucket, file)
+    manifest reaches the driver; probes later read just the probed
+    bucket partitions.
     """
     import os
     import uuid
@@ -240,10 +228,9 @@ def ivf_index(ds, n_clusters: int = 16, id_col: str = "vec_id",
     import pyarrow.parquet as pq
 
     from ..util import atomic_write_bytes
+    from .clustering import kmeans_fit
 
-    sample = ds.limit(sample_rows).to_pandas()
-    mat = np.stack(sample[vec_col].to_numpy())
-    cent = kmeans_centroids(mat.astype(np.float64), n_clusters)
+    cent = kmeans_fit(ds, n_clusters, train_iters, id_col=id_col, vec_col=vec_col)
     cref = ray.put(cent)
     root = out_dir or os.path.join("/tmp/lighthouse_ray_ivf", uuid.uuid4().hex[:16])
     os.makedirs(root, exist_ok=True)

@@ -87,10 +87,14 @@ class SearchService:
 
 @ray.remote
 class RangeReplica:
-    """One ordinal-range partition of the index, warm."""
+    """One ordinal-range partition of the index, warm.
+
+    ``debug_delay_s`` is test-only fault injection (a synthetic
+    straggler for the hedging tests); it defaults off and adds no
+    per-request work when 0."""
 
     def __init__(self, index_dir: str, lo: int, hi: int, special_map: dict | None = None,
-                 cache_ttl: float = 300.0):
+                 cache_ttl: float = 300.0, debug_delay_s: float = 0.0):
         from ..index import IndexReader, RangeReader
         from .engine import SearchEngine
 
@@ -98,8 +102,13 @@ class RangeReplica:
             RangeReader(IndexReader(index_dir), lo, hi), special_map=special_map,
             cache_ttl=cache_ttl,
         )
+        self._delay = debug_delay_s
 
     def search(self, **kwargs):
+        if self._delay:
+            import time
+
+            time.sleep(self._delay)
         return self.engine.search(**kwargs)
 
     def autocomplete_scored(self, **kwargs):
@@ -129,21 +138,71 @@ class ShardedSearchService:
     coordinator merges with the engine's exact ordering semantics
     (score desc / sort-field with doc_id tie-breaks), pages, and
     projects.  Results are identical to a single full-range engine.
+
+    STRAGGLER HEDGING (``hedge=True``): the coordinator waits for all
+    K ranges, so one slow replica sets the request's latency.  With
+    hedging, a second warm replica is kept per range; once ~75% of the
+    ranges have answered, laggards get a grace window proportional to
+    the elapsed time (``hedge_factor``) and are then DUPLICATED onto
+    their standby — the coordinator takes whichever copy answers first.
+    Both copies hold the same deterministic range view, so the merged
+    result is bit-identical either way.  Costs one extra warm replica
+    per range; off by default.
     """
 
     def __init__(self, index_dir: str, num_partitions: int = 4,
-                 special_map: dict | None = None, cache_ttl: float = 300.0):
+                 special_map: dict | None = None, cache_ttl: float = 300.0,
+                 hedge: bool = False, hedge_factor: float = 1.0,
+                 hedge_min_s: float = 0.02,
+                 _debug_primary_delays: list[float] | None = None):
         from ..util import read_json
         import os
 
         n_docs = int(read_json(os.path.join(index_dir, "stats.json"))["n_docs"])
         bounds = [round(i * n_docs / num_partitions) for i in range(num_partitions + 1)]
+        delays = _debug_primary_delays or [0.0] * num_partitions
         self.replicas = [
             RangeReplica.options(scheduling_strategy="SPREAD").remote(
-                index_dir, bounds[i], bounds[i + 1], special_map, cache_ttl
+                index_dir, bounds[i], bounds[i + 1], special_map, cache_ttl,
+                debug_delay_s=delays[i],
             )
             for i in range(num_partitions)
         ]
+        self.hedge_factor = hedge_factor
+        self.hedge_min_s = hedge_min_s
+        self._hedgers = (
+            [
+                RangeReplica.options(scheduling_strategy="SPREAD").remote(
+                    index_dir, bounds[i], bounds[i + 1], special_map, cache_ttl
+                )
+                for i in range(num_partitions)
+            ]
+            if hedge
+            else None
+        )
+
+    def _gather_hedged(self, futs: list, fire_hedge) -> list:
+        """All K partial results, racing stragglers against standbys.
+        ``fire_hedge(i)`` re-issues range i's request on its standby."""
+        import time
+
+        if self._hedgers is None:
+            return _reraise_search_error(lambda: ray.get(futs))
+        t0 = time.monotonic()
+        quorum = max(1, len(futs) - max(1, len(futs) // 4))
+        ray.wait(list(futs), num_returns=quorum)
+        grace = max(self.hedge_min_s, (time.monotonic() - t0) * self.hedge_factor)
+        _done, pending = ray.wait(list(futs), num_returns=len(futs), timeout=grace)
+        if not pending:
+            return _reraise_search_error(lambda: ray.get(futs))
+        idx_of = {f: i for i, f in enumerate(futs)}
+        winners = list(futs)
+        for f in pending:
+            i = idx_of[f]
+            hedged = fire_hedge(i)
+            first, _rest = ray.wait([f, hedged], num_returns=1)
+            winners[i] = first[0]  # the loser's result is discarded
+        return _reraise_search_error(lambda: ray.get(winners))
 
     # -- /search ------------------------------------------------------------
 
@@ -171,14 +230,14 @@ class ShardedSearchService:
                 inject = field
                 inc = ",".join(inc_list + [field]) if inc_list else field
 
-        futs = [
-            r.search.remote(
+        def fire(r):
+            return r.search.remote(
                 s=s, size=need, from_=0, sort_by=sort_by, include=inc,
                 _partial=True, **kwargs
             )
-            for r in self.replicas
-        ]
-        parts = _reraise_search_error(lambda: ray.get(futs))
+
+        futs = [fire(r) for r in self.replicas]
+        parts = self._gather_hedged(futs, lambda i: fire(self._hedgers[i]))
         df = pd.concat(parts, ignore_index=True)
         if len(df):
             if sort_by is not None:
@@ -226,6 +285,7 @@ class ShardedSearchService:
         return _reraise_search_error(lambda: ray.get(self.replicas[0].status.remote()))
 
     def shutdown(self):
-        for r in self.replicas:
+        for r in self.replicas + (self._hedgers or []):
             ray.kill(r)
         self.replicas = []
+        self._hedgers = None

@@ -103,3 +103,33 @@ def test_range_reader_scores_are_global(built):
     merged = full.merge(sub, on="claimId", suffixes=("_f", "_p"))
     assert len(merged) == len(sub)  # subset relation
     assert np.allclose(merged["score_f"], merged["score_p"], rtol=0, atol=0)
+
+
+def test_hedged_straggler_parity_and_latency(built):
+    """One primary range replica is a synthetic 1.5 s straggler; with
+    hedging on, its standby answers instead — results stay bit-identical
+    to the unpartitioned engine and the request finishes well under the
+    straggler's delay."""
+    import time
+
+    from lighthouse_ray.query.serving import ShardedSearchService
+
+    idx, engine = built
+    svc = ShardedSearchService(
+        idx, num_partitions=3, hedge=True, hedge_min_s=0.02,
+        _debug_primary_delays=[0.0, 0.0, 1.5],
+    )
+    try:
+        kw = dict(s="interesting and amazing facts", size=7)
+        want = engine.search(**kw).reset_index(drop=True)
+        svc.search(**kw)  # warm both replica sets (engine caches load lazily)
+        t0 = time.monotonic()
+        got = svc.search(s="merge segment", size=5).reset_index(drop=True)
+        wall = time.monotonic() - t0
+        want2 = engine.search(s="merge segment", size=5).reset_index(drop=True)
+        assert got.equals(want2)
+        got1 = svc.search(**kw).reset_index(drop=True)
+        assert got1.equals(want)
+        assert wall < 1.2, f"hedge did not mask the 1.5 s straggler (wall={wall:.2f}s)"
+    finally:
+        svc.shutdown()
