@@ -286,3 +286,62 @@ def kmv_distinct(ds, *, k: int = 64, text_col: str = "text",
 
     pds = ds.map_batches(partial, batch_format="pyarrow")
     return spill_exchange(pds, group_col, merge, num_parts=num_parts)
+
+
+def group_topn_min(ds, *, group_col: str, val_col: str, n: int, num_parts: int = 8):
+    """Per-group ``n`` smallest values of ``val_col`` — the bounded-
+    summary primitive behind quota sampling (cap documents per domain /
+    repo): each batch contributes at most ``n`` values per group, the
+    exchange merge keeps the ``n`` smallest of the union.  Shuffle
+    volume is <= n rows per group per batch; the payload table never
+    enters the exchange (recover full rows downstream by broadcasting
+    the per-group cutoff — the n-th smallest — and filtering).
+
+    Values are assumed distinct per group (true for row ids, the quota
+    use case); repeated values count once per occurrence.  int64
+    values, string groups.  Beyond-reference curation op (the
+    reference has no sampling; SURVEY §2.6 '— not built' row)."""
+    from .exchange import spill_exchange
+    from .packing import _run_starts
+
+    empty = pa.table({group_col: pa.array([], type=pa.string()),
+                      val_col: pa.array([], type=pa.int64())})
+
+    def _runlimit(grp_codes: np.ndarray, vals: np.ndarray, dictionary) -> pa.Table:
+        """Keep the n smallest vals per group (inputs unsorted)."""
+        order = np.lexsort((vals, grp_codes))
+        g, v = grp_codes[order], vals[order]
+        starts = _run_starts(g)
+        counts = np.diff(np.append(starts, len(g)))
+        keep = (np.arange(len(g)) - np.repeat(starts, counts)) < n
+        return pa.table({
+            group_col: pc.take(dictionary, pa.array(g[keep])),
+            val_col: pa.array(v[keep], type=pa.int64()),
+        })
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        grp = b[group_col]
+        grp = grp.combine_chunks() if isinstance(grp, pa.ChunkedArray) else grp
+        gcodes = grp.dictionary_encode()
+        return _runlimit(
+            gcodes.indices.to_numpy(zero_copy_only=False).astype(np.int64),
+            b[val_col].to_numpy(zero_copy_only=False).astype(np.int64),
+            gcodes.dictionary,
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        grp = t[group_col]
+        grp = grp.combine_chunks() if isinstance(grp, pa.ChunkedArray) else grp
+        gcodes = grp.dictionary_encode()
+        return _runlimit(
+            gcodes.indices.to_numpy(zero_copy_only=False).astype(np.int64),
+            t[val_col].to_numpy(zero_copy_only=False).astype(np.int64),
+            gcodes.dictionary,
+        )
+
+    pds = ds.map_batches(partial, batch_format="pyarrow")
+    return spill_exchange(pds, group_col, merge, num_parts=num_parts)

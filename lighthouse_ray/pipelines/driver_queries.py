@@ -2537,6 +2537,213 @@ GROUP BY k.lang
 
 
 # ---------------------------------------------------------------------------
+# round-3 additions: quota sampling, facets, highlighting, spell suggest
+# ---------------------------------------------------------------------------
+
+QUOTA_N = 15
+
+
+def q_domain_quota(sf_dir: str):
+    """Per-domain quota sampling (cap documents per source/repo — the
+    domain-balancing stage of a curation pipeline; beyond-reference,
+    SURVEY §2.6).  Scale shape: a bounded-summary exchange finds each
+    group's N smallest doc_ids (<= N rows per group per batch ever
+    move, functions/sketch.py::group_topn_min), the per-group CUTOFF
+    (the N-th smallest id) is broadcast once via ``ray.put``, and a
+    second streaming pass filters the payload — the payload table
+    never enters a shuffle.  Assumes #domains << corpus (typical:
+    millions of domains vs billions of docs); a shuffle join replaces
+    the broadcast otherwise."""
+    import ray
+    from ..functions.sketch import group_topn_min
+
+    from ray.data.aggregate import Max
+
+    ids = _read(sf_dir, "documents", ["doc_id", "source"])
+    kept = group_topn_min(ids, group_col="source", val_col="doc_id", n=QUOTA_N)
+    cut = kept.groupby("source").aggregate(Max("doc_id", alias_name="cut")).to_pandas()
+    sources = pa.array(cut["source"], type=pa.string())
+    cutoffs = cut["cut"].to_numpy().astype(np.int64)
+    ref = ray.put((sources, cutoffs))
+
+    def keep(b: pa.Table, _ref=ref) -> pa.Table:
+        import ray as _r
+
+        srcs, cuts = _r.get(_ref)
+        pos = pc.index_in(b["source"], value_set=srcs).to_numpy(zero_copy_only=False)
+        ids_np = b["doc_id"].to_numpy(zero_copy_only=False)
+        ok = (pos >= 0) & (ids_np <= cuts[np.maximum(pos, 0)])
+        out = b.filter(pa.array(ok))
+        return pa.table({
+            "doc_id": out["doc_id"].cast(pa.int64()),
+            "source": out["source"],
+            "n_chars": out["n_chars"].cast(pa.int64()),
+        })
+
+    return _read(sf_dir, "documents", ["doc_id", "source", "n_chars"]).map_batches(
+        keep, batch_format="pyarrow"
+    )
+
+
+SQL_DOMAIN_QUOTA = f"""
+SELECT doc_id, source, n_chars FROM documents
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= {QUOTA_N}
+"""
+
+
+FACET_TERM = "merge"
+
+
+def q_facet_counts(sf_dir: str):
+    """Faceted search: bucket counts over the result set of a match
+    query (the ES terms-aggregation the reference's backend serves for
+    its /status-style counts; SURVEY Q21 generalized).  Per-batch the
+    match filter and both facet fields pre-aggregate locally, then ONE
+    small groupby-sum shuffle carries <= (#langs + #sources) rows per
+    batch — never the matched docs."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        parents, _pos, terms, _n = flat_tokens(b["text"])
+        hit = pc.equal(terms, FACET_TERM).to_numpy(zero_copy_only=False)
+        sel = b.take(pa.array(np.unique(parents[hit])))
+        outs = []
+        for facet in ("lang", "source"):
+            g = sel.select([facet]).group_by(facet, use_threads=False).aggregate(
+                [([], "count_all")]
+            )
+            outs.append(pa.table({
+                "facet": pa.array([facet] * g.num_rows, type=pa.string()),
+                "bucket": g[facet],
+                "n": g["count_all"].cast(pa.int64()),
+            }))
+        return pa.concat_tables(outs)
+
+    ds = _read(sf_dir, "documents", ["text", "lang", "source"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    out = ds.groupby(["facet", "bucket"]).aggregate(Sum("n", alias_name="n"))
+    return out.map_batches(
+        lambda b: pa.table({"facet": b["facet"], "bucket": b["bucket"],
+                            "n": b["n"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
+SQL_FACET_COUNTS = f"""
+WITH m AS (SELECT lang, source FROM documents WHERE list_contains({TOK}, '{FACET_TERM}'))
+SELECT 'lang' AS facet, lang AS bucket, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY lang
+UNION ALL
+SELECT 'source' AS facet, source AS bucket, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY source
+"""
+
+
+HL_TERM = "merge"
+HL_WINDOW = 2  # tokens of context on each side
+
+
+def q_highlight_snippet(sf_dir: str):
+    """Hit highlighting: for every document matching the query term,
+    the snippet of +-{HL_WINDOW} tokens around the FIRST occurrence
+    (the ES highlighter analog of the reference's result rendering,
+    SURVEY M12).  Pure per-batch kernel: first occurrences and window
+    bounds in numpy off the flat token stream, the snippet gathered
+    with one take + binary_join — no shuffle, no per-row Python."""
+
+    empty = pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "pos": pa.array([], type=pa.int64()),
+        "snippet": pa.array([], type=pa.string()),
+    })
+
+    def f(b: pa.Table) -> pa.Table:
+        parents, pos, terms, n = flat_tokens(b["text"])
+        hit = pc.equal(terms, HL_TERM).to_numpy(zero_copy_only=False)
+        hidx = np.flatnonzero(hit)
+        if len(hidx) == 0:
+            return empty
+        # stream is row-major, so the first hit per row is the first
+        # occurrence np.unique reports
+        rows, first = np.unique(parents[hidx], return_index=True)
+        occ = hidx[first]
+        p = pos[occ]
+        row_lens = np.bincount(parents, minlength=n)
+        row_offs = np.concatenate([[0], np.cumsum(row_lens)])
+        start = np.maximum(p - HL_WINDOW, 0)
+        end = np.minimum(p + HL_WINDOW + 1, row_lens[rows])
+        glen = end - start
+        gstart = row_offs[rows] + start
+        lo = np.concatenate([[0], np.cumsum(glen)])
+        idx = np.repeat(gstart - lo[:-1], glen) + np.arange(int(lo[-1]))
+        la = pa.ListArray.from_arrays(
+            pa.array(lo, type=pa.int32()), pc.take(terms, pa.array(idx))
+        )
+        return pa.table({
+            "doc_id": pc.take(b["doc_id"], pa.array(rows)).cast(pa.int64()),
+            "pos": pa.array(p.astype(np.int64)),
+            "snippet": pc.binary_join(la, " "),
+        })
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+SQL_HIGHLIGHT_SNIPPET = f"""
+WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents),
+m AS (SELECT doc_id, toks, list_position(toks, '{HL_TERM}') AS idx FROM t
+      WHERE list_position(toks, '{HL_TERM}') > 0)
+SELECT doc_id, CAST(idx - 1 AS BIGINT) AS pos,
+       array_to_string(toks[greatest(idx - {HL_WINDOW}, 1):idx + {HL_WINDOW}], ' ') AS snippet
+FROM m
+"""
+
+
+SPELL_Q = "sor"  # misspelling of "sort"; also within 2 of "row"/"slow"
+SPELL_MAXD = 2
+SPELL_TOPK = 5
+
+
+def q_spell_suggest(sf_dir: str):
+    """Spelling suggestion over the term dictionary ("did you mean"):
+    rank dictionary terms within edit distance {SPELL_MAXD} of the
+    query by (distance asc, df desc, term asc), top {SPELL_TOPK} — the
+    ES term-suggester analog of the reference's fuzziness=AUTO
+    (app/actions/search/query.go:131,177).  The distance kernel is one
+    vectorized DP per batch over the padded byte matrix
+    (functions/textstats.py::levenshtein_batch); candidates after the
+    distance filter are a sliver, so the final sort+limit is cheap."""
+    from ..functions.textstats import levenshtein_batch
+
+    def dist(b: pa.Table) -> pa.Table:
+        d = levenshtein_batch(b["term"], SPELL_Q)
+        t = pa.table({
+            "term": b["term"],
+            "dist": pa.array(d, type=pa.int64()),
+            "df": b["df"].cast(pa.int64()),
+        })
+        return t.filter(pc.less_equal(t["dist"], SPELL_MAXD))
+
+    cand = q_term_df(sf_dir).map_batches(dist, batch_format="pyarrow")
+    return cand.sort(["dist", "df", "term"], descending=[False, True, False]).limit(
+        SPELL_TOPK
+    )
+
+
+SQL_SPELL_SUGGEST = f"""
+WITH df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df
+  FROM (SELECT doc_id, unnest(list_distinct({TOK})) AS term FROM documents)
+  GROUP BY term
+)
+SELECT term, CAST(levenshtein(term, '{SPELL_Q}') AS BIGINT) AS dist, df
+FROM df
+WHERE levenshtein(term, '{SPELL_Q}') <= {SPELL_MAXD}
+QUALIFY row_number() OVER (ORDER BY dist, df DESC, term) <= {SPELL_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2599,6 +2806,10 @@ def make_queries() -> dict:
         "pii_scrub": q_pii_scrub,
         "shard_stream": q_shard_stream,
         "dedup_keep": q_dedup_keep,
+        "domain_quota": q_domain_quota,
+        "facet_counts": q_facet_counts,
+        "highlight_snippet": q_highlight_snippet,
+        "spell_suggest": q_spell_suggest,
     }
 
 
@@ -2666,6 +2877,10 @@ def make_oracle_sql() -> dict:
         "pii_scrub": _sql_pii_scrub(),
         "shard_stream": SQL_SHARD_STREAM,
         "dedup_keep": SQL_DEDUP_KEEP,
+        "domain_quota": SQL_DOMAIN_QUOTA,
+        "facet_counts": SQL_FACET_COUNTS,
+        "highlight_snippet": SQL_HIGHLIGHT_SNIPPET,
+        "spell_suggest": SQL_SPELL_SUGGEST,
     }
 
 

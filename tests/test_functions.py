@@ -1192,3 +1192,92 @@ def test_driver_contract_consistency():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     for name, sql in sqls.items():
         con.execute("EXPLAIN " + sql)  # raises on any parse/bind error
+
+
+def test_levenshtein_batch_matches_duckdb():
+    """The vectorized DP is exact Levenshtein, including the sliced-
+    array (nonzero Arrow offset) path."""
+    import duckdb
+
+    from lighthouse_ray.functions.textstats import levenshtein_batch
+
+    words = ["window", "windows", "widow", "merge", "win", "sor", "", "s0rt", "sort"]
+    for q in ["sor", "windwo", "a"]:
+        got = list(levenshtein_batch(pa.array(words), q))
+        want = [
+            r[0]
+            for r in duckdb.sql(
+                f"SELECT levenshtein(w, '{q}') FROM (SELECT unnest({words}) AS w)"
+            ).fetchall()
+        ]
+        assert got == want
+        sliced = pa.array(["pad", *words]).slice(1)
+        assert list(levenshtein_batch(sliced, q)) == want
+
+
+def test_group_topn_min_across_batches(ray_session):
+    """The bounded summary keeps each group's n smallest values no
+    matter how rows are split across batches; a group with fewer than
+    n values keeps them all."""
+    import ray.data as rd
+
+    from lighthouse_ray.functions.sketch import group_topn_min
+
+    rows = [{"g": f"g{i % 3}", "v": i} for i in range(100)] + [
+        {"g": "rare", "v": 7_000}
+    ]
+    ds = rd.from_items(rows).repartition(13)
+    got = group_topn_min(ds, group_col="g", val_col="v", n=4).to_pandas()
+    got = got.sort_values(["g", "v"]).reset_index(drop=True)
+    want = {
+        "g0": [0, 3, 6, 9],
+        "g1": [1, 4, 7, 10],
+        "g2": [2, 5, 8, 11],
+        "rare": [7_000],
+    }
+    for g, vals in want.items():
+        assert list(got[got["g"] == g]["v"]) == vals
+    assert len(got) == 13
+
+
+def test_highlight_window_edges(ray_session, tmp_path):
+    """First-occurrence snippets clamp at both document edges and pick
+    the FIRST hit when the term repeats."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from lighthouse_ray.pipelines.driver_queries import (
+        SQL_HIGHLIGHT_SNIPPET,
+        q_highlight_snippet,
+    )
+
+    docs = [
+        "merge a b c d",          # hit at doc start
+        "a b c d merge",          # hit at doc end
+        "a merge b merge c",      # repeated: first occurrence wins
+        "no hit here",            # filtered out
+        "merge",                  # single-token doc
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+        "text": pa.array(docs),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = (
+        q_highlight_snippet(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["doc_id"]) == [0, 1, 2, 4]
+    assert list(got["snippet"]) == [
+        "merge a b",
+        "c d merge",
+        "a merge b merge",
+        "merge",
+    ]
+    assert list(got["pos"]) == [0, 4, 1, 0]
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = con.execute(SQL_HIGHLIGHT_SNIPPET).df().sort_values("doc_id")
+    assert list(want["snippet"]) == list(got["snippet"])
