@@ -138,7 +138,9 @@ def run_bench() -> dict:
                      "repetition_stats", "curation_funnel", "heavy_hitters",
                      "train_shuffle", "seq_pack", "kmeans_clusters",
                      "bloom_anti_join", "kmv_distinct", "pii_scrub",
-                     "shard_stream", "dedup_keep"]:
+                     "shard_stream", "dedup_keep", "domain_quota",
+                     "facet_counts", "highlight_snippet", "spell_suggest",
+                     "perplexity_filter", "semdedup", "substring_dup"]:
             if time.time() - sweep_t0 > budget_s:
                 status[name] = "skipped_budget"
                 continue

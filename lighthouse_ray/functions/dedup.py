@@ -1178,3 +1178,73 @@ def connected_components(edges, nodes, max_rounds: int = 32, num_parts: int = 32
     # spills; only the (output-sized) label root outlives the call
     return spill_exchange(lab, "id", min_label, num_parts=num_parts,
                           cleanup_after=[cur_root] if cur_root else None)
+
+
+def substring_dup_docs(ds, *, k: int, text_col: str = "text",
+                       id_col: str = "doc_id", num_parts: int = 16):
+    """Exact substring-duplication detection — the 'shared k-token
+    run' test of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better", the suffix-array ExactSubstr criterion,
+    restated over k-token grams): flag every document with the number
+    of its distinct k-grams that appear verbatim in at least one OTHER
+    document.  Catches cross-document boilerplate / quotation overlap
+    that set-similarity (Jaccard) misses when the shared run is a
+    small fraction of both documents.
+
+    Scale shape: stage 1 emits distinct (gram, doc) pairs per doc with
+    the vectorized :func:`doc_shingles` kernel; ONE exchange
+    co-locates grams; the reduce keeps only rows of grams with >= 2
+    docs (run length over the sorted partition — (gram, doc) pairs
+    are globally distinct because a doc lives in one row); a small
+    groupby-sum counts flagged grams per doc.  Shuffled volume is the
+    distinct gram-doc table (same order as the tokenized corpus); no
+    document PAIR is ever materialized, so a gram shared by d docs
+    costs d rows, never d²."""
+    from ray.data.aggregate import Sum
+
+    from .exchange import spill_exchange
+
+    empty_pairs = pa.table({
+        "id": pa.array([], type=pa.int64()),
+        "sh": pa.array([], type=pa.string()),
+    })
+
+    def pairs(b: pa.Table) -> pa.Table:
+        t = doc_shingles(b, text_col, id_col, k)
+        if t.num_rows == 0:
+            return empty_pairs
+        return pa.table({"id": t["id"].cast(pa.int64()), "sh": t["sh"]})
+
+    empty_flagged = pa.table({
+        "id": pa.array([], type=pa.int64()),
+        "n": pa.array([], type=pa.int64()),
+    })
+
+    def reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_flagged
+        t = t.sort_by([("sh", "ascending")])
+        sh = t["sh"]
+        sh = sh.combine_chunks() if isinstance(sh, pa.ChunkedArray) else sh
+        starts, lens = _run_bounds(sh)
+        keep = np.repeat(lens >= 2, lens)
+        ids = t["id"].to_numpy(zero_copy_only=False)[keep]
+        if len(ids) == 0:
+            return empty_flagged
+        # partial per-doc count within the partition (the downstream
+        # groupby-sum sees <= one row per (partition, doc))
+        uniq, cnt = np.unique(ids, return_counts=True)
+        return pa.table({"id": pa.array(uniq), "n": pa.array(cnt.astype(np.int64))})
+
+    flagged = spill_exchange(
+        ds.map_batches(pairs, batch_format="pyarrow"), "sh", reduce,
+        num_parts=num_parts,
+    )
+    out = flagged.groupby("id").aggregate(Sum("n", alias_name="n_dup_grams"))
+    return out.map_batches(
+        lambda b: pa.table({
+            id_col: b["id"].cast(pa.int64()),
+            "n_dup_grams": b["n_dup_grams"].cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )

@@ -127,3 +127,72 @@ def levenshtein_batch(terms: pa.Array | pa.ChunkedArray, query: str) -> np.ndarr
             np.minimum(cur[:, j], cur[:, j - 1] + 1, out=cur[:, j])
         prev = cur
     return prev[np.arange(nd), lens].astype(np.int64)
+
+
+def unigram_xent(ds, *, vocab: int = 65536, text_col: str = "text",
+                 id_col: str = "doc_id"):
+    """Per-document cross-entropy under the corpus unigram LM — the
+    perplexity quality filter of CCNet (Wenzek et al. 2020) with a
+    unigram model instead of KenLM (the distributed shape is the
+    point; the model is pluggable).  The model keeps the top-``vocab``
+    terms by (cf desc, term asc); out-of-vocabulary tokens score at
+    count 1 (logprob ln(1/total)).
+
+    Two narrow passes: (1) per-batch partial term counts -> one small
+    groupby-sum; only the top-``vocab`` model rows and the exact int64
+    token total reach the driver, broadcast once via ``ray.put`` (at
+    10^9-doc scale the model is top-V of a huge vocabulary — bounded
+    by construction).  (2) a streaming scoring pass: ``pc.index_in``
+    token lookup against the broadcast terms, per-row logprob sums
+    via ``np.bincount`` — no shuffle, no per-row Python.  Documents
+    with zero tokens are dropped (no defined entropy), matching the
+    SQL GROUP BY over unnested tokens."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        _p, _pos, terms, _n = flat_tokens(b[text_col])
+        t = pa.table({"term": terms})
+        agg = t.group_by("term", use_threads=False).aggregate([([], "count_all")])
+        return pa.table({"term": agg["term"], "n": agg["count_all"].cast(pa.int64())})
+
+    cf = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="cf"))
+        .materialize()
+    )
+    total = int(cf.sum("cf"))
+    top = cf.sort(["cf", "term"], descending=[True, False]).limit(vocab).to_pandas()
+    model_terms = pa.array(top["term"], type=pa.string())
+    logp = np.log(top["cf"].to_numpy().astype(np.float64) / total)
+    ln_oov = float(np.log(1.0 / total))
+    ref = ray.put((model_terms, logp, ln_oov))
+
+    empty = pa.table({
+        id_col: pa.array([], type=pa.int64()),
+        "xent": pa.array([], type=pa.float64()),
+    })
+
+    def score(b: pa.Table, _ref=ref) -> pa.Table:
+        import pyarrow.compute as pc
+        import ray as _r
+
+        terms_m, lp, oov = _r.get(_ref)
+        parents, _pos, toks, n = flat_tokens(b[text_col])
+        if len(parents) == 0:
+            return empty
+        idx = pc.fill_null(pc.index_in(toks, value_set=terms_m), -1).to_numpy(
+            zero_copy_only=False
+        )
+        lpv = np.where(idx >= 0, lp[np.maximum(idx, 0)], oov)
+        sums = np.bincount(parents, weights=lpv, minlength=n)
+        counts = np.bincount(parents, minlength=n)
+        has = counts > 0
+        xent = np.floor(-sums[has] / counts[has] * 1e6 + 0.5) / 1e6
+        return pa.table({
+            id_col: pc.take(b[id_col], pa.array(np.flatnonzero(has))).cast(pa.int64()),
+            "xent": pa.array(xent),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -2743,6 +2743,100 @@ QUALIFY row_number() OVER (ORDER BY dist, df DESC, term) <= {SPELL_TOPK}
 """
 
 
+SUB_K = 8  # tokens per gram for the exact-substring criterion
+
+
+def q_substring_dup(sf_dir: str):
+    """Exact substring-duplication (Lee et al. 2022 ExactSubstr
+    restated over k-token grams): per doc, the number of its distinct
+    {SUB_K}-grams shared verbatim with another document — the
+    contamination test Jaccard misses when the shared run is a small
+    slice of both docs (functions/dedup.py::substring_dup_docs)."""
+    from ..functions.dedup import substring_dup_docs
+
+    return substring_dup_docs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), k=SUB_K
+    )
+
+
+SQL_SUBSTRING_DUP = f"""
+WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents),
+i AS (SELECT doc_id, toks, unnest(range(1, len(toks) - {SUB_K} + 2)) AS s FROM t),
+g AS (SELECT DISTINCT doc_id, array_to_string(toks[s:s + {SUB_K} - 1], ' ') AS gram FROM i),
+d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams
+FROM g JOIN d USING (gram) GROUP BY g.doc_id
+"""
+
+
+PPL_VOCAB = 20   # binds at test scale so the OOV floor is exercised
+PPL_CUTOFF = 5.2
+
+
+def q_perplexity_filter(sf_dir: str):
+    """Perplexity-style quality filter (CCNet, Wenzek et al. 2020):
+    per-doc cross-entropy under the corpus unigram LM (top-{PPL_VOCAB}
+    model broadcast once, count-1 OOV floor), kept = xent <=
+    {PPL_CUTOFF} on the round6 value (functions/textstats.py::
+    unigram_xent)."""
+    from ..functions.textstats import unigram_xent
+
+    ds = unigram_xent(
+        _read(sf_dir, "documents", ["doc_id", "text"]), vocab=PPL_VOCAB
+    )
+    return ds.map_batches(
+        lambda b: pa.table({
+            "doc_id": b["doc_id"],
+            "xent": b["xent"],
+            "kept": pc.less_equal(b["xent"], PPL_CUTOFF).cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+SQL_PERPLEXITY_FILTER = f"""
+WITH cf AS (
+  SELECT term, count(*) AS cf
+  FROM (SELECT unnest({TOK}) AS term FROM documents) GROUP BY term
+),
+tot AS (SELECT sum(cf) AS total FROM cf),
+model AS (SELECT term, cf FROM cf ORDER BY cf DESC, term LIMIT {PPL_VOCAB}),
+toks AS (SELECT doc_id, unnest({TOK}) AS term FROM documents),
+s AS (
+  SELECT t.doc_id, ln(CAST(coalesce(m.cf, 1) AS DOUBLE) / tot.total) AS lp
+  FROM toks t LEFT JOIN model m ON t.term = m.term CROSS JOIN tot
+),
+x AS (
+  SELECT doc_id, floor(-avg(lp) * 1000000 + 0.5) / 1000000 AS xent
+  FROM s GROUP BY doc_id
+)
+SELECT doc_id, xent, CAST(xent <= {PPL_CUTOFF} AS BIGINT) AS kept FROM x
+"""
+
+
+SEM_K, SEM_ITERS, SEM_THR = 8, 2, 0.4
+
+
+def q_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): k-means clusters bound the
+    pairwise cosine work, within-cluster 'keep the smallest id among
+    near-duplicates' — the composition of the distributed quantized
+    k-means and the embedding near-dup family
+    (functions/clustering.py::semdedup)."""
+    from ..functions.clustering import semdedup
+
+    return semdedup(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        k=SEM_K, iters=SEM_ITERS, threshold=SEM_THR,
+    )
+
+
+def _sql_semdedup() -> str:
+    from ..functions.clustering import make_semdedup_sql
+
+    return make_semdedup_sql(k=SEM_K, iters=SEM_ITERS, threshold=SEM_THR)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2810,6 +2904,9 @@ def make_queries() -> dict:
         "facet_counts": q_facet_counts,
         "highlight_snippet": q_highlight_snippet,
         "spell_suggest": q_spell_suggest,
+        "substring_dup": q_substring_dup,
+        "perplexity_filter": q_perplexity_filter,
+        "semdedup": q_semdedup,
     }
 
 
@@ -2881,6 +2978,9 @@ def make_oracle_sql() -> dict:
         "facet_counts": SQL_FACET_COUNTS,
         "highlight_snippet": SQL_HIGHLIGHT_SNIPPET,
         "spell_suggest": SQL_SPELL_SUGGEST,
+        "substring_dup": SQL_SUBSTRING_DUP,
+        "perplexity_filter": SQL_PERPLEXITY_FILTER,
+        "semdedup": _sql_semdedup(),
     }
 
 

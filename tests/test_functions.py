@@ -1281,3 +1281,91 @@ def test_highlight_window_edges(ray_session, tmp_path):
     con.register("documents", t)
     want = con.execute(SQL_HIGHLIGHT_SNIPPET).df().sort_values("doc_id")
     assert list(want["snippet"]) == list(got["snippet"])
+
+
+def test_substring_dup_catches_contained_run(ray_session, tmp_path):
+    """A k-token run copied into an otherwise different document is
+    flagged on both docs; Jaccard-dissimilar docs still count."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from lighthouse_ray.functions.dedup import substring_dup_docs
+
+    run = "alpha beta gamma delta"  # 4 tokens, k=4
+    docs = [
+        f"{run} unrelated tail words here",               # shares the run
+        f"prefix words {run}",                            # shares the run
+        "totally different content with no overlap at",   # clean
+        "short",                                          # < k tokens
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+        "text": pa.array(docs),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    import ray.data as rd
+
+    got = (
+        substring_dup_docs(rd.read_parquet(str(tmp_path / "documents.parquet")), k=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["doc_id"]) == [0, 1]
+    assert list(got["n_dup_grams"]) == [1, 1]
+
+
+def test_unigram_xent_oov_floor(ray_session, tmp_path):
+    """With the vocab cap binding, OOV tokens score at ln(1/total) and
+    the per-doc mean matches a hand computation."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from lighthouse_ray.functions.textstats import unigram_xent
+
+    # corpus: 'a' x6, 'b' x3, 'c' x1 -> total 10; vocab=2 keeps a, b
+    docs = ["a a a b", "a a a b b c"]
+    t = pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": pa.array(docs),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    import ray.data as rd
+
+    got = (
+        unigram_xent(rd.read_parquet(str(tmp_path / "documents.parquet")), vocab=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    lp_a, lp_b, lp_oov = math.log(6 / 10), math.log(3 / 10), math.log(1 / 10)
+    want0 = -(3 * lp_a + lp_b) / 4
+    want1 = -(3 * lp_a + 2 * lp_b + lp_oov) / 6
+    import numpy as _np
+
+    r6 = lambda x: _np.floor(x * 1e6 + 0.5) / 1e6
+    assert list(got["xent"]) == [r6(want0), r6(want1)]
+
+
+def test_semdedup_within_cluster_keep_first(ray_session):
+    """Near-identical vectors landing in one cluster keep only the
+    smallest id; cross-cluster near-dups are NOT compared (the
+    SemDeDup contract)."""
+    import ray.data as rd
+
+    from lighthouse_ray.functions.clustering import semdedup
+
+    rows = [
+        {"vec_id": 0, "embedding": [1.0, 0.0]},
+        {"vec_id": 1, "embedding": [0.999, 0.01]},   # near-dup of 0
+        {"vec_id": 2, "embedding": [0.0, 1.0]},
+        {"vec_id": 3, "embedding": [0.01, 0.999]},   # near-dup of 2
+        {"vec_id": 4, "embedding": [-1.0, 0.0]},
+    ]
+    got = (
+        semdedup(rd.from_items(rows), k=2, iters=2, threshold=0.95)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    assert set(got["vec_id"]) == {0, 2, 4}
