@@ -387,16 +387,23 @@ def build_index(
         from .postings import make_merge_group
 
         if not os.path.isdir(postings_dir):
-            raise RuntimeError(
-                "segments stage incomplete but the postings spill directory is "
-                "missing — it is only removed after a fully-recorded build "
-                "(cfg.cleanup_spills); rebuild without resume"
+            # a build whose live doc set is EMPTY (e.g. a delta batch that
+            # contains only delete-routed rows — a normal sync batch shape)
+            # legitimately spills nothing; only a non-empty recorded
+            # postings stage with a missing spill dir means lost state
+            if int(stages.get("postings", {}).get("rows", 0)) > 0:
+                raise RuntimeError(
+                    "segments stage incomplete but the postings spill directory is "
+                    "missing — it is only removed after a fully-recorded build "
+                    "(cfg.cleanup_spills); rebuild without resume"
+                )
+            groups = []
+        else:
+            groups = sorted(
+                int(d.split("=", 1)[1])
+                for d in os.listdir(postings_dir)
+                if d.startswith("grp=")
             )
-        groups = sorted(
-            int(d.split("=", 1)[1])
-            for d in os.listdir(postings_dir)
-            if d.startswith("grp=")
-        )
         seg_rows = (
             rd.from_items([{"grp": g} for g in groups], override_num_blocks=max(len(groups), 1))
             .map_batches(

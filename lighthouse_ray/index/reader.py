@@ -124,7 +124,14 @@ class IndexReader:
     def doclens(self, field: str) -> np.ndarray:
         dl = self._doclens.get(field)
         if dl is None:
-            ds = pads.dataset(os.path.join(self.index_dir, "doclens"))
+            path = os.path.join(self.index_dir, "doclens")
+            if not os.path.isdir(path):
+                # an index over an EMPTY live doc set (e.g. a delta batch
+                # of only delete-routed rows) writes no doclens at all
+                dl = np.zeros(self.n_docs, dtype=np.int64)
+                self._doclens[field] = dl
+                return dl
+            ds = pads.dataset(path)
             t = ds.to_table(columns=["ordinal", "dl"], filter=pads.field("field") == field)
             dl = np.zeros(self.n_docs, dtype=np.int64)
             dl[t["ordinal"].to_numpy()] = t["dl"].to_numpy()

@@ -91,30 +91,47 @@ class IncrementalIndex:
 
     def live_map(self) -> list[np.ndarray]:
         """Per-segment boolean mask of live ordinals, applying
-        last-write-wins shadowing across segments and tombstones."""
+        last-write-wins shadowing across segments and tombstones.
+
+        Vectorized (pandas drop_duplicates over the concatenated key
+        table, newest segment first) — the per-doc Python loop this
+        replaces cost seconds per million docs per segment and sat on
+        the query path of every delta-aware read."""
         readers = self.readers()
-        seen: set[str] = set()
         tomb: dict[str, int] = {}
         for t in self.state["tombstones"]:
             k = _key(t["repo"], t["path"])
             tomb[k] = max(tomb.get(k, -1), t["after_delta"])
-        masks: list[np.ndarray] = [None] * len(readers)  # type: ignore
-        # newest segment wins: walk deltas from last to first, base last
+        # newest segment wins: concat keys newest-first, first occurrence
+        # of a key is the winner (stable within a segment: ordinal order)
+        frames = []
         for seg in range(len(readers) - 1, -1, -1):
             meta = readers[seg].docmeta()
-            keys = [ _key(r, p) for r, p in zip(meta["repo"], meta["path"]) ]
-            mask = np.zeros(len(meta), dtype=bool)
-            for i, k in enumerate(keys):
-                if k in seen:
-                    continue
-                seen.add(k)
-                # a tombstone issued when n deltas existed (after_delta=n)
-                # kills base (seg 0) and deltas j < n (seg j+1 <= n); a
-                # later delta re-inserting the key resurrects it
-                if k in tomb and tomb[k] >= seg:
-                    continue
-                mask[i] = True
-            masks[seg] = mask
+            # NUL-joined key built in Arrow: pandas string concat silently
+            # DROPS embedded NUL characters, so the join must not go
+            # through pandas ops
+            import pyarrow.compute as pc
+
+            k = pc.binary_join_element_wise(
+                pa.array(meta["repo"], type=pa.string()),
+                pa.array(meta["path"], type=pa.string()),
+                "\0",
+            )
+            frames.append(pd.DataFrame({
+                "k": k.to_pandas(),
+                "seg": seg,
+                "ord": np.arange(len(meta), dtype=np.int64),
+            }))
+        win = pd.concat(frames, ignore_index=True).drop_duplicates("k", keep="first")
+        if tomb:
+            # a tombstone issued when n deltas existed (after_delta=n)
+            # kills base (seg 0) and deltas j < n (seg j+1 <= n); a
+            # later delta re-inserting the key resurrects it
+            ta = win["k"].map(tomb).fillna(-1).to_numpy()
+            win = win[ta < win["seg"].to_numpy()]
+        masks = [np.zeros(len(r.docmeta()), dtype=bool) for r in readers]
+        for seg, g in win.groupby("seg"):
+            masks[int(seg)][g["ord"].to_numpy()] = True
         return masks
 
     def live_rows(self) -> pd.DataFrame:
@@ -171,23 +188,19 @@ class IncrementalIndex:
         (blocked.go:96-141 point deletes; 154-171 publisher expansion).
         Implemented as an anti-join against the broadcast blocked sets.
         Returns the number of tombstones written."""
-        blocked_ids = set(claim_ids or [])
-        blocked_repos = set(channels or [])
-        n = 0
         live = self.live_rows()
-        for _i, row in live.iterrows():
-            if row["doc_id"] in blocked_ids or row["repo"] in blocked_repos:
-                self.state["tombstones"].append(
-                    {
-                        "repo": row["repo"],
-                        "path": row["path"],
-                        "after_delta": len(self.state["deltas"]),
-                    }
-                )
-                n += 1
+        hit = live["doc_id"].isin(set(claim_ids or [])) | live["repo"].isin(
+            set(channels or [])
+        )
+        sub = live[hit]
+        nd = len(self.state["deltas"])
+        self.state["tombstones"].extend(
+            {"repo": r, "path": p, "after_delta": nd}
+            for r, p in zip(sub["repo"], sub["path"])
+        )
         self._save()
         self._readers = None
-        return n
+        return int(hit.sum())
 
     # -- compaction ---------------------------------------------------------
 
@@ -199,22 +212,56 @@ class IncrementalIndex:
         ranks do not depend on build history)."""
         import ray.data as rd
 
-        live = self.live_rows()
-        contents = []
-        for _i, row in live.iterrows():
-            rdr = next(r for r in self.readers() if r.index_dir == row["__segment__"])
+        # the driver assembles only the live METADATA (repo/path/commit/
+        # lang + payload pointer); document content is fetched inside the
+        # map tasks — one parquet read per (payload file, batch), grouped
+        # so a file is read once per batch it appears in.  The old path
+        # did one driver-side parquet read PER DOCUMENT (an 878k-doc
+        # compaction would issue 878k reads).
+        rows = []
+        for rdr, mask in zip(self.readers(), self.live_map()):
             meta = rdr.docmeta()
-            ordinal = int(meta.index[meta["doc_id"] == row["doc_id"]][0])
-            contents.append(rdr.doc_content(ordinal))
-        tbl = pa.table(
-            {
-                "repo": pa.array(live["repo"].tolist(), type=pa.string()),
-                "path": pa.array(live["path"].tolist(), type=pa.string()),
-                "commit": pa.array(live["commit"].tolist(), type=pa.string()),
-                "lang": pa.array(live["lang"].tolist(), type=pa.string()),
-                "content": pa.array(contents, type=pa.string()),
-            }
+            sub = meta.loc[
+                mask, ["repo", "path", "commit", "lang", "payload_file", "payload_row"]
+            ].copy()
+            sub["payload_dir"] = os.path.join(rdr.index_dir, "payload")
+            rows.append(sub)
+        live = pd.concat(rows, ignore_index=True).sort_values(
+            ["payload_dir", "payload_file", "payload_row"], kind="stable"
         )
+        src = rd.from_arrow(pa.Table.from_pandas(live, preserve_index=False))
+
+        def fetch(b: pa.Table) -> pa.Table:
+            import pyarrow.parquet as _pq
+
+            files = np.asarray(
+                [os.path.join(d, f) for d, f in zip(
+                    b["payload_dir"].to_pylist(), b["payload_file"].to_pylist()
+                )], dtype=object,
+            )
+            rows_np = b["payload_row"].to_numpy(zero_copy_only=False)
+            order = np.argsort(files, kind="stable")
+            chunks = []
+            i = 0
+            while i < len(order):
+                j = i
+                while j < len(order) and files[order[j]] == files[order[i]]:
+                    j += 1
+                col = _pq.read_table(files[order[i]], columns=["content"])["content"]
+                chunks.append(col.take(pa.array(rows_np[order[i:j]])))
+                i = j
+            inv = np.empty(len(order), dtype=np.int64)
+            inv[order] = np.arange(len(order))
+            content = pa.concat_arrays(
+                [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+                 for c in chunks]
+            ).take(pa.array(inv)) if chunks else pa.array([], type=pa.string())
+            return pa.table({
+                "repo": b["repo"], "path": b["path"], "commit": b["commit"],
+                "lang": b["lang"], "content": content,
+            })
+
+        tbl = src.map_batches(fetch, batch_format="pyarrow")
         out = IncrementalIndex(new_root, cfg or self.cfg)
-        out.build_base(rd.from_arrow(tbl), cfg or self.cfg)
+        out.build_base(tbl, cfg or self.cfg)
         return out

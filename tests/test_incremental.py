@@ -123,3 +123,93 @@ def test_compaction_equals_full_rebuild(inc, ray_session, tmp_path_factory):
     assert set(a) == set(b)
     for kk in b:
         assert a[kk]["sha256"] == b[kk]["sha256"], f"shard {kk} differs"
+
+
+def test_multi_delta_shadowing_and_resurrect(ray_session, tmp_path):
+    """N-delta semantics end-to-end: upsert in delta 1, tombstone in
+    delta 2, re-insert in delta 3 — the key resurrects from the newest
+    delta only; search and live_rows agree at every step."""
+    import ray.data as rd
+
+    root = str(tmp_path / "root")
+    ii = IncrementalIndex(root, CFG)
+    ii.build_base(rd.from_arrow(gen_corpus(120)), CFG)
+
+    key = gen_corpus(120).to_pylist()[7]
+
+    def live_commit(start: str) -> str:
+        """A commit whose synthetic bid_state survives delete-routing
+        (build/docs.py routes h64 % 20 in {18,19} to delete)."""
+        import hashlib
+
+        kb = f"{key['repo']}\0{key['path']}".encode()
+        for c in start + "0123456789abcdef":
+            doc_id = hashlib.sha1(kb + b"\0" + (c * 40).encode()).hexdigest()
+            if int(doc_id[:16], 16) % 20 < 18:
+                return c * 40
+        raise AssertionError("no live commit found")
+
+    def row(commit: str, content: str) -> pa.Table:
+        r = dict(key)
+        r["commit"] = commit
+        r["content"] = content
+        return pa.table({k: pa.array([r[k]], type=pa.string())
+                         for k in ("repo", "path", "commit", "lang", "content")})
+
+    # delta 1: upsert v1
+    ii.apply_delta(rd.from_arrow(row(live_commit("b"), "quaggamarker version one")))
+    hits = ii.search_topk("content", ["quaggamarker"], k=5)
+    assert len(hits) == 1 and hits["path"].iloc[0] == key["path"]
+
+    # delta 2: tombstone the key (no rows)
+    ii.apply_delta(None, tombstone_keys=[(key["repo"], key["path"])])
+    assert len(ii.search_topk("content", ["quaggamarker"], k=5)) == 0
+    live = ii.live_rows()
+    assert (key["repo"], key["path"]) not in set(zip(live["repo"], live["path"]))
+
+    # delta 3: re-insert v2 — resurrects from the NEWEST segment only
+    # (the tombstone-only delta above created no segment dir, so this is
+    # segment 2 == dir delta-0001)
+    ii.apply_delta(rd.from_arrow(row(live_commit("c"), "quaggamarker version two rides again")))
+    hits = ii.search_topk("content", ["quaggamarker"], k=5)
+    assert len(hits) == 1 and hits["segment"].iloc[0] == 2
+    live = ii.live_rows()
+    m = live[(live["repo"] == key["repo"]) & (live["path"] == key["path"])]
+    assert len(m) == 1 and m["__segment__"].iloc[0].endswith("delta-0001")
+
+    # compaction folds 3 deltas + tombstone into one canonical index
+    out = ii.compact(str(tmp_path / "compacted"))
+    chits = out.search_topk("content", ["quaggamarker"], k=5)
+    assert len(chits) == 1 and chits["path"].iloc[0] == key["path"]
+    assert len(out.live_rows()) == len(live)
+
+
+def test_delete_only_delta_builds_empty_index(ray_session, tmp_path):
+    """A delta batch whose every row is delete-routed (bid_state
+    Spent/Expired) builds a valid EMPTY delta index instead of
+    crashing — a normal sync batch shape (reference chainquery.go:
+    127-132 routes those rows to the delete sink)."""
+    import hashlib
+
+    import ray.data as rd
+
+    root = str(tmp_path / "root")
+    ii = IncrementalIndex(root, CFG)
+    ii.build_base(rd.from_arrow(gen_corpus(60)), CFG)
+
+    key = gen_corpus(60).to_pylist()[3]
+    kb = f"{key['repo']}\0{key['path']}".encode()
+    dead = next(
+        c * 40 for c in "0123456789abcdef"
+        if int(hashlib.sha1(kb + b"\0" + (c * 40).encode()).hexdigest()[:16], 16) % 20 >= 18
+    )
+    r = dict(key)
+    r["commit"] = dead
+    r["content"] = "spent row never indexed"
+    t = pa.table({k: pa.array([r[k]], type=pa.string())
+                  for k in ("repo", "path", "commit", "lang", "content")})
+    ii.apply_delta(rd.from_arrow(t))
+    # empty delta participates in reads without breaking anything
+    assert len(ii.search_topk("content", ["spent"], k=5)) == 0
+    assert len(ii.readers()) == 2
+    assert ii.readers()[1].n_docs == 0
