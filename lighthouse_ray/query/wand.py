@@ -74,11 +74,17 @@ def wand_topk(
     terms: list[str],
     k: int = 10,
     use_block_max: bool = True,
+    live: "np.ndarray | None" = None,
 ) -> list[tuple[int, float]]:
     """Top-k (ordinal, score) for an OR-of-terms BM25 query.
 
     Returns results sorted by (score desc, ordinal asc), identical to the
     exhaustive scorer's ordering.
+
+    ``live`` (optional bool mask over ordinals): docs whose mask entry is
+    False are skipped — they never enter the heap, so the heap stays at
+    k and the θ threshold reflects live docs only.  Used by delta-aware
+    serving (IncrementalIndex) instead of over-fetching k + n_shadowed.
     """
     k1, b = reader.k1, reader.b
     n = reader.n_docs
@@ -146,12 +152,13 @@ def wand_topk(
                     for c in involved:
                         c.seek(max(nxt, pivot_doc + 1))
                     continue
-            s = score_doc(pivot_doc, involved)
-            item = (s, -pivot_doc)
-            if len(heap) < k:
-                heapq.heappush(heap, item)
-            elif item > heap[0]:
-                heapq.heapreplace(heap, item)
+            if live is None or live[pivot_doc]:
+                s = score_doc(pivot_doc, involved)
+                item = (s, -pivot_doc)
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
             for c in involved:
                 c.seek(pivot_doc + 1)
         else:

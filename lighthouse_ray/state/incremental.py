@@ -47,6 +47,7 @@ class IncrementalIndex:
             "tombstones": [],
         }
         self._readers: list[IndexReader] | None = None
+        self._live_map: list[np.ndarray] | None = None
 
     # -- building -----------------------------------------------------------
 
@@ -58,21 +59,39 @@ class IncrementalIndex:
         build_index(source, os.path.join(self.root, "base"), self.cfg)
         self._save()
         self._readers = None
+        self._live_map = None
 
-    def apply_delta(self, source, tombstone_keys: list[tuple[str, str]] | None = None) -> str:
+    def apply_delta(
+        self,
+        source,
+        tombstone_keys: list[tuple[str, str]] | None = None,
+        cfg: IndexConfig | None = None,
+    ) -> str:
         """Upsert the rows of ``source`` (corpus schema) and delete the
-        given logical (repo, path) keys; returns the delta dir."""
+        given logical (repo, path) keys; returns the delta dir.
+
+        ``cfg`` overrides the partition layout for THIS delta only (delta
+        batches are orders of magnitude smaller than the base — a 5k-doc
+        delta at the base's 128-shard layout is all fixed cost); BM25
+        parameters always follow the base config."""
         from ..build import build_index
 
         n = len(self.state["deltas"])
         delta_dir = os.path.join(self.root, "deltas", f"delta-{n:04d}")
         if source is not None:
-            build_index(source, delta_dir, self.cfg)
+            if cfg is None:
+                dcfg = self.cfg
+            else:
+                from dataclasses import replace
+
+                dcfg = replace(cfg, k1=self.cfg.k1, b=self.cfg.b)
+            build_index(source, delta_dir, dcfg)
             self.state["deltas"].append(f"deltas/delta-{n:04d}")
         for repo, path in tombstone_keys or []:
             self.state["tombstones"].append({"repo": repo, "path": path, "after_delta": n})
         self._save()
         self._readers = None
+        self._live_map = None
         return delta_dir
 
     def _save(self) -> None:
@@ -96,7 +115,13 @@ class IncrementalIndex:
         Vectorized (pandas drop_duplicates over the concatenated key
         table, newest segment first) — the per-doc Python loop this
         replaces cost seconds per million docs per segment and sat on
-        the query path of every delta-aware read."""
+        the query path of every delta-aware read.
+
+        Cached per sync state: the map only changes when a delta or
+        tombstone is applied (every mutator resets ``_live_map``), so
+        serving pays the concat-and-dedup once per sync, not per query."""
+        if self._live_map is not None:
+            return self._live_map
         readers = self.readers()
         tomb: dict[str, int] = {}
         for t in self.state["tombstones"]:
@@ -132,6 +157,7 @@ class IncrementalIndex:
         masks = [np.zeros(len(r.docmeta()), dtype=bool) for r in readers]
         for seg, g in win.groupby("seg"):
             masks[int(seg)][g["ord"].to_numpy()] = True
+        self._live_map = masks
         return masks
 
     def live_rows(self) -> pd.DataFrame:
@@ -154,19 +180,22 @@ class IncrementalIndex:
         masks = self.live_map()
         rows = []
         for seg, (rdr, mask) in enumerate(zip(self.readers(), masks)):
-            hits = wand_topk(rdr, field, terms, k=k + int((~mask).sum()))
+            # shadowed docs are skipped inside WAND (live mask): the heap
+            # stays at k instead of k + n_shadowed — with a large base and
+            # many shadowing deltas the old over-fetch degenerated to a
+            # near-exhaustive scan of the base segment
+            hits = wand_topk(rdr, field, terms, k=k, live=mask)
             meta = rdr.docmeta()
             for ordinal, score in hits:
-                if mask[ordinal]:
-                    rows.append(
-                        {
-                            "doc_id": meta["doc_id"].iloc[ordinal],
-                            "repo": meta["repo"].iloc[ordinal],
-                            "path": meta["path"].iloc[ordinal],
-                            "score": score,
-                            "segment": seg,
-                        }
-                    )
+                rows.append(
+                    {
+                        "doc_id": meta["doc_id"].iloc[ordinal],
+                        "repo": meta["repo"].iloc[ordinal],
+                        "path": meta["path"].iloc[ordinal],
+                        "score": score,
+                        "segment": seg,
+                    }
+                )
         df = pd.DataFrame(rows)
         if df.empty:
             return df
@@ -200,6 +229,7 @@ class IncrementalIndex:
         )
         self._save()
         self._readers = None
+        self._live_map = None
         return int(hit.sum())
 
     # -- compaction ---------------------------------------------------------
