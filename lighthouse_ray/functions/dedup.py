@@ -531,33 +531,119 @@ def _band_hashes(sigs: np.ndarray, bands: int) -> np.ndarray:
     return acc
 
 
+_HOT_RUN = 2048          # bucket runs longer than this pre-filter blockwise
+_PAIR_CHUNK = 4_000_000  # max candidate pairs materialized at once
+
+
+def _fsb_bytes(arr, width: int) -> np.ndarray:
+    """(n, width) uint8 view of a fixed_size_binary Arrow array."""
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    raw = np.frombuffer(arr.buffers()[1], dtype=np.uint8)
+    return raw[arr.offset * width : (arr.offset + len(arr)) * width].reshape(-1, width)
+
+
+def _filtered_run_pairs(sigb: np.ndarray, starts: np.ndarray, lens: np.ndarray,
+                        min_agree: int) -> tuple[np.ndarray, np.ndarray]:
+    """Within-run index pairs (i < j) whose signature sketches agree on
+    >= ``min_agree`` of the sketch bytes — the LSH hot-bucket guard.
+
+    Never materializes more than ~``_PAIR_CHUNK`` pair indices at once:
+    small runs are batched through :func:`_pair_indices` under a pair
+    budget; runs longer than ``_HOT_RUN`` are compared blockwise (the
+    agreement matrix is accumulated one sketch-byte position at a time,
+    so peak temp is one (B, B) int16 block, not (B, B, width))."""
+    width = sigb.shape[1]
+    keep_a: list[np.ndarray] = []
+    keep_b: list[np.ndarray] = []
+
+    live = lens >= 2
+    small = live & (lens <= _HOT_RUN)
+    s_starts, s_lens = starts[small], lens[small]
+    if len(s_starts):
+        ppr = s_lens * (s_lens - 1) // 2
+        cum = np.cumsum(ppr)
+        lo = 0
+        while lo < len(s_starts):
+            hi = int(np.searchsorted(cum, (cum[lo - 1] if lo else 0) + _PAIR_CHUNK))
+            hi = max(hi, lo + 1)
+            a_idx, b_idx = _pair_indices(s_starts[lo:hi], s_lens[lo:hi])
+            if len(a_idx):
+                agree = (sigb[a_idx] == sigb[b_idx]).sum(axis=1)
+                ok = agree >= min_agree
+                keep_a.append(a_idx[ok])
+                keep_b.append(b_idx[ok])
+            lo = hi
+
+    B = 4096
+    for ri in np.flatnonzero(live & (lens > _HOT_RUN)):
+        s, L = int(starts[ri]), int(lens[ri])
+        for i0 in range(0, L, B):
+            ai = min(B, L - i0)
+            A = sigb[s + i0 : s + i0 + ai]
+            for j0 in range(i0, L, B):
+                bj = min(B, L - j0)
+                Bv = sigb[s + j0 : s + j0 + bj]
+                ag = np.zeros((ai, bj), dtype=np.int16)
+                for p in range(width):
+                    ag += A[:, p, None] == Bv[None, :, p]
+                hit = ag >= min_agree
+                if j0 == i0:  # upper triangle only
+                    hit &= np.arange(ai)[:, None] < np.arange(bj)[None, :]
+                ii, jj = np.nonzero(hit)
+                if len(ii):
+                    keep_a.append(s + i0 + ii.astype(np.int64))
+                    keep_b.append(s + j0 + jj.astype(np.int64))
+    if not keep_a:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    return np.concatenate(keep_a), np.concatenate(keep_b)
+
+
 def minhash_lsh_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
                            num_perm: int = 64, bands: int = 32, k: int = 3,
                            num_parts: int = 32, dedup: bool = True,
-                           stats: dict | None = None):
+                           stats: dict | None = None,
+                           prefilter_est: float = 0.0):
     """MinHash + banded LSH candidate pairs (a, b), deduplicated.
 
     explode (band, bhash, id) → exchange by (band, bhash): within-run
-    pairs → exchange by (a, b): distinct.  Signatures are NOT carried
-    through the shuffle — downstream exact verification replaces the
-    signature-agreement estimate.
+    pairs → exchange by (a, b): distinct.
+
+    ``prefilter_est`` > 0 arms the HOT-BUCKET GUARD: explode carries a
+    ``num_perm``-byte sketch (low byte of each minhash value) through
+    the shuffle, and bucket_reduce drops within-run pairs whose sketch
+    agreement is < ceil(num_perm * prefilter_est) BEFORE they become
+    rows.  Rationale (measured on the 878k synthetic code corpus,
+    scripts/diag_lsh_*.py): template code makes r=2 band buckets of
+    10^3-10^4 docs whose pairwise Jaccard is 0.03-0.12 — all-pairs
+    expansion is ~1.7e9 candidate rows and killed the reduce task,
+    while a sketch cutoff at est >= 0.25 keeps 8e-5 of hot-bucket
+    pairs and 2.8e-3 of small-bucket pairs.  With prefilter_est =
+    threshold/2 and num_perm=64, a TRUE pair at j >= 0.5 is dropped
+    with prob P[Binom(64, ~0.5) < 16] ≈ 2e-5 — below the banding's own
+    documented miss probability (1-j^2)^32 <= 7e-5, and deterministic
+    (seeded hashers), so oracle parity is preserved.  The extra sketch
+    byte collisions (1/256 per non-equal value) only bias TOWARD
+    keeping.  0.0 = off (exact all-pairs expansion, no sketch carried).
 
     ``dedup=False`` skips the second (distinct) exchange and returns
     per-bucket pairs that may repeat across bands; callers that already
     dedupe (e.g. :func:`minhash_dedup_pairs`, whose verification stage
     sets the pair list) save a full exchange."""
+    min_agree = int(np.ceil(num_perm * prefilter_est)) if prefilter_est > 0 else 0
 
     def explode(batch: pa.Table) -> pa.Table:
         sigt = minhash_signatures(batch, text_col, id_col, num_perm, k)
         n = sigt.num_rows
         if n == 0:
-            return pa.table(
-                {
-                    "band": pa.array([], type=pa.int32()),
-                    "bhash": pa.array([], type=pa.uint64()),
-                    "id": pa.array([], type=batch[id_col].type),
-                }
-            )
+            cols = {
+                "band": pa.array([], type=pa.int32()),
+                "bhash": pa.array([], type=pa.uint64()),
+                "id": pa.array([], type=batch[id_col].type),
+            }
+            if min_agree:
+                cols["sig8"] = pa.array([], type=pa.binary(num_perm))
+            return pa.table(cols)
         sigs = np.asarray(sigt["sig"].combine_chunks().flatten()).reshape(n, num_perm)
         # docs with no tokens keep the all-max sentinel signature; they
         # have no shingles and must not pair
@@ -566,13 +652,17 @@ def minhash_lsh_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
         ids = sigt[id_col].combine_chunks()
         sel = np.flatnonzero(nonempty)
         m = len(sel)
-        return pa.table(
-            {
-                "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), m)),
-                "bhash": pa.array(bh[sel].reshape(-1)),
-                "id": pc.take(ids, pa.array(np.repeat(sel, bands))),
-            }
-        )
+        cols = {
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), m)),
+            "bhash": pa.array(bh[sel].reshape(-1)),
+            "id": pc.take(ids, pa.array(np.repeat(sel, bands))),
+        }
+        if min_agree:
+            sk = np.repeat((sigs[sel] & np.uint64(0xFF)).astype(np.uint8), bands, axis=0)
+            cols["sig8"] = pa.Array.from_buffers(
+                pa.binary(num_perm), m * bands, [None, pa.py_buffer(sk.tobytes())]
+            )
+        return pa.table(cols)
 
     def bucket_reduce(t: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -580,19 +670,24 @@ def minhash_lsh_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
         )
         if t.num_rows == 0:
             return empty
-        key = pa.table(
-            {
-                "k": pa.array(
-                    combine_hashes(
-                        t["band"].to_numpy(zero_copy_only=False).astype(np.uint64),
-                        t["bhash"].to_numpy(zero_copy_only=False).astype(np.uint64),
-                    )
-                ),
-                "id": t["id"],
-            }
-        ).sort_by([("k", "ascending"), ("id", "ascending")])
+        cols = {
+            "k": pa.array(
+                combine_hashes(
+                    t["band"].to_numpy(zero_copy_only=False).astype(np.uint64),
+                    t["bhash"].to_numpy(zero_copy_only=False).astype(np.uint64),
+                )
+            ),
+            "id": t["id"],
+        }
+        if min_agree:
+            cols["sig8"] = t["sig8"]
+        key = pa.table(cols).sort_by([("k", "ascending"), ("id", "ascending")])
         starts, lens = _run_bounds(key["k"].combine_chunks())
-        a_idx, b_idx = _pair_indices(starts[lens >= 2], lens[lens >= 2])
+        if min_agree:
+            sigb = _fsb_bytes(key["sig8"], num_perm)
+            a_idx, b_idx = _filtered_run_pairs(sigb, starts, lens, min_agree)
+        else:
+            a_idx, b_idx = _pair_indices(starts[lens >= 2], lens[lens >= 2])
         if len(a_idx) == 0:
             return empty
         ids = key["id"].combine_chunks()
@@ -639,11 +734,19 @@ def minhash_dedup_pairs(ds, threshold: float = 0.5, k: int = 3,
     Candidates stay a DATASET end-to-end: verification routes them
     through :func:`exact_jaccard_for_pair_ds` (bloom id filter + marker
     join), so the driver never holds the pair list — a corpus where
-    every doc is a near-dup verifies in bounded driver memory."""
+    every doc is a near-dup verifies in bounded driver memory.
+
+    The candidate stage runs with the sketch pre-filter armed at
+    ``threshold / 2`` (see :func:`minhash_lsh_candidates`): hot
+    template-code buckets otherwise expand to ~L^2/2 candidate rows
+    per bucket, and every surviving candidate is exact-verified anyway,
+    so the filter changes cost, not semantics (miss prob ~2e-5, below
+    the banding's own 7e-5)."""
     cst: dict = {}
     cand = minhash_lsh_candidates(
         ds, text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands,
         k=k, num_parts=num_parts, dedup=False, stats=cst,
+        prefilter_est=threshold / 2,
     )
     # the verification stage's marker join collapses the candidates'
     # cross-band duplicates — no distinct exchange needed

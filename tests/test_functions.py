@@ -1369,3 +1369,35 @@ def test_semdedup_within_cluster_keep_first(ray_session):
         .sort_values("vec_id")
     )
     assert set(got["vec_id"]) == {0, 2, 4}
+
+
+def test_filtered_run_pairs_hot_run_blockwise():
+    """The LSH hot-bucket guard: a run longer than _HOT_RUN goes through
+    the blockwise path; both paths must return exactly the pairs whose
+    sketch agreement >= min_agree, and nothing else."""
+    from lighthouse_ray.functions.dedup import _HOT_RUN, _filtered_run_pairs
+
+    rng = np.random.RandomState(11)
+    L = 4596  # > _HOT_RUN (blockwise path) and > the 4096 block size
+    assert L > _HOT_RUN
+    width, min_agree = 16, 12
+    sigb = rng.randint(0, 256, size=(L + 40, width)).astype(np.uint8)
+    # plant agreeing groups: a pair inside the hot run, a pair spanning
+    # block boundary 4096, and a triple in the small run [L, L+40)
+    sigb[7] = sigb[3]
+    sigb[4100] = sigb[4090]
+    sigb[L + 5] = sigb[L + 2]
+    sigb[L + 9, :13] = sigb[L + 2, :13]  # 13 >= min_agree agreement
+    starts = np.array([0, L], dtype=np.int64)
+    lens = np.array([L, 40], dtype=np.int64)
+    a, b = _filtered_run_pairs(sigb, starts, lens, min_agree)
+    got = set(zip(a.tolist(), b.tolist()))
+    # brute-force expectation
+    want = set()
+    for s, ln in zip(starts, lens):
+        blk = sigb[s : s + ln]
+        ag = (blk[:, None, :] == blk[None, :, :]).sum(2)
+        ii, jj = np.nonzero(ag >= min_agree)
+        want |= {(s + i, s + j) for i, j in zip(ii, jj) if i < j}
+    assert got == want
+    assert (3, 7) in got and (4090, 4100) in got and (L + 2, L + 5) in got
