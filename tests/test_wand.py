@@ -67,3 +67,28 @@ def test_wand_other_fields(reader):
         want = exhaustive_topk(reader, field, terms, 10)
         got = wand_topk(reader, field, terms, 10)
         assert [d for d, _ in got] == [d for d, _ in want], field
+
+
+@pytest.mark.parametrize("q", QUERIES[:5])
+@pytest.mark.parametrize("seed", [1, 2])
+def test_wand_live_mask_matches_filtered_exhaustive(reader, q, seed):
+    """Masked WAND (delta-aware serving) must equal the exhaustive
+    scorer restricted to live docs — including when the mask removes
+    docs that would have made the unmasked top-k."""
+    from lighthouse_ray.query.wand import exhaustive_topk, wand_topk
+
+    terms = tokenize_text(q)
+    rng = np.random.RandomState(seed)
+    live = rng.rand(reader.n_docs) > 0.3  # ~30% shadowed
+    want = [(d, s) for d, s in exhaustive_topk(reader, "content", terms, reader.n_docs)
+            if live[d]][:10]
+    got = wand_topk(reader, "content", terms, 10, live=live)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    np.testing.assert_allclose([s for _, s in got], [s for _, s in want], rtol=1e-12)
+
+
+def test_wand_live_mask_all_dead(reader):
+    from lighthouse_ray.query.wand import wand_topk
+
+    live = np.zeros(reader.n_docs, dtype=bool)
+    assert wand_topk(reader, "content", ["import"], 10, live=live) == []
