@@ -5,6 +5,7 @@ from . import (
     joins,
     multimodal,
     packing,
+    regex_search,
     similarity,
     sketch,
     textstats,
@@ -18,6 +19,7 @@ __all__ = [
     "joins",
     "multimodal",
     "packing",
+    "regex_search",
     "similarity",
     "sketch",
     "textstats",

@@ -2837,6 +2837,36 @@ def _sql_semdedup() -> str:
     return make_semdedup_sql(k=SEM_K, iters=SEM_ITERS, threshold=SEM_THR)
 
 
+REGEX_PATTERN = r"(merge|spark) [a-z]+ batch"
+
+
+def q_regex_search(sf_dir: str):
+    """Trigram-indexed regex search (Cox-style code-search planning:
+    mandatory-literal DNF → trigram posting intersection → RE2 verify
+    on candidates only; functions/regex_search.py).  The index build is
+    one shuffle-free map pass writing ``part=tri%P`` parquet; the query
+    reads only the planned trigrams' partitions.  RE2 on both sides
+    (pyarrow match_substring_regex / DuckDB regexp_matches) keeps the
+    oracle bit-comparable."""
+    from ..functions.regex_search import build_trigram_index, regex_search
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    idx = build_trigram_index(ds, num_parts=32)
+    try:
+        return regex_search(
+            _read(sf_dir, "documents", ["doc_id", "text"]), idx, REGEX_PATTERN
+        ).to_pandas()
+    finally:
+        import shutil
+
+        shutil.rmtree(idx.root, ignore_errors=True)
+
+
+SQL_REGEX_SEARCH = f"""
+SELECT doc_id FROM documents WHERE regexp_matches(text, '{REGEX_PATTERN}')
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2907,6 +2937,7 @@ def make_queries() -> dict:
         "substring_dup": q_substring_dup,
         "perplexity_filter": q_perplexity_filter,
         "semdedup": q_semdedup,
+        "regex_search": q_regex_search,
     }
 
 
@@ -2981,6 +3012,7 @@ def make_oracle_sql() -> dict:
         "substring_dup": SQL_SUBSTRING_DUP,
         "perplexity_filter": SQL_PERPLEXITY_FILTER,
         "semdedup": _sql_semdedup(),
+        "regex_search": SQL_REGEX_SEARCH,
     }
 
 
