@@ -144,10 +144,85 @@ def _pair_indices(starts: np.ndarray, lens: np.ndarray) -> tuple[np.ndarray, np.
     return a_idx, b_idx
 
 
-def _shingle_pairs_reduce(max_df: int | None, pair_key_ref=None):
+def _bloom_probe(h: np.ndarray, bits: np.ndarray, m_bits: int, k_hashes: int) -> np.ndarray:
+    """Vectorized membership probe: True where all k bloom bits are set."""
+    from .joins import _bloom_positions
+
+    pos = _bloom_positions(h, m_bits, k_hashes)
+    return ((bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1).all(axis=1)
+
+
+def _bloom_filtered_pairs(idh: np.ndarray, starts: np.ndarray, lens: np.ndarray,
+                          bits: np.ndarray, m_bits: int, k_hashes: int
+                          ) -> tuple[np.ndarray, np.ndarray]:
+    """Within-run index pairs (i < j) whose (id_i, id_j) hash probes the
+    candidate-pair bloom positive — the verification-side hot-shingle
+    guard.  Pairs are generated in ~``_PAIR_CHUNK`` chunks (hot runs
+    blockwise), probed, and only bloom-positive pairs are materialized:
+    a shingle shared by df candidate docs costs df²/2 vectorized PROBES
+    but only |true pairs| + fp ROWS (the old path materialized all
+    df²/2 rows first, which at 878k docs was tens of GB per task)."""
+    keep_a: list[np.ndarray] = []
+    keep_b: list[np.ndarray] = []
+
+    live = lens >= 2
+    small = live & (lens <= _HOT_RUN)
+    s_starts, s_lens = starts[small], lens[small]
+    if len(s_starts):
+        ppr = s_lens * (s_lens - 1) // 2
+        cum = np.cumsum(ppr)
+        lo = 0
+        while lo < len(s_starts):
+            hi = int(np.searchsorted(cum, (cum[lo - 1] if lo else 0) + _PAIR_CHUNK))
+            hi = max(hi, lo + 1)
+            a_idx, b_idx = _pair_indices(s_starts[lo:hi], s_lens[lo:hi])
+            if len(a_idx):
+                ok = _bloom_probe(
+                    combine_hashes(idh[a_idx], idh[b_idx]), bits, m_bits, k_hashes
+                )
+                keep_a.append(a_idx[ok])
+                keep_b.append(b_idx[ok])
+            lo = hi
+
+    B = 2048
+    for ri in np.flatnonzero(live & (lens > _HOT_RUN)):
+        s, L = int(starts[ri]), int(lens[ri])
+        for i0 in range(0, L, B):
+            ai = min(B, L - i0)
+            ha = idh[s + i0 : s + i0 + ai]
+            for j0 in range(i0, L, B):
+                bj = min(B, L - j0)
+                hb = idh[s + j0 : s + j0 + bj]
+                hh = combine_hashes(
+                    np.repeat(ha, bj), np.tile(hb, ai)
+                )
+                ok = _bloom_probe(hh, bits, m_bits, k_hashes)
+                if j0 == i0:
+                    ok &= (
+                        np.repeat(np.arange(ai), bj) < np.tile(np.arange(bj), ai)
+                    )
+                hit = np.flatnonzero(ok)
+                if len(hit):
+                    keep_a.append(s + i0 + hit // bj)
+                    keep_b.append(s + j0 + hit % bj)
+    if not keep_a:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    return np.concatenate(keep_a), np.concatenate(keep_b)
+
+
+def _shingle_pairs_reduce(max_df: int | None, pair_key_ref=None,
+                          pair_bloom_ref=None, pair_m_bits: int = 1 << 25,
+                          pair_k: int = 4):
     """Reduce for the shingle exchange: sort by (sh, id), run-length
     the shingles, drop hot runs (df > max_df), emit locally-combined
-    pair rows (a, b, na, nb, inter)."""
+    pair rows (a, b, na, nb, inter).
+
+    ``pair_bloom_ref`` (object-store ref to a candidate-pair bloom
+    bitmap) switches pair GENERATION to the bloom-pruned chunked path:
+    non-candidate pairs are probed away before they are materialized.
+    False positives only add partial rows, which the downstream marker
+    join drops — exactness is unaffected."""
 
     def reduce_fn(t: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -172,7 +247,20 @@ def _shingle_pairs_reduce(max_df: int | None, pair_key_ref=None):
                     f"(df > {max_df}; max df {int(lens.max())})"
                 )
             keep &= ~hot
-        a_idx, b_idx = _pair_indices(starts[keep], lens[keep])
+        if pair_bloom_ref is not None:
+            import ray
+
+            from .exchange import routing_hash
+
+            bits = ray.get(pair_bloom_ref)
+            idh = routing_hash(t["id"])
+            starts2, lens2 = starts.copy(), lens.copy()
+            lens2[~keep] = 0
+            a_idx, b_idx = _bloom_filtered_pairs(
+                idh, starts2, lens2, bits, pair_m_bits, pair_k
+            )
+        else:
+            a_idx, b_idx = _pair_indices(starts[keep], lens[keep])
         if len(a_idx) == 0:
             return empty
         ids = t["id"].combine_chunks()
@@ -341,7 +429,11 @@ def exact_jaccard_for_pair_ds(ds, cand, n: int = 3,
     2. corpus batches drop bloom-NEGATIVE docs locally (a bloom has no
        false negatives) and shingle only the surviving sliver;
     3. the shingle exchange emits within-run co-shingle pair partials
-       (a, b, na, nb, inter) — false-positive docs only add partials;
+       (a, b, na, nb, inter), generating pairs through a CANDIDATE-PAIR
+       bloom (built alongside the id bloom) so a hot shingle shared by
+       df candidate docs costs df²/2 probes but only true-pair + fp
+       ROWS — without it, template shingles at 878k docs materialized
+       tens of GB of non-candidate pair rows per reduce task;
     4. the (a, b) exchange unions those partials with candidate MARKER
        rows and keeps only marker-covered groups — the exact pair
        filter, as a join instead of a broadcast keyset.
@@ -365,20 +457,32 @@ def exact_jaccard_for_pair_ds(ds, cand, n: int = 3,
     # object store, never on the driver
     cand = cand.materialize()
 
+    pair_m_bits = 1 << 25  # 4 MiB pair bloom; fp ~1e-5 at ~5e5 pairs
+    pair_nbytes = pair_m_bits // 8
+
     def build_bloom(b: pa.Table) -> pa.Table:
         bits = np.zeros(nbytes, dtype=np.uint8)
+        pbits = np.zeros(pair_nbytes, dtype=np.uint8)
         if b.num_rows:
-            h = np.concatenate([routing_hash(b["a"]), routing_hash(b["b"])])
-            pos = _bloom_positions(h, m_bits, k_hashes).ravel()
+            ha, hb = routing_hash(b["a"]), routing_hash(b["b"])
+            pos = _bloom_positions(np.concatenate([ha, hb]), m_bits, k_hashes).ravel()
             np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
-        return pa.table({"bits": pa.array([bits.tobytes()], type=pa.binary())})
+            ppos = _bloom_positions(combine_hashes(ha, hb), pair_m_bits, k_hashes).ravel()
+            np.bitwise_or.at(pbits, ppos >> 3, np.uint8(1) << (ppos & 7).astype(np.uint8))
+        return pa.table({
+            "bits": pa.array([bits.tobytes()], type=pa.binary()),
+            "pbits": pa.array([pbits.tobytes()], type=pa.binary()),
+        })
 
     import ray
 
     bits = np.zeros(nbytes, dtype=np.uint8)
+    pbits = np.zeros(pair_nbytes, dtype=np.uint8)
     for r in cand.map_batches(build_bloom, batch_format="pyarrow").take_all():
         bits |= np.frombuffer(r["bits"], dtype=np.uint8)
+        pbits |= np.frombuffer(r["pbits"], dtype=np.uint8)
     bref = ray.put(bits)
+    pbref = ray.put(pbits)
 
     def explode(b: pa.Table) -> pa.Table:
         import ray as _r
@@ -393,7 +497,9 @@ def exact_jaccard_for_pair_ds(ds, cand, n: int = 3,
     st: dict = {}
     partial = spill_exchange(
         ds.map_batches(explode, batch_format="pyarrow"), "sh",
-        _shingle_pairs_reduce(None), num_parts=num_parts, stats=st,
+        _shingle_pairs_reduce(None, pair_bloom_ref=pbref,
+                              pair_m_bits=pair_m_bits, pair_k=k_hashes),
+        num_parts=num_parts, stats=st,
     )
 
     def tag_partial(t: pa.Table) -> pa.Table:
