@@ -153,15 +153,27 @@ def _bloom_probe(h: np.ndarray, bits: np.ndarray, m_bits: int, k_hashes: int) ->
 
 
 def _bloom_filtered_pairs(idh: np.ndarray, starts: np.ndarray, lens: np.ndarray,
-                          bits: np.ndarray, m_bits: int, k_hashes: int
+                          bits: np.ndarray, m_bits: int, k_hashes: int,
+                          id_vals: np.ndarray | None = None,
+                          pair_vals: tuple[np.ndarray, np.ndarray] | None = None,
                           ) -> tuple[np.ndarray, np.ndarray]:
-    """Within-run index pairs (i < j) whose (id_i, id_j) hash probes the
-    candidate-pair bloom positive — the verification-side hot-shingle
-    guard.  Pairs are generated in ~``_PAIR_CHUNK`` chunks (hot runs
-    blockwise), probed, and only bloom-positive pairs are materialized:
-    a shingle shared by df candidate docs costs df²/2 vectorized PROBES
-    but only |true pairs| + fp ROWS (the old path materialized all
-    df²/2 rows first, which at 878k docs was tens of GB per task)."""
+    """Within-run index pairs (i < j) restricted to candidate pairs —
+    the verification-side hot-shingle guard, two regimes:
+
+    - SMALL runs (df <= _HOT_RUN): pairs are generated in
+      ~``_PAIR_CHUNK`` chunks, their (id_i, id_j) hashes probe the
+      candidate-pair bloom, and only positives are materialized — a run
+      costs df²/2 vectorized probes but only |true pairs| + fp ROWS.
+    - HOT runs (df > _HOT_RUN), when the exact candidate pair VALUE
+      arrays are available (``id_vals``/``pair_vals``, integer ids):
+      the loop flips — each of the P candidate pairs is tested for both
+      endpoints in the run via searchsorted against the run's sorted
+      ids (O(P log df) per hot run, independent of df²).  This kills
+      the straggler regime where one shingle shared by tens of
+      thousands of candidate docs costs df²/2 probes in one task.
+      Without pair values (non-integer ids or pair list over the
+      fetch cap) hot runs fall back to blockwise bloom probing —
+      correct, just probe-bound."""
     keep_a: list[np.ndarray] = []
     keep_b: list[np.ndarray] = []
 
@@ -184,9 +196,22 @@ def _bloom_filtered_pairs(idh: np.ndarray, starts: np.ndarray, lens: np.ndarray,
                 keep_b.append(b_idx[ok])
             lo = hi
 
+    have_pairs = id_vals is not None and pair_vals is not None
     B = 2048
     for ri in np.flatnonzero(live & (lens > _HOT_RUN)):
         s, L = int(starts[ri]), int(lens[ri])
+        if have_pairs:
+            run_ids = id_vals[s : s + L]  # sorted: t is sorted by (sh, id)
+            pa_v, pb_v = pair_vals
+            ia = np.searchsorted(run_ids, pa_v)
+            ib = np.searchsorted(run_ids, pb_v)
+            ia_ok = (ia < L) & (run_ids[np.minimum(ia, L - 1)] == pa_v)
+            ib_ok = (ib < L) & (run_ids[np.minimum(ib, L - 1)] == pb_v)
+            sel = np.flatnonzero(ia_ok & ib_ok)
+            if len(sel):
+                keep_a.append(s + ia[sel])
+                keep_b.append(s + ib[sel])
+            continue
         for i0 in range(0, L, B):
             ai = min(B, L - i0)
             ha = idh[s + i0 : s + i0 + ai]
@@ -213,7 +238,7 @@ def _bloom_filtered_pairs(idh: np.ndarray, starts: np.ndarray, lens: np.ndarray,
 
 def _shingle_pairs_reduce(max_df: int | None, pair_key_ref=None,
                           pair_bloom_ref=None, pair_m_bits: int = 1 << 25,
-                          pair_k: int = 4):
+                          pair_k: int = 4, pair_vals_ref=None):
     """Reduce for the shingle exchange: sort by (sh, id), run-length
     the shingles, drop hot runs (df > max_df), emit locally-combined
     pair rows (a, b, na, nb, inter).
@@ -254,10 +279,15 @@ def _shingle_pairs_reduce(max_df: int | None, pair_key_ref=None,
 
             bits = ray.get(pair_bloom_ref)
             idh = routing_hash(t["id"])
+            id_vals = pair_vals = None
+            if pair_vals_ref is not None:
+                pair_vals = ray.get(pair_vals_ref)
+                id_vals = t["id"].to_numpy(zero_copy_only=False)
             starts2, lens2 = starts.copy(), lens.copy()
             lens2[~keep] = 0
             a_idx, b_idx = _bloom_filtered_pairs(
-                idh, starts2, lens2, bits, pair_m_bits, pair_k
+                idh, starts2, lens2, bits, pair_m_bits, pair_k,
+                id_vals=id_vals, pair_vals=pair_vals,
             )
         else:
             a_idx, b_idx = _pair_indices(starts[keep], lens[keep])
@@ -484,6 +514,28 @@ def exact_jaccard_for_pair_ds(ds, cand, n: int = 3,
     bref = ray.put(bits)
     pbref = ray.put(pbits)
 
+    # hot-shingle guard, exact flavor: when the pair list is BOUNDED
+    # (<= cap) and ids are integers, broadcast the deduped (a, b) value
+    # arrays so reduce tasks flip hot runs from df²/2 bloom probes to
+    # O(P log df) searchsorted — the straggler killer.  Above the cap
+    # (the adversarial every-doc-a-dup regime) verification falls back
+    # to bloom probing and the driver still never holds the pair list.
+    pvref = None
+    _PAIR_FETCH_CAP = 5_000_000
+    sch = cand.schema()
+    a_t = sch.types[sch.names.index("a")]
+    if pa.types.is_integer(a_t) and cand.count() <= _PAIR_FETCH_CAP:
+        pdf = cand.to_pandas()
+        pa_v = pdf["a"].to_numpy(dtype=np.int64, copy=True)
+        pb_v = pdf["b"].to_numpy(dtype=np.int64, copy=True)
+        order = np.lexsort((pb_v, pa_v))
+        pa_v, pb_v = pa_v[order], pb_v[order]
+        first = np.empty(len(pa_v), dtype=bool)
+        if len(pa_v):
+            first[0] = True
+            first[1:] = (pa_v[1:] != pa_v[:-1]) | (pb_v[1:] != pb_v[:-1])
+        pvref = ray.put((pa_v[first], pb_v[first]))
+
     def explode(b: pa.Table) -> pa.Table:
         import ray as _r
 
@@ -498,7 +550,8 @@ def exact_jaccard_for_pair_ds(ds, cand, n: int = 3,
     partial = spill_exchange(
         ds.map_batches(explode, batch_format="pyarrow"), "sh",
         _shingle_pairs_reduce(None, pair_bloom_ref=pbref,
-                              pair_m_bits=pair_m_bits, pair_k=k_hashes),
+                              pair_m_bits=pair_m_bits, pair_k=k_hashes,
+                              pair_vals_ref=pvref),
         num_parts=num_parts, stats=st,
     )
 

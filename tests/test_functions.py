@@ -1401,3 +1401,64 @@ def test_filtered_run_pairs_hot_run_blockwise():
         want |= {(s + i, s + j) for i, j in zip(ii, jj) if i < j}
     assert got == want
     assert (3, 7) in got and (4090, 4100) in got and (L + 2, L + 5) in got
+
+
+def test_bloom_filtered_pairs_hot_run_pair_list():
+    """Verification hot-shingle guard: a run longer than _HOT_RUN uses
+    the candidate pair-list flip (O(P log df)); results must equal the
+    brute-force 'pairs with both endpoints in the run' set, and the
+    small-run bloom path must cover every candidate pair it contains."""
+    from lighthouse_ray.functions.joins import _bloom_positions
+    from lighthouse_ray.functions.dedup import (
+        _HOT_RUN,
+        _bloom_filtered_pairs,
+        combine_hashes,
+    )
+    from lighthouse_ray.functions.exchange import splitmix64
+
+    rng = np.random.RandomState(5)
+    L_hot, L_small = _HOT_RUN + 700, 37
+    n = L_hot + L_small
+    # sorted int64 ids per run (global sort within each run slice)
+    ids = np.concatenate([
+        np.sort(rng.choice(10_000_000, size=L_hot, replace=False)),
+        np.sort(rng.choice(10_000_000, size=L_small, replace=False)),
+    ]).astype(np.int64)
+    starts = np.array([0, L_hot], dtype=np.int64)
+    lens = np.array([L_hot, L_small], dtype=np.int64)
+    idh = splitmix64(ids.astype(np.uint64))
+
+    # candidate pairs: some inside the hot run, one in the small run,
+    # some spanning runs (never produced), some absent ids
+    cand = [
+        (ids[3], ids[900]), (ids[2500], ids[2600]), (ids[0], ids[L_hot - 1]),
+        (ids[L_hot + 2], ids[L_hot + 30]),
+        (ids[5], ids[L_hot + 5]),      # spans runs -> no emission
+        (123, 456),                    # ids not present
+    ]
+    pa_v = np.array(sorted(min(a, b) for a, b in cand), dtype=np.int64)
+    pb_v = np.array([max(a, b) for a, b in sorted(cand, key=lambda p: min(p))], dtype=np.int64)
+    m_bits, k_hashes = 1 << 16, 4
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    hh = combine_hashes(splitmix64(pa_v.astype(np.uint64)), splitmix64(pb_v.astype(np.uint64)))
+    pos = _bloom_positions(hh, m_bits, k_hashes).ravel()
+    np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+
+    a_idx, b_idx = _bloom_filtered_pairs(
+        idh, starts, lens, bits, m_bits, k_hashes,
+        id_vals=ids, pair_vals=(pa_v, pb_v),
+    )
+    got = {(ids[i], ids[j]) for i, j in zip(a_idx, b_idx)}
+    # expected: candidate pairs whose BOTH endpoints sit in one run
+    want = set()
+    for a, b in cand:
+        a, b = min(a, b), max(a, b)
+        for s, ln in zip(starts, lens):
+            run = set(ids[s : s + ln].tolist())
+            if a in run and b in run:
+                want.add((a, b))
+    assert want <= got  # bloom fp may add extras in the small run only
+    extras = got - want
+    for a, b in extras:  # extras must at least be same-run (i < j) pairs
+        assert any(a in set(ids[s:s+ln].tolist()) and b in set(ids[s:s+ln].tolist())
+                   for s, ln in zip(starts, lens))
