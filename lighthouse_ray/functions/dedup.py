@@ -890,6 +890,11 @@ def minhash_dedup_pairs(ds, threshold: float = 0.5, k: int = 3,
     and layouts.  Every emitted row satisfies the exact SQL predicate,
     which is how the driver oracle checks it.
 
+    CONTRACT: ``id_col`` must uniquely identify a text.  One id mapping
+    to several different texts makes per-doc sizes (na/nb) ill-defined
+    and the output partition-layout-dependent (observed on a corpus
+    whose derived ids collided) — dedupe or re-key upstream first.
+
     Candidates stay a DATASET end-to-end: verification routes them
     through :func:`exact_jaccard_for_pair_ds` (bloom id filter + marker
     join), so the driver never holds the pair list — a corpus where

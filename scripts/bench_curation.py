@@ -82,7 +82,12 @@ def big_documents_dir(n_docs: int) -> str:
     from bench import corpus_dir
     from lighthouse_ray.corpus import CORPUS_VERSION
 
-    out = f"/tmp/lighthouse_bigdocs_v{CORPUS_VERSION}_d{n_docs}"
+    # v2u: doc_id hashes the CONTENT as well — the corpus deliberately
+    # reuses (repo, path, commit) across different rows (README.md
+    # rows share the logical key), and a documents table with one
+    # doc_id -> many texts makes per-doc stats ill-defined (verified:
+    # it made verified-pair jaccards depend on partition layout)
+    out = f"/tmp/lighthouse_bigdocs_v{CORPUS_VERSION}u_d{n_docs}"
     marker = os.path.join(out, ".complete")
     if os.path.exists(marker):
         return out
@@ -95,8 +100,12 @@ def big_documents_dir(n_docs: int) -> str:
         repo = b["repo"].to_pylist()
         path = b["path"].to_pylist()
         commit = b["commit"].to_pylist()
+        content = b["content"].to_pylist()
         for i in range(b.num_rows):
-            h = hashlib.sha1(f"{repo[i]}\0{path[i]}\0{commit[i]}".encode()).digest()
+            h = hashlib.sha1(
+                f"{repo[i]}\0{path[i]}\0{commit[i]}\0".encode()
+                + content[i].encode()
+            ).digest()
             ids[i] = int.from_bytes(h[:8], "big") >> 1  # nonneg int63
         return pa.table({
             "doc_id": pa.array(ids),
@@ -144,9 +153,13 @@ def main() -> dict:
 
     with ScratchSampler(XCHG_ROOT) as samp:
         t0 = time.time()
+        # num_parts scales with corpus (spill_exchange contract: a few x
+        # total cores at scale) — 128 parts balance the sketch-filter
+        # reduce across 32 cores; the hottest single band-bucket run is
+        # the irreducible tail (~10 s)
         pairs = minhash_dedup_pairs(
             rd.read_parquet(os.path.join(docs_dir, "documents.parquet"), columns=["doc_id", "text"]),
-            threshold=0.5, k=3,
+            threshold=0.5, k=3, num_parts=128,
         ).materialize()
         results["minhash_pairs_sec"] = round(time.time() - t0, 2)
         results["minhash_pairs"] = pairs.count()
