@@ -1071,7 +1071,8 @@ def embedding_cosine_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id",
     import pyarrow.parquet as pq
     import ray.data as rd
 
-    root = os.path.join("/tmp/lighthouse_ray_xchg", "emb-" + uuid.uuid4().hex[:16])
+    from .exchange import xchg_base
+    root = os.path.join(xchg_base(), "emb-" + uuid.uuid4().hex[:16])
     os.makedirs(root, exist_ok=True)
 
     def write_block(batch: pa.Table) -> pa.Table:

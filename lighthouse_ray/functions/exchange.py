@@ -33,6 +33,15 @@ import pyarrow.parquet as pq
 
 from ..util import atomic_write_bytes
 
+
+def xchg_base() -> str:
+    """Base directory for exchange spill roots.  Resolved on the driver
+    (workers receive the concrete root path), so an env override only
+    needs to be set in the driver process — tests use it to isolate
+    their scratch from concurrently running pipelines."""
+    return os.environ.get("LIGHTHOUSE_RAY_XCHG_ROOT", "/tmp/lighthouse_ray_xchg")
+
+
 _SPLITMIX_C1 = np.uint64(0xBF58476D1CE4E5B9)
 _SPLITMIX_C2 = np.uint64(0x94D049BB133111EB)
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
@@ -179,9 +188,7 @@ def spill_exchange(ds, key, reduce_fn, num_parts: int = 32, spill_root: str | No
     """
     import ray.data as rd
 
-    root = spill_root or os.path.join(
-        "/tmp/lighthouse_ray_xchg", uuid.uuid4().hex[:16]
-    )
+    root = spill_root or os.path.join(xchg_base(), uuid.uuid4().hex[:16])
     os.makedirs(root, exist_ok=True)
     manifest = ds.map_batches(
         _SpillMap(key, num_parts, root, digest_cols=digest_cols), batch_format="pyarrow"

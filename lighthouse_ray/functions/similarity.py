@@ -87,9 +87,9 @@ def knn_graph(ds, k: int = 3, id_col: str = "vec_id", vec_col: str = "embedding"
 
     from ..util import atomic_write_bytes
     from .dedup import _run_bounds
-    from .exchange import spill_exchange
+    from .exchange import spill_exchange, xchg_base
 
-    root = os.path.join("/tmp/lighthouse_ray_xchg", "knn-" + uuid.uuid4().hex[:16])
+    root = os.path.join(xchg_base(), "knn-" + uuid.uuid4().hex[:16])
     os.makedirs(root, exist_ok=True)
 
     def write_block(batch: pa.Table) -> pa.Table:

@@ -559,18 +559,20 @@ def test_range_join_count_edges(ray_session):
     assert got == {10: 3, 11: 0}
 
 
-def test_exchange_scratch_bounded(ray_session):
+def test_exchange_scratch_bounded(ray_session, tmp_path, monkeypatch):
     """Chained exchanges must GC their predecessors' spill roots: a
     full ngram->CC pipeline may leave at most its output-sized tail
     roots behind (the caller-held lazy reduces), never one root per
-    exchange/round."""
+    exchange/round.  Runs against a private exchange base so pipelines
+    running concurrently on the box can't pollute the count."""
     import os
 
     import ray.data as rd
 
     from lighthouse_ray.functions.dedup import connected_components, ngram_jaccard_pairs
 
-    root = "/tmp/lighthouse_ray_xchg"
+    root = str(tmp_path / "xchg")
+    monkeypatch.setenv("LIGHTHOUSE_RAY_XCHG_ROOT", root)
     before = set(os.listdir(root)) if os.path.isdir(root) else set()
     rows = [BASE, NEAR, BASE + " tail", OTHER, "another unrelated stream doc"] * 10
     docs = rd.from_arrow(_docs_table(rows))
