@@ -68,6 +68,37 @@ class _Cursor:
         return int(self.blk_last[j]) if j < len(self.blk_last) else _INF
 
 
+def _dense_topk(
+    reader: IndexReader,
+    field: str,
+    terms: list[str],
+    k: int,
+    live: "np.ndarray | None",
+) -> list[tuple[int, float]]:
+    """Vectorized dense-regime top-k: exactly the exhaustive scorer
+    (same accumulation order, so scores are bit-identical to
+    :func:`exhaustive_topk`) plus the live mask and an
+    argpartition-with-exact-tie-recovery cut instead of a full sort."""
+    from .scoring import Scorer
+
+    res = Scorer(reader).match(field, list(dict.fromkeys(terms)))
+    mask = res.mask if live is None else (res.mask & live)
+    cand = np.flatnonzero(mask)
+    if len(cand) == 0:
+        return []
+    scores = res.scores[cand]
+    if len(cand) > k:
+        # kth-largest score, then keep every candidate at or above it:
+        # ordinal ties at the boundary survive into the final lexsort,
+        # so the cut can never reorder the (score desc, ordinal asc)
+        # contract
+        s_k = -np.partition(-scores, k - 1)[k - 1]
+        keep = scores >= s_k
+        cand, scores = cand[keep], scores[keep]
+    order = np.lexsort((cand, -scores))[:k]
+    return [(int(cand[i]), float(scores[i])) for i in order]
+
+
 def wand_topk(
     reader: IndexReader,
     field: str,
@@ -75,6 +106,7 @@ def wand_topk(
     k: int = 10,
     use_block_max: bool = True,
     live: "np.ndarray | None" = None,
+    dense_cutoff: float = 0.05,
 ) -> list[tuple[int, float]]:
     """Top-k (ordinal, score) for an OR-of-terms BM25 query.
 
@@ -85,22 +117,33 @@ def wand_topk(
     False are skipped — they never enter the heap, so the heap stays at
     k and the θ threshold reflects live docs only.  Used by delta-aware
     serving (IncrementalIndex) instead of over-fetching k + n_shadowed.
-    """
+
+    ``dense_cutoff``: when Σdf >= cutoff × n_docs the query is in the
+    DENSE regime — per-pivot skipping cannot prune meaningfully (a hot
+    term's cursor visits nearly every document) and the pivot loop's
+    per-doc constant dominates, so the traversal switches to the
+    vectorized exhaustive scorer (rank- and score-identical; conformance
+    tested).  Block-max WAND remains the path for selective queries,
+    where it touches a tiny fraction of the postings.  0 disables the
+    pivot loop entirely; ``float('inf')`` forces it (tests)."""
     k1, b = reader.k1, reader.b
     n = reader.n_docs
-    dl = reader.doclens(field).astype(np.float64)
-    avgdl = reader.avgdl(field)
-
     from .scoring import Scorer
 
     sc = Scorer(reader)
-    cursors: list[_Cursor] = []
+    tps = []
     for t in dict.fromkeys(terms):  # unique, order-preserving
         tp = reader.lookup(field, t)
         if tp is not None and tp.df:
-            cursors.append(_Cursor(tp, sc.idf(tp.df), k1, b))
-    if not cursors:
+            tps.append(tp)
+    if not tps:
         return []
+    if sum(tp.df for tp in tps) >= dense_cutoff * n:
+        return _dense_topk(reader, field, terms, k, live)
+
+    dl = reader.doclens(field).astype(np.float64)
+    avgdl = reader.avgdl(field)
+    cursors: list[_Cursor] = [_Cursor(tp, sc.idf(tp.df), k1, b) for tp in tps]
 
     # min-heap of (score, -ordinal): worst entry = lowest score, then
     # largest ordinal — matches (score desc, ordinal asc) top-k

@@ -39,12 +39,16 @@ def reader(ray_session, tmp_path_factory):
 
 @pytest.mark.parametrize("q", QUERIES)
 @pytest.mark.parametrize("k", [1, 5, 10, 50])
-def test_wand_matches_exhaustive(reader, q, k):
+@pytest.mark.parametrize("cutoff", [0.0, float("inf")])
+def test_wand_matches_exhaustive(reader, q, k, cutoff):
+    """cutoff=0 forces the vectorized dense traversal, inf forces the
+    pivot loop — BOTH must be result-identical to the exhaustive
+    reference."""
     from lighthouse_ray.query.wand import exhaustive_topk, wand_topk
 
     terms = tokenize_text(q)
     want = exhaustive_topk(reader, "content", terms, k)
-    got = wand_topk(reader, "content", terms, k)
+    got = wand_topk(reader, "content", terms, k, dense_cutoff=cutoff)
     assert [d for d, _ in got] == [d for d, _ in want]
     np.testing.assert_allclose([s for _, s in got], [s for _, s in want], rtol=1e-12)
 
@@ -71,7 +75,8 @@ def test_wand_other_fields(reader):
 
 @pytest.mark.parametrize("q", QUERIES[:5])
 @pytest.mark.parametrize("seed", [1, 2])
-def test_wand_live_mask_matches_filtered_exhaustive(reader, q, seed):
+@pytest.mark.parametrize("cutoff", [0.0, float("inf")])
+def test_wand_live_mask_matches_filtered_exhaustive(reader, q, seed, cutoff):
     """Masked WAND (delta-aware serving) must equal the exhaustive
     scorer restricted to live docs — including when the mask removes
     docs that would have made the unmasked top-k."""
@@ -82,7 +87,7 @@ def test_wand_live_mask_matches_filtered_exhaustive(reader, q, seed):
     live = rng.rand(reader.n_docs) > 0.3  # ~30% shadowed
     want = [(d, s) for d, s in exhaustive_topk(reader, "content", terms, reader.n_docs)
             if live[d]][:10]
-    got = wand_topk(reader, "content", terms, 10, live=live)
+    got = wand_topk(reader, "content", terms, 10, live=live, dense_cutoff=cutoff)
     assert [d for d, _ in got] == [d for d, _ in want]
     np.testing.assert_allclose([s for _, s in got], [s for _, s in want], rtol=1e-12)
 
