@@ -35,9 +35,12 @@ id), so results are independent of block layout and parallelism.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 from ..analysis import flat_tokens
 from .exchange import combine_hashes, spill_exchange
@@ -922,6 +925,302 @@ def minhash_dedup_pairs(ds, threshold: float = 0.5, k: int = 3,
         lambda b: b.filter(pc.greater_equal(b["jaccard"], threshold)),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup: persisted minhash band index + probe
+# ---------------------------------------------------------------------------
+#
+# The daily-ingest path of a production curation pipeline: the corpus's
+# banded minhash signatures are persisted ONCE as hash-partitioned
+# parquet (the IVF-bucket pattern from functions/similarity.py), and
+# each new batch of documents probes only the partitions its own band
+# hashes route to — the corpus text is never re-shingled, and the
+# corpus side of the LSH exchange is never recomputed.  This is the
+# near-dup analog of the reference's incremental claim sync
+# (/root/reference/app/jobs/chainquery/chainquery.go:94-166: new rows
+# are synced against the EXISTING index, not a rebuild).
+
+
+def _minhash_band_rows(batch: pa.Table, text_col: str, id_col: str,
+                       num_perm: int, bands: int, k: int) -> pa.Table:
+    """(band, bhash, id, sig8) rows for one batch — the persisted and
+    the probed unit of the incremental near-dup index.  ``sig8`` is the
+    low byte of each minhash value (the hot-bucket sketch carried by
+    :func:`minhash_lsh_candidates` when its pre-filter is armed)."""
+    sigt = minhash_signatures(batch, text_col, id_col, num_perm, k)
+    n = sigt.num_rows
+    empty = pa.table({
+        "band": pa.array([], type=pa.int32()),
+        "bhash": pa.array([], type=pa.uint64()),
+        "id": pa.array([], type=pa.int64()),
+        "sig8": pa.array([], type=pa.binary(num_perm)),
+    })
+    if n == 0:
+        return empty
+    sigs = np.asarray(sigt["sig"].combine_chunks().flatten()).reshape(n, num_perm)
+    # all-max sentinel = doc with no shingles: must not pair
+    sel = np.flatnonzero(~(sigs == np.iinfo(np.uint64).max).all(axis=1))
+    m = len(sel)
+    if m == 0:
+        return empty
+    bh = _band_hashes(sigs.astype(np.uint64), bands)
+    ids = sigt[id_col].combine_chunks().cast(pa.int64())
+    sk = np.repeat((sigs[sel] & np.uint64(0xFF)).astype(np.uint8), bands, axis=0)
+    return pa.table({
+        "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), m)),
+        "bhash": pa.array(bh[sel].reshape(-1)),
+        "id": pc.take(ids, pa.array(np.repeat(sel, bands))),
+        "sig8": pa.Array.from_buffers(
+            pa.binary(num_perm), m * bands, [None, pa.py_buffer(sk.tobytes())]
+        ),
+    })
+
+
+def _cross_pair_indices(pstarts, plens, sstarts, slens) -> tuple[np.ndarray, np.ndarray]:
+    """Cross-side index pairs for matched runs: every probe row of run r
+    pairs with every stored row of the matching stored run (vectorized
+    across runs, the cross sibling of :func:`_pair_indices`)."""
+    counts = (plens * slens).astype(np.int64)
+    M = int(counts.sum())
+    if M == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    run_of_pair = np.repeat(np.arange(len(counts)), counts)
+    cum = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=cum[1:])
+    off = np.arange(M, dtype=np.int64) - cum[run_of_pair]
+    sl = slens[run_of_pair]
+    ai = pstarts[run_of_pair] + off // sl
+    bi = sstarts[run_of_pair] + off % sl
+    return ai, bi
+
+
+def minhash_index_write(ds, index_dir: str, *, text_col: str = "text",
+                        id_col: str = "doc_id", num_perm: int = 64,
+                        bands: int = 32, k: int = 3, num_parts: int = 32) -> dict:
+    """Persist a corpus's banded minhash signatures as a PROBE-ABLE
+    index: one map pass computes (band, bhash, id, sig8) rows and
+    spills them hash-partitioned by (band, bhash) — ``part =
+    combine_hashes(routing_hash(band), routing_hash(bhash)) %
+    num_parts``, the exact :class:`_SpillMap` routing, so a probe
+    recomputes the partition from its own rows.  ``meta.json`` (written
+    atomically LAST, so its presence marks the index complete) records
+    the parameters and the per-partition file manifest — probes read
+    only manifest-listed files, making the write idempotent under task
+    retries.  No shuffle: the index is exactly one map pass over the
+    corpus, O(corpus) work, O(num_perm x bands) bytes per doc."""
+    import json
+
+    from .exchange import _SpillMap
+
+    sig_root = os.path.join(index_dir, "sig")
+    os.makedirs(sig_root, exist_ok=True)
+
+    def explode(b: pa.Table) -> pa.Table:
+        return _minhash_band_rows(b, text_col, id_col, num_perm, bands, k)
+
+    manifest = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .map_batches(_SpillMap(["band", "bhash"], num_parts, sig_root),
+                     batch_format="pyarrow")
+        .take_all()
+    )
+    part_files: dict[int, list[str]] = {}
+    for r in manifest:
+        p = int(r["part"])
+        if p >= 0:
+            part_files.setdefault(p, []).append(r["file"])
+    meta = {
+        "num_perm": num_perm, "bands": bands, "k": k, "num_parts": num_parts,
+        "parts": {str(p): sorted(fs) for p, fs in part_files.items()},
+    }
+    from ..util import atomic_write_bytes
+
+    atomic_write_bytes(
+        os.path.join(index_dir, "meta.json"),
+        json.dumps(meta, sort_keys=True).encode(),
+    )
+    return meta
+
+
+def minhash_index_probe(new_ds, corpus_ds, index_dir: str, *,
+                        threshold: float = 0.5, text_col: str = "text",
+                        id_col: str = "doc_id", num_parts: int = 32):
+    """Near-dup pairs (a=new doc, b=corpus doc) of a NEW batch against a
+    persisted :func:`minhash_index_write` index, exact-verified.
+
+    1. the new batch (typically ≪ corpus) explodes to (band, bhash, id,
+       sig8) rows and is exchanged by the index's own partition
+       function;
+    2. each reduce task reads ONLY its partition's manifest-listed
+       signature files, sorts both sides by the combined band-hash key,
+       and emits cross-side candidate pairs per matching key run —
+       pre-filtered by the sig8 sketch at ``threshold/2`` agreement
+       (identical miss-probability argument to
+       :func:`minhash_lsh_candidates`: ~2e-5 at j >= 0.5, below the
+       banding's own (1-j^2)^32 <= 7e-5);
+    3. candidates flow as a DATASET into
+       :func:`exact_jaccard_for_pair_ds` over new ∪ corpus (the bloom
+       id filter re-shingles only candidate docs), keep
+       jaccard >= threshold.
+
+    CONTRACT: int64 ids, unique across BOTH sides (new ids must not
+    collide with corpus ids).  New-vs-new pairs inside the batch are
+    not emitted — run :func:`minhash_dedup_pairs` on the batch for
+    those.  Cost per probe: one map pass over the new batch + reads of
+    the touched index partitions; the corpus text is touched only for
+    the candidate sliver."""
+    import json
+
+    from .exchange import routing_hash
+
+    with open(os.path.join(index_dir, "meta.json")) as fh:
+        meta = json.load(fh)
+    num_perm, bands, k = meta["num_perm"], meta["bands"], meta["k"]
+    P = meta["num_parts"]
+    part_files = {int(p): fs for p, fs in meta["parts"].items()}
+    min_agree = int(np.ceil(num_perm * (threshold / 2.0)))
+    sig_root = os.path.join(index_dir, "sig")
+    pair_empty = pa.table(
+        {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}
+    )
+
+    def explode(b: pa.Table) -> pa.Table:
+        return _minhash_band_rows(b, text_col, id_col, num_perm, bands, k)
+
+    def _key(t: pa.Table) -> np.ndarray:
+        return combine_hashes(routing_hash(t["band"]), routing_hash(t["bhash"]))
+
+    def probe_reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pair_empty
+        kh = _key(t)
+        g = int(kh[0] % np.uint64(P))
+        files = part_files.get(g)
+        if not files:
+            return pair_empty
+        s = pa.concat_tables(
+            [pq.read_table(os.path.join(sig_root, f"part={g}", f)) for f in files]
+        ).combine_chunks()
+        sk = _key(s)
+        s_ord = np.argsort(sk, kind="stable")
+        sk_s = sk[s_ord]
+        p_ord = np.argsort(kh, kind="stable")
+        kh_s = kh[p_ord]
+        pch = np.empty(len(kh_s), dtype=bool)
+        pch[0] = True
+        np.not_equal(kh_s[1:], kh_s[:-1], out=pch[1:])
+        pstarts = np.flatnonzero(pch)
+        plens = np.diff(np.append(pstarts, len(kh_s)))
+        pkeys = kh_s[pstarts]
+        lo = np.searchsorted(sk_s, pkeys, side="left")
+        hi = np.searchsorted(sk_s, pkeys, side="right")
+        hit = hi > lo
+        if not hit.any():
+            return pair_empty
+        pstarts, plens = pstarts[hit], plens[hit]
+        sstarts, slens = lo[hit], (hi - lo)[hit]
+        psig = _fsb_bytes(t["sig8"], num_perm)[p_ord]
+        ssig = _fsb_bytes(s["sig8"], num_perm)[s_ord]
+        pids = t["id"].to_numpy(zero_copy_only=False)[p_ord]
+        sids = s["id"].to_numpy(zero_copy_only=False)[s_ord]
+        # chunk matched runs under the pair budget (a hot template run
+        # still costs plen*slen probes, but only once per probe batch
+        # and only sketch-agreeing ROWS survive)
+        keep_a: list[np.ndarray] = []
+        keep_b: list[np.ndarray] = []
+        ppr = (plens * slens).astype(np.int64)
+        cum = np.cumsum(ppr)
+        i = 0
+        while i < len(pstarts):
+            j = int(np.searchsorted(cum, (cum[i - 1] if i else 0) + _PAIR_CHUNK))
+            j = max(j, i + 1)
+            ai, bi = _cross_pair_indices(pstarts[i:j], plens[i:j], sstarts[i:j], slens[i:j])
+            if len(ai):
+                agree = (psig[ai] == ssig[bi]).sum(axis=1)
+                ok = agree >= min_agree
+                ai, bi = ai[ok], bi[ok]
+            if len(ai):
+                keep_a.append(pids[ai])
+                keep_b.append(sids[bi])
+            i = j
+        if not keep_a:
+            return pair_empty
+        av = np.concatenate(keep_a)
+        bv = np.concatenate(keep_b)
+        # canonical (min, max) orientation: the verification partials
+        # emit co-shingle pairs as (smaller id, larger id), and the
+        # marker join matches on exact (a, b) — re-oriented back to
+        # (new, corpus) after verification
+        pairs = pa.table(
+            {"a": pa.array(np.minimum(av, bv)), "b": pa.array(np.maximum(av, bv))}
+        )
+        # collapse cross-band duplicates within the partition (the
+        # verification marker join collapses the rest)
+        return pairs.group_by(["a", "b"], use_threads=False).aggregate([])
+
+    st: dict = {}
+    cand = spill_exchange(
+        new_ds.map_batches(explode, batch_format="pyarrow"),
+        ["band", "bhash"], probe_reduce, num_parts=P, stats=st,
+    )
+    both = new_ds.map_batches(
+        lambda b: b.select([id_col, text_col]), batch_format="pyarrow"
+    ).union(
+        corpus_ds.map_batches(
+            lambda b: b.select([id_col, text_col]), batch_format="pyarrow"
+        )
+    )
+    verified = exact_jaccard_for_pair_ds(
+        both, cand, n=k, text_col=text_col, id_col=id_col,
+        num_parts=num_parts, cleanup_after=[st["root"]],
+    )
+    # re-orient verified (min, max) pairs back to (a=new, b=corpus).
+    # The probe batch's id set is sync-batch-sized by contract (the
+    # reference caps sync iterations at 5000 rows,
+    # /root/reference/app/jobs/chainquery/chainquery.go:27), so one
+    # sorted int64 array broadcast via ray.put is bounded — the CORPUS
+    # id set is never collected.
+    import ray
+
+    new_ids = np.sort(
+        np.concatenate(
+            [
+                b["ids"].to_numpy(zero_copy_only=False)
+                for b in new_ds.map_batches(
+                    lambda t: pa.table({"ids": t[id_col].cast(pa.int64())}),
+                    batch_format="pyarrow",
+                ).iter_batches(batch_format="pyarrow")
+            ]
+            or [np.zeros(0, dtype=np.int64)]
+        )
+    )
+    nref = ray.put(new_ids)
+
+    def orient(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(b["jaccard"], threshold))
+        if b.num_rows == 0:
+            return b
+        import ray as _r
+
+        ids = _r.get(nref)
+        av = b["a"].to_numpy(zero_copy_only=False)
+        bv = b["b"].to_numpy(zero_copy_only=False)
+        if ids.size == 0:
+            a_is_new = np.zeros(len(av), dtype=bool)
+        else:
+            pos = np.searchsorted(ids, av)
+            a_is_new = (pos < len(ids)) & (ids[np.minimum(pos, len(ids) - 1)] == av)
+        return pa.table(
+            {
+                "a": pa.array(np.where(a_is_new, av, bv)),
+                "b": pa.array(np.where(a_is_new, bv, av)),
+                "inter": b["inter"],
+                "jaccard": b["jaccard"],
+            }
+        )
+
+    return verified.map_batches(orient, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -1910,6 +1910,71 @@ SELECT * FROM (
 """
 
 
+_SIG_INDEX_CACHE: dict[str, str] = {}
+
+
+def q_incremental_neardup(sf_dir: str):
+    """Incremental near-dup: the ~10% "incoming" split (the same md5
+    cut as q_hash_split's val side) probed against a PERSISTED minhash
+    band index built once over the other ~90% — the daily-ingest path
+    (new docs near-dup'd against the existing corpus without
+    re-shingling it; the near-dup analog of the reference's incremental
+    claim sync, /root/reference/app/jobs/chainquery/chainquery.go:94).
+    Emitted pairs are exact-verified, a = new doc, b = corpus doc."""
+    from ..functions.dedup import minhash_index_probe, minhash_index_write
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _side(b: pa.Table, want_new: bool) -> pa.Table:
+        h = _md5_hex_column(b["text"])
+        is_new = pc.greater_equal(pc.utf8_slice_codeunits(h, 0, 2), "e6")
+        return b.filter(is_new if want_new else pc.invert(is_new))
+
+    old = docs.map_batches(lambda b: _side(b, False), batch_format="pyarrow")
+    new = docs.map_batches(lambda b: _side(b, True), batch_format="pyarrow")
+    idx = _SIG_INDEX_CACHE.get(sf_dir)
+    if not (idx and os.path.exists(os.path.join(idx, "meta.json"))):
+        key = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+        idx = f"/tmp/lighthouse_ray_idx/sig-v1-{key}"
+        if not os.path.exists(os.path.join(idx, "meta.json")):
+            minhash_index_write(old, idx)
+        _SIG_INDEX_CACHE[sf_dir] = idx
+    return minhash_index_probe(new, old, idx, threshold=MINHASH_THRESHOLD)
+
+
+SQL_INCREMENTAL_NEARDUP = f"""
+WITH toks AS (SELECT doc_id, {TOK} AS t FROM documents),
+sides AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5(text), 1, 2) >= 'e6' THEN 1 ELSE 0 END AS side
+  FROM documents
+),
+sizes AS (
+  SELECT doc_id,
+         CAST(len(list_distinct(list_transform(range(1, len(t) - 1),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS BIGINT) AS nsh
+  FROM toks
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+  FROM toks
+),
+pairs AS (
+  SELECT n.doc_id AS a, o.doc_id AS b, CAST(count(*) AS BIGINT) AS inter
+  FROM sh n JOIN sides sn ON n.doc_id = sn.doc_id AND sn.side = 1
+       JOIN sh o ON n.s = o.s
+       JOIN sides so ON o.doc_id = so.doc_id AND so.side = 0
+  GROUP BY n.doc_id, o.doc_id
+)
+SELECT * FROM (
+  SELECT p.a, p.b, p.inter,
+         round(CAST(p.inter AS DOUBLE) / (sa.nsh + sb.nsh - p.inter), 6) AS jaccard
+  FROM pairs p JOIN sizes sa ON p.a = sa.doc_id JOIN sizes sb ON p.b = sb.doc_id
+) WHERE jaccard >= {MINHASH_THRESHOLD}
+"""
+
+
 def q_simhash_dedup(sf_dir: str):
     """ALL pairs with simhash hamming <= 3 (pigeonhole bands have
     recall exactly 1, and token hashes are md5-low64, so the SQL oracle
@@ -2915,6 +2980,7 @@ def make_queries() -> dict:
         "knn_graph": q_knn_graph,
         "multimodal_meta": q_multimodal_meta,
         "minhash_lsh": q_minhash_lsh,
+        "incremental_neardup": q_incremental_neardup,
         "simhash_dedup": q_simhash_dedup,
         "ann_ivf_topk": q_ann_ivf_topk,
         "decontaminate": q_decontaminate,
@@ -2990,6 +3056,7 @@ def make_oracle_sql() -> dict:
         # simhash: pigeonhole recall is exactly 1 == exact SQL;
         # ann_ivf: full-probe mode == brute force == the cosine SQL
         "minhash_lsh": SQL_MINHASH_LSH,
+        "incremental_neardup": SQL_INCREMENTAL_NEARDUP,
         "simhash_dedup": SQL_SIMHASH_DEDUP,
         "ann_ivf_topk": SQL_ANN_COSINE_TOPK,
         "decontaminate": SQL_DECONTAMINATE,

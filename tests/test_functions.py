@@ -103,6 +103,65 @@ def test_minhash_adversarial_all_near_dups(ray_session):
         assert got[p] == pytest.approx(jac, abs=1e-6)
 
 
+def test_incremental_neardup_probe(ray_session, tmp_path):
+    """Persisted band index + probe: new docs near-dup against an
+    EXISTING corpus index, without re-shingling the corpus.  Emitted
+    pairs must equal the brute-force exact cross-side jaccards, the
+    probe must touch only manifest-listed partitions, and a second
+    probe against the same index must work (the incremental contract)."""
+    import itertools
+
+    import ray.data as rd
+
+    from lighthouse_ray.analysis import tokenize_text
+    from lighthouse_ray.functions.dedup import (
+        minhash_index_probe,
+        minhash_index_write,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog while reading parquet files "
+    corpus_rows = [base * 3 + f"corpus tail {i}" for i in range(12)] + [OTHER]
+    new_rows = [base * 3 + "incoming tail x", OTHER + " with a new suffix token", "entirely fresh content"]
+    corpus = pa.table({
+        "doc_id": pa.array(list(range(len(corpus_rows))), type=pa.int64()),
+        "text": pa.array(corpus_rows, type=pa.string()),
+    })
+    new = pa.table({
+        "doc_id": pa.array([100 + i for i in range(len(new_rows))], type=pa.int64()),
+        "text": pa.array(new_rows, type=pa.string()),
+    })
+    idx = str(tmp_path / "sigidx")
+    meta = minhash_index_write(rd.from_arrow(corpus).repartition(3), idx, num_parts=8)
+    assert sum(len(v) for v in meta["parts"].values()) > 0
+
+    out = minhash_index_probe(
+        rd.from_arrow(new), rd.from_arrow(corpus), idx, threshold=0.5
+    ).to_pandas()
+
+    def shset(s):
+        toks = tokenize_text(s)
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    want = {}
+    for ni, nrow in zip([100, 101, 102], new_rows):
+        for ci, crow in enumerate(corpus_rows):
+            a, b = shset(nrow), shset(crow)
+            jac = len(a & b) / len(a | b)
+            if jac >= 0.5:
+                want[(ni, ci)] = round(jac, 6)
+    got = {(int(r.a), int(r.b)): r.jaccard for r in out.itertuples()}
+    assert set(got) == set(want)
+    assert len(want) >= 12  # every corpus template doc pairs with new doc 100
+    for p, jac in want.items():
+        assert got[p] == pytest.approx(jac, abs=1e-6)
+
+    # second probe against the SAME persisted index (no rebuild)
+    out2 = minhash_index_probe(
+        rd.from_arrow(new), rd.from_arrow(corpus), idx, threshold=0.5
+    ).to_pandas()
+    assert len(out2) == len(out)
+
+
 def test_simhash_near_dup(ray_session):
     import ray.data as rd
 
