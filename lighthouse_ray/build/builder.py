@@ -82,7 +82,7 @@ def build_index(
     os.makedirs(index_dir, exist_ok=True)
     manifest = _load_manifest(index_dir) if resume else {"stages": {}}
     if not resume:
-        for sub in ("docstore", "docmeta", "postings", "segments", "doclens", "payload", "payload_dfsample", "ordmap"):
+        for sub in ("docstore", "docmeta", "postings", "segments", "doclens", "payload", "payload_dfsample", "ordmap", "ordmap_spill"):
             shutil.rmtree(os.path.join(index_dir, sub), ignore_errors=True)
     # a resume with a different LAYOUT config would mix incompatible
     # partitioning/encoding decisions into one index — refuse loudly.
@@ -91,7 +91,7 @@ def build_index(
     layout_keys = (
         "num_doc_parts", "num_term_shards", "k1", "b", "block_size",
         "hot_df_ratio", "salt_range", "df_sample_mod", "dl_shift",
-        "num_shard_groups", "route_deletes", "now_ts",
+        "num_shard_groups", "ordmap_groups", "route_deletes", "now_ts",
     )
     if resume and "config" in manifest:
         old = manifest["config"]
@@ -165,6 +165,47 @@ def build_index(
     n_docs = sum(part_rows.values())
 
     ordmap_dir = os.path.join(index_dir, "ordmap")
+
+    # ---- Stage A2: ordmap compact -------------------------------------------
+    # Reduce half of the ordinal-sidecar exchange: one task per payload-
+    # file group merges that group's per-part spills into one sidecar
+    # per payload file (docs.compact_ordmap_group).  Everything
+    # downstream (hot-term live mask, tokenize) then reads exactly ONE
+    # file per payload file.  Idempotent per group; a group whose spill
+    # dir is already gone was compacted by a previous attempt.
+    if "ordmap_compact" not in stages:
+        t0 = time.time()
+        from .docs import compact_ordmap_group
+
+        spill_root = os.path.join(index_dir, "ordmap_spill")
+        grps = (
+            sorted(
+                int(d.split("=", 1)[1])
+                for d in os.listdir(spill_root)
+                if d.startswith("grp=")
+            )
+            if os.path.isdir(spill_root)
+            else []
+        )
+        n_sidecars = 0
+        if grps:
+
+            def compact(b: pa.Table) -> pa.Table:
+                outs = [compact_ordmap_group(index_dir, int(g)) for g in b["grp"].to_pylist()]
+                return pa.table({"n": pa.array(outs, type=pa.int64())})
+
+            n_sidecars = int(
+                sum(
+                    r["n"]
+                    for r in rd.from_items(
+                        [{"grp": g} for g in grps], override_num_blocks=len(grps)
+                    )
+                    .map_batches(compact, batch_format="pyarrow", batch_size=None)
+                    .take_all()
+                )
+            )
+        stages["ordmap_compact"] = {"sec": round(time.time() - t0, 3), "sidecars": n_sidecars}
+        atomic_write_json(_manifest_path(index_dir), manifest)
 
     # ---- Stage H: hot-term estimate ----------------------------------------
     if "hot_terms" not in stages:
@@ -462,7 +503,7 @@ def build_index(
     # spills.  At 100 TB leaving these would double the index footprint
     # (postings spill ~= segment bytes; docmeta spill ~= docstore).
     if cfg.cleanup_spills:
-        for sub in ("postings", "docmeta", "payload_dfsample", "ordmap"):
+        for sub in ("postings", "docmeta", "payload_dfsample", "ordmap", "ordmap_spill"):
             shutil.rmtree(os.path.join(index_dir, sub), ignore_errors=True)
 
     n_postings = sum(v["n_postings"] for v in seg_done.values())

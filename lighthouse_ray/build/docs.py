@@ -18,12 +18,15 @@ one ``finalize_part`` task per partition over its own spill files.
   where the offsets come from the per-partition counts recorded in the
   manifest.  Nothing depends on block arrival order or CPU count.
 - **ordinal sidecars instead of a broadcast map**: each finalize task
-  also writes, per payload file it saw winner rows from, a tiny
-  ``(payload_row, part, rank)`` sidecar under ``ordmap/<file>/``.  The
-  tokenize stage for payload file F reads only F's sidecars (bytes
-  O(F's rows)) and assigns ``ordinal = offsets[part] + rank`` by row
-  position — no whole-corpus id→ordinal state exists anywhere, on the
-  driver or in workers, at any corpus size.
+  spills its winner rows' ``(payload_file, payload_row, rank)`` per
+  payload-file GROUP (``ordmap_spill/grp={g}/part-{p}.parquet``); the
+  ordmap-compact stage then merges each group into ONE
+  ``ordmap/<stem>.parquet`` sidecar per payload file.  The tokenize
+  stage for payload file F reads exactly one file (bytes O(F's rows))
+  and assigns ``ordinal = offsets[part] + rank`` by row position — no
+  whole-corpus id→ordinal state exists anywhere, on the driver or in
+  workers, at any corpus size, and file operations are O(P x G + F),
+  never F x P.
 - per-row invariant: ``content_sha256`` computed at ingest and stored in
   the doc-store; a per-partition digest over the sorted row hashes goes
   into the manifest (lineage; BASELINE.json input_hint).
@@ -295,7 +298,7 @@ def make_finalize_part(index_dir: str, cfg: IndexConfig):
         # only ordinal state — each tokenize task reads only its own
         # file's sidecars, so no whole-corpus map is ever built.
         if "payload_file" in out.column_names:
-            write_ordmap_sidecars(index_dir, out, part)
+            write_ordmap_sidecars(index_dir, out, part, groups=cfg.ordmap_groups)
         sink = pa.BufferOutputStream()
         pq.write_table(out, sink, compression="zstd")
         atomic_write_bytes(
@@ -384,62 +387,135 @@ def make_finalize_group(index_dir: str, cfg: IndexConfig, meta_dir: str):
     return finalize_group
 
 
-def _sidecar_dir(ordmap_dir: str, payload_file: str) -> str:
+def _sidecar_path(ordmap_dir: str, payload_file: str) -> str:
     stem = payload_file[:-8] if payload_file.endswith(".parquet") else payload_file
-    return os.path.join(ordmap_dir, stem)
+    return os.path.join(ordmap_dir, f"{stem}.parquet")
 
 
-def write_ordmap_sidecars(index_dir: str, out: pa.Table, part: int) -> None:
-    """Per payload file touched by this partition's winner rows, write a
-    tiny ``(payload_row, part, rank)`` parquet under ``ordmap/<file>/``.
-    Rows are sorted by payload_row, so bytes are deterministic; the
-    path is deterministic per (file, part), so task retries overwrite
-    idempotently (atomic rename)."""
+def _ordmap_grp(payload_file: str, groups: int) -> int:
+    from ..util import stable_hash64
+
+    return stable_hash64(payload_file) % groups
+
+
+def write_ordmap_sidecars(index_dir: str, out: pa.Table, part: int,
+                          groups: int = 16) -> None:
+    """Map half of the ordmap exchange: this partition's winner rows are
+    spilled as ONE ``(payload_file, payload_row, rank)`` parquet per
+    payload-file GROUP (``grp = stable_hash64(file) % groups``) under
+    ``ordmap_spill/grp={g}/part-{part:05d}.parquet``.  The previous
+    layout (one tiny parquet per (payload file, part)) cost F x P file
+    operations — it doubled the sf0.1 build wall in per-file parquet
+    overhead alone.  :func:`compact_ordmap_group` is the reduce half:
+    one task per group merges its spills into one sidecar per payload
+    file.  Paths are deterministic per (grp, part), so task retries
+    overwrite idempotently (atomic rename)."""
     pf = out["payload_file"].combine_chunks().dictionary_encode()
     codes = pf.indices.to_numpy(zero_copy_only=False)
     files = pf.dictionary.to_pylist()
-    rows = out["payload_row"].to_numpy(zero_copy_only=False).astype(np.int64)
-    ranks = out["rank"].to_numpy(zero_copy_only=False)
     n = len(codes)
     if n == 0:
         return
-    order = np.lexsort((rows, codes))
-    codes_s, rows_s, ranks_s = codes[order], rows[order], ranks[order]
+    grp_of_code = np.array([_ordmap_grp(f, groups) for f in files], dtype=np.int64)
+    grp = grp_of_code[codes]
+    rows = out["payload_row"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ranks = out["rank"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((rows, codes, grp))
+    codes_s, rows_s, ranks_s, grp_s = codes[order], rows[order], ranks[order], grp[order]
     change = np.empty(n, dtype=bool)
     change[0] = True
-    np.not_equal(codes_s[1:], codes_s[:-1], out=change[1:])
+    np.not_equal(grp_s[1:], grp_s[:-1], out=change[1:])
     starts = np.flatnonzero(change)
     ends = np.append(starts[1:], n)
-    ordmap_dir = os.path.join(index_dir, "ordmap")
+    spill_dir = os.path.join(index_dir, "ordmap_spill")
+    file_col_all = pc.take(pa.array(files, type=pa.string()), pa.array(codes_s))
     for s, e in zip(starts, ends):
         tbl = pa.table(
             {
+                "payload_file": file_col_all.slice(s, e - s),
                 "payload_row": pa.array(rows_s[s:e]),
-                "part": pa.array(np.full(e - s, part, dtype=np.int32)),
                 "rank": pa.array(ranks_s[s:e]),
             }
         )
         sink = pa.BufferOutputStream()
         pq.write_table(tbl, sink, compression="zstd", compression_level=1, write_statistics=False)
         atomic_write_bytes(
-            os.path.join(_sidecar_dir(ordmap_dir, files[int(codes_s[s])]), f"part-{part:05d}.parquet"),
+            os.path.join(spill_dir, f"grp={int(grp_s[s])}", f"part-{part:05d}.parquet"),
             sink.getvalue().to_pybytes(),
         )
+
+
+def compact_ordmap_group(index_dir: str, grp: int) -> int:
+    """Reduce half of the ordmap exchange: merge group ``grp``'s spill
+    files (one per doc-store partition that touched the group) into ONE
+    ``ordmap/<stem>.parquet`` sidecar per payload file, rows sorted by
+    payload_row, then drop the group's spill dir.  The part id is
+    recovered from each spill's filename.  Idempotent: merged writes
+    are atomic and a re-run with the spill dir already deleted is a
+    no-op (its sidecars are complete by construction).  Returns the
+    number of sidecars written."""
+    gdir = os.path.join(index_dir, "ordmap_spill", f"grp={grp}")
+    if not os.path.isdir(gdir):
+        return 0
+    ordmap_dir = os.path.join(index_dir, "ordmap")
+    pieces = []
+    for f in sorted(os.listdir(gdir)):
+        if not f.endswith(".parquet"):
+            continue
+        part = int(f[len("part-"):-len(".parquet")])
+        t = pq.read_table(os.path.join(gdir, f))
+        pieces.append(t.append_column(
+            "part", pa.array(np.full(t.num_rows, part, dtype=np.int32))
+        ))
+    written = 0
+    if pieces:
+        t = pa.concat_tables(pieces).combine_chunks()
+        pf = t["payload_file"].combine_chunks().dictionary_encode()
+        codes = pf.indices.to_numpy(zero_copy_only=False)
+        files = pf.dictionary.to_pylist()
+        rows = t["payload_row"].to_numpy(zero_copy_only=False)
+        parts_col = t["part"].to_numpy(zero_copy_only=False)
+        ranks = t["rank"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((rows, codes))
+        codes_s, rows_s, parts_s, ranks_s = (
+            codes[order], rows[order], parts_col[order], ranks[order]
+        )
+        n = len(codes_s)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        np.not_equal(codes_s[1:], codes_s[:-1], out=change[1:])
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        for s, e in zip(starts, ends):
+            tbl = pa.table(
+                {
+                    "payload_row": pa.array(rows_s[s:e]),
+                    "part": pa.array(parts_s[s:e].astype(np.int32)),
+                    "rank": pa.array(ranks_s[s:e]),
+                }
+            )
+            sink = pa.BufferOutputStream()
+            pq.write_table(tbl, sink, compression="zstd", compression_level=1,
+                           write_statistics=False)
+            atomic_write_bytes(
+                _sidecar_path(ordmap_dir, files[int(codes_s[s])]),
+                sink.getvalue().to_pybytes(),
+            )
+            written += 1
+    import shutil
+
+    shutil.rmtree(gdir, ignore_errors=True)
+    return written
 
 
 def read_sidecar(ordmap_dir: str, payload_file: str):
     """(payload_row, part, rank) arrays for one payload file (winner
     rows only); empty arrays when the file produced no winners."""
-    d = _sidecar_dir(ordmap_dir, payload_file)
-    if not os.path.isdir(d):
+    p = _sidecar_path(ordmap_dir, payload_file)
+    if not os.path.exists(p):
         z = np.zeros(0, dtype=np.int64)
         return z, z.astype(np.int32), z
-    parts = [
-        pq.read_table(os.path.join(d, f))
-        for f in sorted(os.listdir(d))
-        if f.endswith(".parquet")
-    ]
-    t = pa.concat_tables(parts)
+    t = pq.read_table(p)
     return (
         t["payload_row"].to_numpy(zero_copy_only=False),
         t["part"].to_numpy(zero_copy_only=False),

@@ -66,6 +66,12 @@ class IndexConfig:
     def shard_groups(self) -> int:
         return self.num_shard_groups or self.num_term_shards
 
+    # ordmap exchange: finalize tasks spill winner-row ordinal info per
+    # payload-file GROUP; one compact task per group then writes one
+    # sidecar per payload file.  File ops are O(P x G + F), never F x P.
+    # Size G to a few x cores at cluster scale.
+    ordmap_groups: int = 16
+
     # execution sizing
     tokenize_batch_size: int = 1024  # docs per tokenize batch (drop for MB-scale payloads)
     # False (default): tokenize as plain tasks on prewarmed workers with a
@@ -101,6 +107,7 @@ class IndexConfig:
             "df_sample_mod": self.df_sample_mod,
             "dl_shift": self.dl_shift,
             "num_shard_groups": self.num_shard_groups,
+            "ordmap_groups": self.ordmap_groups,
             "route_deletes": self.route_deletes,
             "now_ts": self.now_ts,
             "extra": self.extra,

@@ -108,7 +108,12 @@ def test_ordmap_sidecar_roundtrip(tmp_path):
     losers (rows absent from the sidecar) read back as -1."""
     import pyarrow as pa
 
-    from lighthouse_ray.build.docs import file_ordinals, sidecar_live_mask, write_ordmap_sidecars
+    from lighthouse_ray.build.docs import (
+        compact_ordmap_group,
+        file_ordinals,
+        sidecar_live_mask,
+        write_ordmap_sidecars,
+    )
 
     idx = str(tmp_path)
     # two payload files, winners interleaved across two partitions
@@ -128,6 +133,15 @@ def test_ordmap_sidecar_roundtrip(tmp_path):
         }
     )
     write_ordmap_sidecars(idx, out2, part=0)
+    # reduce half: merge each group's spills into one sidecar per file,
+    # dropping the spill dirs (idempotent: re-compacting is a no-op)
+    import os
+
+    spill = f"{idx}/ordmap_spill"
+    grps = [int(d.split("=", 1)[1]) for d in os.listdir(spill)]
+    assert sum(compact_ordmap_group(idx, g) for g in grps) == 2  # aa + bb
+    assert not os.path.isdir(spill) or not os.listdir(spill)
+    assert sum(compact_ordmap_group(idx, g) for g in grps) == 0  # idempotent
     ordmap = f"{idx}/ordmap"
     offsets = [0, 10]  # part 0 -> base 0, part 1 -> base 10
     got = file_ordinals(ordmap, "aa.parquet", 6, offsets)
