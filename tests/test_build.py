@@ -340,6 +340,46 @@ def test_actor_pool_tokenize_conformance(ray_session, built, tmp_path):
         assert a[k]["sha256"] == b[k]["sha256"], f"shard {k} differs (actor pool)"
 
 
+def test_resume_after_ordmap_compact_crash(ray_session, built, tmp_path):
+    """Crash between the ordmap-compact stage and the rest of the build
+    — including the case where the compact STAGE RECORD is lost but its
+    spill dirs are already consumed: the re-run compact must be a no-op
+    (sidecars are complete by construction) and the resumed build must
+    converge to the clean build's segments byte-for-byte."""
+    import ray.data as rd
+
+    from lighthouse_ray.build import build_index
+
+    idx, res = built
+    cfg = IndexConfig(**CFG.to_json())
+    cfg.cleanup_spills = False  # keep ordmap/ around to simulate from
+    idx6 = str(tmp_path / "index6")
+    build_index(rd.from_arrow(gen_corpus(N_DOCS)), idx6, cfg)
+    mpath = os.path.join(idx6, "manifest.json")
+    man = json.load(open(mpath))
+    # simulate: crash right after compact finished (spills consumed)
+    # with the manifest write lost — downstream stages also unrecorded
+    for st in ("ordmap_compact", "hot_terms", "postings", "segments"):
+        del man["stages"][st]
+    json.dump(man, open(mpath, "w"))
+    for sub in ("postings", "segments", "doclens"):
+        shutil.rmtree(os.path.join(idx6, sub), ignore_errors=True)
+    spill_root = os.path.join(idx6, "ordmap_spill")
+    assert not (
+        os.path.isdir(spill_root)
+        and any(d.startswith("grp=") for d in os.listdir(spill_root))
+    )  # spills consumed by the first compact
+    res6 = build_index(rd.from_arrow(gen_corpus(N_DOCS)), idx6, cfg, resume=True)
+    man6 = res6.manifest
+    assert man6["stages"]["ordmap_compact"]["sidecars"] == 0  # no-op re-run
+    # segments identical to the clean build
+    want = res.manifest["stages"]["segments"]["shards"]
+    got = man6["stages"]["segments"]["shards"]
+    assert {k: v["sha256"] for k, v in want.items()} == {
+        k: v["sha256"] for k, v in got.items()
+    }
+
+
 def test_resume_refuses_layout_mismatch(ray_session, built, tmp_path):
     import ray.data as rd
 
