@@ -141,7 +141,7 @@ def run_bench() -> dict:
                      "shard_stream", "dedup_keep", "domain_quota",
                      "facet_counts", "highlight_snippet", "spell_suggest",
                      "perplexity_filter", "semdedup", "substring_dup",
-                     "regex_search", "incremental_neardup"]:
+                     "regex_search", "incremental_neardup", "mix_weights"]:
             if time.time() - sweep_t0 > budget_s:
                 status[name] = "skipped_budget"
                 continue

@@ -807,6 +807,101 @@ WHERE substr(md5(text), 1, 4) <
 """
 
 
+# data-mixing weights per source (lang): how many EPOCHS of each source
+# the training mixture sees.  >1 oversamples by repetition (the LLM
+# data-mixture convention: "books seen 2.3 epochs"), <1 subsamples.
+# The fractional epoch keeps rows by content-hash threshold (first 4
+# md5 hex chars of "text#epoch"), so the mixture is deterministic at
+# any parallelism and duplicate payloads repeat identically.
+MIX_WEIGHTS = {"en": 0.5, "de": 2.3}  # other langs: 1.0
+_MIX_DEFAULT = 1.0
+
+
+def _mix_parts(w: float) -> tuple[int, str]:
+    """(full epochs, fractional-epoch hex threshold) for one weight."""
+    full = int(w)
+    frac = w - full
+    thr = format(int(frac * 65536), "04x") if frac > 0 else ""
+    return full, thr
+
+
+def q_mix_weights(sf_dir: str):
+    """Epoch-weighted data mixing: every source (lang) is repeated
+    floor(w) full epochs plus one fractional epoch sampled by content
+    hash — output rows (doc_id, lang, epoch).  The standard way a
+    training mixture oversamples small high-quality sources and
+    downsamples large ones; fully deterministic (pure row function, no
+    shuffle, no RNG state)."""
+    weights = {
+        lang: _mix_parts(w) for lang, w in MIX_WEIGHTS.items()
+    }
+    default = _mix_parts(_MIX_DEFAULT)
+    max_epoch = max(
+        [f + (1 if t else 0) for f, t in weights.values()]
+        + [default[0] + (1 if default[1] else 0)]
+    )
+
+    def f(b: pa.Table) -> pa.Table:
+        langs = b["lang"].to_pylist()
+        full = np.array([weights.get(l, default)[0] for l in langs], dtype=np.int64)
+        thr = pa.array(
+            [weights.get(l, default)[1] or "0000" for l in langs], type=pa.string()
+        )
+        outs = []
+        for e in range(max_epoch):
+            in_full = full > e
+            at_frac = full == e
+            if at_frac.any():
+                salted = pc.binary_join_element_wise(
+                    b["text"], pa.array([f"#{e}"] * b.num_rows, type=pa.string()), ""
+                )
+                h4 = pc.utf8_slice_codeunits(_md5_hex_column(salted), 0, 4)
+                frac_keep = pc.and_(pa.array(at_frac), pc.less(h4, thr))
+                keep = pc.or_(pa.array(in_full), frac_keep)
+            else:
+                keep = pa.array(in_full)
+            sub = pa.table({"doc_id": b["doc_id"], "lang": b["lang"]}).filter(keep)
+            outs.append(
+                sub.append_column(
+                    "epoch", pa.array(np.full(sub.num_rows, e, dtype=np.int64))
+                )
+            )
+        return pa.concat_tables(outs)
+
+    return _read(sf_dir, "documents", ["doc_id", "lang", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def _mix_sql_cases() -> tuple[str, str]:
+    fulls, thrs = [], []
+    for lang, w in MIX_WEIGHTS.items():
+        full, thr = _mix_parts(w)
+        fulls.append(f"WHEN '{lang}' THEN {full}")
+        thrs.append(f"WHEN '{lang}' THEN '{thr or '0000'}'")
+    dfull, dthr = _mix_parts(_MIX_DEFAULT)
+    return (
+        f"CASE lang {' '.join(fulls)} ELSE {dfull} END",
+        f"CASE lang {' '.join(thrs)} ELSE '{dthr or '0000'}' END",
+    )
+
+
+_MIX_FULL_SQL, _MIX_THR_SQL = _mix_sql_cases()
+_MIX_MAX_EPOCH = max(
+    int(w) + (1 if w != int(w) else 0) for w in list(MIX_WEIGHTS.values()) + [_MIX_DEFAULT]
+)
+
+SQL_MIX_WEIGHTS = f"""
+WITH e AS (SELECT unnest(range(0, {_MIX_MAX_EPOCH})) AS epoch)
+SELECT d.doc_id, d.lang, CAST(e.epoch AS BIGINT) AS epoch
+FROM documents d CROSS JOIN e
+WHERE e.epoch < ({_MIX_FULL_SQL})
+   OR (e.epoch = ({_MIX_FULL_SQL})
+       AND substr(md5(d.text || '#' || CAST(e.epoch AS VARCHAR)), 1, 4)
+           < ({_MIX_THR_SQL}))
+"""
+
+
 # ---------------------------------------------------------------------------
 # text quality / language stats (training-data ops; M2 analog)
 # ---------------------------------------------------------------------------
@@ -2981,6 +3076,7 @@ def make_queries() -> dict:
         "multimodal_meta": q_multimodal_meta,
         "minhash_lsh": q_minhash_lsh,
         "incremental_neardup": q_incremental_neardup,
+        "mix_weights": q_mix_weights,
         "simhash_dedup": q_simhash_dedup,
         "ann_ivf_topk": q_ann_ivf_topk,
         "decontaminate": q_decontaminate,
@@ -3057,6 +3153,7 @@ def make_oracle_sql() -> dict:
         # ann_ivf: full-probe mode == brute force == the cosine SQL
         "minhash_lsh": SQL_MINHASH_LSH,
         "incremental_neardup": SQL_INCREMENTAL_NEARDUP,
+        "mix_weights": SQL_MIX_WEIGHTS,
         "simhash_dedup": SQL_SIMHASH_DEDUP,
         "ann_ivf_topk": SQL_ANN_COSINE_TOPK,
         "decontaminate": SQL_DECONTAMINATE,
