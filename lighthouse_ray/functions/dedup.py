@@ -977,6 +977,42 @@ def _minhash_band_rows(batch: pa.Table, text_col: str, id_col: str,
     })
 
 
+def _doc_shingle_hash_sets(batch: pa.Table, text_col: str, k: int):
+    """Per-doc SORTED DISTINCT k-shingle hashes, string-set semantics:
+    only valid full windows count (docs with < k tokens have the empty
+    set, exactly like :func:`doc_shingles` — the synthetic short-doc
+    shingle that minhash signatures use is excluded).  Returns
+    (flat sorted-distinct uint64 hashes, per-doc offsets)."""
+    parents, _pos, terms, n = flat_tokens(batch[text_col])
+    tcodes = terms.dictionary_encode()
+    codes = tcodes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uh = _md5_low64(tcodes.dictionary.to_pylist())
+    th = uh[codes] if len(codes) else np.zeros(0, dtype=np.uint64)
+    L = len(th)
+    W = L - k + 1
+    if W <= 0:
+        return np.zeros(0, dtype=np.uint64), np.zeros(n + 1, dtype=np.int64)
+    sh = np.zeros(W, dtype=np.uint64)
+    for j in range(k):
+        c = th[j : j + W]
+        rot = ((c << np.uint64(j)) | (c >> np.uint64(64 - j))) if j else c
+        sh ^= rot
+    valid = parents[:W] == parents[k - 1 : k - 1 + W]
+    sh, par = sh[valid], parents[:W][valid]
+    # sort by (doc, hash) then drop per-doc duplicates
+    order = np.lexsort((sh, par))
+    sh, par = sh[order], par[order]
+    if len(sh):
+        keep = np.empty(len(sh), dtype=bool)
+        keep[0] = True
+        np.logical_or(par[1:] != par[:-1], sh[1:] != sh[:-1], out=keep[1:])
+        sh, par = sh[keep], par[keep]
+    counts = np.bincount(par, minlength=n)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=offs[1:])
+    return sh, offs
+
+
 def _cross_pair_indices(pstarts, plens, sstarts, slens) -> tuple[np.ndarray, np.ndarray]:
     """Cross-side index pairs for matched runs: every probe row of run r
     pairs with every stored row of the matching stored run (vectorized
@@ -997,7 +1033,8 @@ def _cross_pair_indices(pstarts, plens, sstarts, slens) -> tuple[np.ndarray, np.
 
 def minhash_index_write(ds, index_dir: str, *, text_col: str = "text",
                         id_col: str = "doc_id", num_perm: int = 64,
-                        bands: int = 32, k: int = 3, num_parts: int = 32) -> dict:
+                        bands: int = 32, k: int = 3, num_parts: int = 32,
+                        store_shingles: bool = True) -> dict:
     """Persist a corpus's banded minhash signatures as a PROBE-ABLE
     index: one map pass computes (band, bhash, id, sig8) rows and
     spills them hash-partitioned by (band, bhash) — ``part =
@@ -1008,31 +1045,61 @@ def minhash_index_write(ds, index_dir: str, *, text_col: str = "text",
     the parameters and the per-partition file manifest — probes read
     only manifest-listed files, making the write idempotent under task
     retries.  No shuffle: the index is exactly one map pass over the
-    corpus, O(corpus) work, O(num_perm x bands) bytes per doc."""
+    corpus, O(corpus) work, O(num_perm x bands) bytes per doc.
+
+    ``store_shingles`` (default): the same pass also persists each
+    doc's sorted distinct shingle-hash set (string-window semantics,
+    :func:`_doc_shingle_hash_sets`) partitioned by
+    ``routing_hash(id) % num_parts`` — the probe then exact-verifies
+    candidates from the stored sets and NEVER touches corpus text
+    (``minhash_index_probe(verify="stored")``)."""
     import json
 
     from .exchange import _SpillMap
 
     sig_root = os.path.join(index_dir, "sig")
+    sh_root = os.path.join(index_dir, "shingles")
     os.makedirs(sig_root, exist_ok=True)
+    sig_spill = _SpillMap(["band", "bhash"], num_parts, sig_root)
+    sh_spill = _SpillMap("id", num_parts, sh_root) if store_shingles else None
+    if store_shingles:
+        os.makedirs(sh_root, exist_ok=True)
 
     def explode(b: pa.Table) -> pa.Table:
-        return _minhash_band_rows(b, text_col, id_col, num_perm, bands, k)
+        rows = sig_spill(_minhash_band_rows(b, text_col, id_col, num_perm, bands, k))
+        rows = rows.append_column(
+            "kind", pa.array(["sig"] * rows.num_rows, type=pa.string())
+        )
+        if sh_spill is None:
+            return rows
+        flat, offs = _doc_shingle_hash_sets(b, text_col, k)
+        nsh = np.diff(offs)
+        blob_offs = (offs * 8).astype(np.int64)
+        sh_tbl = pa.table({
+            "id": b[id_col].cast(pa.int64()) if b.num_rows else pa.array([], type=pa.int64()),
+            "nsh": pa.array(nsh.astype(np.int64)),
+            "blob": pa.LargeBinaryArray.from_buffers(
+                pa.large_binary(), b.num_rows,
+                [None, pa.py_buffer(blob_offs.tobytes()), pa.py_buffer(flat.tobytes())],
+            ),
+        })
+        rows2 = sh_spill(sh_tbl)
+        rows2 = rows2.append_column(
+            "kind", pa.array(["sh"] * rows2.num_rows, type=pa.string())
+        )
+        return pa.concat_tables([rows, rows2])
 
-    manifest = (
-        ds.map_batches(explode, batch_format="pyarrow")
-        .map_batches(_SpillMap(["band", "bhash"], num_parts, sig_root),
-                     batch_format="pyarrow")
-        .take_all()
-    )
+    manifest = ds.map_batches(explode, batch_format="pyarrow").take_all()
     part_files: dict[int, list[str]] = {}
+    sh_files: dict[int, list[str]] = {}
     for r in manifest:
         p = int(r["part"])
         if p >= 0:
-            part_files.setdefault(p, []).append(r["file"])
+            (part_files if r["kind"] == "sig" else sh_files).setdefault(p, []).append(r["file"])
     meta = {
         "num_perm": num_perm, "bands": bands, "k": k, "num_parts": num_parts,
         "parts": {str(p): sorted(fs) for p, fs in part_files.items()},
+        "shingle_parts": {str(p): sorted(fs) for p, fs in sh_files.items()},
     }
     from ..util import atomic_write_bytes
 
@@ -1043,9 +1110,126 @@ def minhash_index_write(ds, index_dir: str, *, text_col: str = "text",
     return meta
 
 
+def _stored_verify(new_ds, cand, index_dir: str, meta: dict, threshold: float,
+                   *, text_col: str, id_col: str,
+                   cleanup_after: list[str] | None = None):
+    """Exact-verify candidate (a=new, b=corpus) pairs from the index's
+    SHINGLE STORE: pairs exchange by b's store partition, each reduce
+    reads only its partition's manifest-listed set files, and the probe
+    batch's own sets ride a single probe-sized broadcast.  Corpus text
+    is never read."""
+    import ray
+
+    from .exchange import routing_hash
+
+    P = meta["num_parts"]
+    k = meta["k"]
+    sh_parts = {int(p): fs for p, fs in meta["shingle_parts"].items()}
+    sh_root = os.path.join(index_dir, "shingles")
+    out_schema = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("inter", pa.int64()),
+         ("jaccard", pa.float64())]
+    )
+
+    # probe-side sets: sorted distinct hashes per new doc, one broadcast
+    new_sets: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+    for b in new_ds.map_batches(
+        lambda t: t.select([id_col, text_col]), batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        flat, offs = _doc_shingle_hash_sets(b, text_col, k)
+        ids = b[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        new_sets.append((ids, offs, flat))
+    all_ids = np.concatenate([s[0] for s in new_sets] or [np.zeros(0, dtype=np.int64)])
+    order = np.argsort(all_ids, kind="stable")
+    # flatten into (sorted ids, per-doc offsets, flat hashes)
+    lens = np.concatenate([np.diff(s[1]) for s in new_sets] or [np.zeros(0, dtype=np.int64)])
+    flats = [s[2] for s in new_sets]
+    flat_all = np.concatenate(flats) if flats else np.zeros(0, dtype=np.uint64)
+    # reorder per-doc slices by sorted id order
+    starts = np.zeros(len(all_ids) + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+    sorted_ids = all_ids[order]
+    sorted_lens = lens[order]
+    soffs = np.zeros(len(order) + 1, dtype=np.int64)
+    np.cumsum(sorted_lens, out=soffs[1:])
+    sflat = np.empty(len(flat_all), dtype=np.uint64)
+    pos = 0
+    for j in order:
+        ln = int(lens[j])
+        sflat[pos:pos + ln] = flat_all[starts[j]:starts[j] + ln]
+        pos += ln
+    nref = ray.put((sorted_ids, soffs, sflat))
+
+    def verify_reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        g = int(routing_hash(t["b"])[0] % np.uint64(P))
+        files = sh_parts.get(g)
+        if not files:
+            return out_schema.empty_table()
+        s = pa.concat_tables(
+            [pq.read_table(os.path.join(sh_root, f"part={g}", f)) for f in files]
+        ).combine_chunks()
+        t = t.group_by(["a", "b"], use_threads=False).aggregate([])
+        av = t["a"].to_numpy(zero_copy_only=False)
+        bv = t["b"].to_numpy(zero_copy_only=False)
+        sid = s["id"].to_numpy(zero_copy_only=False)
+        s_ord = np.argsort(sid, kind="stable")
+        sid_s = sid[s_ord]
+        blob = s["blob"].combine_chunks()
+        boffs = np.frombuffer(blob.buffers()[1], dtype=np.int64)[
+            blob.offset : blob.offset + len(blob) + 1
+        ] // 8
+        bflat = np.frombuffer(blob.buffers()[2], dtype=np.uint64)
+        nsh_b = s["nsh"].to_numpy(zero_copy_only=False)
+
+        import ray as _r
+
+        pids, poffs, pflat = _r.get(nref)
+        pa_pos = np.searchsorted(pids, av)
+        sb_pos = np.searchsorted(sid_s, bv)
+        n = len(av)
+        inter = np.zeros(n, dtype=np.int64)
+        na = np.zeros(n, dtype=np.int64)
+        nb = np.zeros(n, dtype=np.int64)
+        ok = np.zeros(n, dtype=bool)
+        for j in range(n):  # pairs are output-sized; per-pair work is C-speed
+            pi, si = int(pa_pos[j]), int(sb_pos[j])
+            if pi >= len(pids) or pids[pi] != av[j]:
+                continue
+            if si >= len(sid_s) or sid_s[si] != bv[j]:
+                continue
+            srow = int(s_ord[si])
+            A = pflat[poffs[pi]:poffs[pi + 1]]
+            B = bflat[boffs[srow]:boffs[srow + 1]]
+            na_j = int(poffs[pi + 1] - poffs[pi])
+            if len(A) and len(B):
+                small, big = (A, B) if len(A) <= len(B) else (B, A)
+                hit = np.searchsorted(big, small)
+                inb = hit < len(big)
+                inter[j] = int((big[hit[inb]] == small[inb]).sum())
+            na[j] = na_j
+            nb[j] = int(nsh_b[srow])
+            ok[j] = True
+        jac = np.round(inter / np.maximum(na + nb - inter, 1), 6)
+        keep = ok & (inter >= 1) & (jac >= threshold)
+        return pa.table(
+            {
+                "a": pa.array(av[keep]),
+                "b": pa.array(bv[keep]),
+                "inter": pa.array(inter[keep]),
+                "jaccard": pa.array(jac[keep]),
+            }
+        )
+
+    return spill_exchange(cand, "b", verify_reduce, num_parts=P,
+                          cleanup_after=cleanup_after)
+
+
 def minhash_index_probe(new_ds, corpus_ds, index_dir: str, *,
                         threshold: float = 0.5, text_col: str = "text",
-                        id_col: str = "doc_id", num_parts: int = 32):
+                        id_col: str = "doc_id", num_parts: int = 32,
+                        verify: str = "auto"):
     """Near-dup pairs (a=new doc, b=corpus doc) of a NEW batch against a
     persisted :func:`minhash_index_write` index, exact-verified.
 
@@ -1059,23 +1243,34 @@ def minhash_index_probe(new_ds, corpus_ds, index_dir: str, *,
        (identical miss-probability argument to
        :func:`minhash_lsh_candidates`: ~2e-5 at j >= 0.5, below the
        banding's own (1-j^2)^32 <= 7e-5);
-    3. candidates flow as a DATASET into
-       :func:`exact_jaccard_for_pair_ds` over new ∪ corpus (the bloom
-       id filter re-shingles only candidate docs), keep
-       jaccard >= threshold.
+    3. verification — ``verify="stored"`` (the default when the index
+       carries a shingle store): candidate pairs are exchanged by the
+       corpus doc's shingle-store partition and each reduce computes
+       exact jaccard from the STORED sorted hash sets plus the probe
+       batch's own sets (broadcast once, probe-sized) — corpus text is
+       NEVER touched, and only candidate-bearing shingle partitions
+       are read.  ``verify="text"``: candidates flow as a Dataset into
+       :func:`exact_jaccard_for_pair_ds` over new ∪ corpus (string-
+       shingle semantics, the oracle's exact formulation).  The stored
+       path equals the text path up to 64-bit shingle-hash collisions
+       (~nsh²/2⁶⁴ per pair, deterministic, content-addressed).
 
     CONTRACT: int64 ids, unique across BOTH sides (new ids must not
     collide with corpus ids).  New-vs-new pairs inside the batch are
     not emitted — run :func:`minhash_dedup_pairs` on the batch for
     those.  Cost per probe: one map pass over the new batch + reads of
-    the touched index partitions; the corpus text is touched only for
-    the candidate sliver."""
+    the touched index partitions; corpus text is read only by
+    ``verify="text"``, and then only for the candidate sliver."""
     import json
 
     from .exchange import routing_hash
 
     with open(os.path.join(index_dir, "meta.json")) as fh:
         meta = json.load(fh)
+    if verify == "auto":
+        verify = "stored" if meta.get("shingle_parts") else "text"
+    if verify == "stored" and not meta.get("shingle_parts"):
+        raise ValueError("index was written without store_shingles=True")
     num_perm, bands, k = meta["num_perm"], meta["bands"], meta["k"]
     P = meta["num_parts"]
     part_files = {int(p): fs for p, fs in meta["parts"].items()}
@@ -1148,15 +1343,15 @@ def minhash_index_probe(new_ds, corpus_ds, index_dir: str, *,
             return pair_empty
         av = np.concatenate(keep_a)
         bv = np.concatenate(keep_b)
-        # canonical (min, max) orientation: the verification partials
-        # emit co-shingle pairs as (smaller id, larger id), and the
-        # marker join matches on exact (a, b) — re-oriented back to
-        # (new, corpus) after verification
-        pairs = pa.table(
-            {"a": pa.array(np.minimum(av, bv)), "b": pa.array(np.maximum(av, bv))}
-        )
+        if verify == "text":
+            # canonical (min, max) orientation: the verification
+            # partials emit co-shingle pairs as (smaller id, larger id),
+            # and the marker join matches on exact (a, b) — re-oriented
+            # back to (new, corpus) after verification
+            av, bv = np.minimum(av, bv), np.maximum(av, bv)
+        pairs = pa.table({"a": pa.array(av), "b": pa.array(bv)})
         # collapse cross-band duplicates within the partition (the
-        # verification marker join collapses the rest)
+        # downstream verify collapses the rest)
         return pairs.group_by(["a", "b"], use_threads=False).aggregate([])
 
     st: dict = {}
@@ -1164,6 +1359,11 @@ def minhash_index_probe(new_ds, corpus_ds, index_dir: str, *,
         new_ds.map_batches(explode, batch_format="pyarrow"),
         ["band", "bhash"], probe_reduce, num_parts=P, stats=st,
     )
+    if verify == "stored":
+        return _stored_verify(
+            new_ds, cand, index_dir, meta, threshold,
+            text_col=text_col, id_col=id_col, cleanup_after=[st["root"]],
+        )
     both = new_ds.map_batches(
         lambda b: b.select([id_col, text_col]), batch_format="pyarrow"
     ).union(

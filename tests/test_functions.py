@@ -161,6 +161,20 @@ def test_incremental_neardup_probe(ray_session, tmp_path):
     ).to_pandas()
     assert len(out2) == len(out)
 
+    # stored-set verification (default) == text re-shingle verification
+    out_txt = (
+        minhash_index_probe(
+            rd.from_arrow(new), rd.from_arrow(corpus), idx, threshold=0.5,
+            verify="text",
+        )
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    out_sorted = out.sort_values(["a", "b"]).reset_index(drop=True)
+    assert out_sorted[["a", "b", "inter"]].equals(out_txt[["a", "b", "inter"]])
+    np.testing.assert_allclose(out_sorted["jaccard"], out_txt["jaccard"])
+
 
 def test_simhash_near_dup(ray_session):
     import ray.data as rd
