@@ -141,7 +141,10 @@ def run_bench() -> dict:
                      "shard_stream", "dedup_keep", "domain_quota",
                      "facet_counts", "highlight_snippet", "spell_suggest",
                      "perplexity_filter", "semdedup", "substring_dup",
-                     "regex_search", "incremental_neardup", "mix_weights"]:
+                     "regex_search", "incremental_neardup", "mix_weights",
+                     "search_after", "synonym_match", "rescore_phrase",
+                     "date_histogram", "significant_terms",
+                     "importance_sample", "vocab_prune"]:
             if time.time() - sweep_t0 > budget_s:
                 status[name] = "skipped_budget"
                 continue

@@ -206,7 +206,7 @@ def q_bm25_topk(sf_dir: str):
     )
 
 
-def _sql_bm25(query: str) -> str:
+def _sql_bm25(query: str, limit: int = 10, offset: int = 0) -> str:
     terms = tokenize_text(query)
     terms_sql = ", ".join(f"('{t}')" for t in terms)
     return f"""
@@ -237,7 +237,7 @@ scored AS (
   GROUP BY tf.doc_id
 )
 SELECT doc_id, round(score, 6) AS score
-FROM scored ORDER BY scored.score DESC, doc_id LIMIT 10
+FROM scored ORDER BY scored.score DESC, doc_id LIMIT {limit} OFFSET {offset}
 """
 
 
@@ -366,6 +366,34 @@ def _md5_hex_column(col) -> pa.Array:
             hashlib.md5(data[offs[i] : offs[i + 1]]).hexdigest() for i in range(len(chunk))
         )
     return pa.array(out, type=pa.string())
+
+
+def _md5_u32_column(col) -> np.ndarray:
+    """First 32 md5 bits per row as uint32 (same buffer-slice hashing as
+    :func:`_md5_hex_column`; numerically equal to parsing the first 8
+    hex chars, which is how the SQL oracles express the same draw)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    out: list[int] = []
+    for chunk in chunks:
+        if len(chunk) == 0:
+            continue
+        bufs = chunk.buffers()
+        if len(bufs) < 3 or bufs[2] is None:
+            empty = int.from_bytes(hashlib.md5(b"").digest()[:4], "big")
+            out.extend(empty for _ in range(len(chunk)))
+            continue
+        odt = np.int64 if pa.types.is_large_string(chunk.type) else np.int32
+        offs = np.frombuffer(bufs[1], dtype=odt, count=len(chunk) + chunk.offset + 1)[
+            chunk.offset :
+        ]
+        data = memoryview(bufs[2])
+        out.extend(
+            int.from_bytes(hashlib.md5(data[offs[i] : offs[i + 1]]).digest()[:4], "big")
+            for i in range(len(chunk))
+        )
+    return np.array(out, dtype=np.uint32)
 
 
 def q_exact_dedup(sf_dir: str):
@@ -3028,6 +3056,426 @@ SELECT doc_id FROM documents WHERE regexp_matches(text, '{REGEX_PATTERN}')
 
 
 # ---------------------------------------------------------------------------
+# round-3 query-surface + curation additions: keyset pagination, synonym
+# expansion, two-phase rescore, date-histogram aggregation, significant
+# terms, importance sampling, vocabulary pruning
+# ---------------------------------------------------------------------------
+
+SYNONYMS = {"merge": ("join",), "sort": ("order",)}
+PHRASE_RESCORE_BONUS = 2.0
+RESCORE_WINDOW = 50
+TARGET_VOCAB = ("merge", "sort", "window", "join", "order", "hash", "vector")
+
+
+def q_search_after(sf_dir: str):
+    """Keyset deep pagination (the search_after sibling of the
+    reference's from/size paging, search.go:56-63): page 2 of the
+    flagship BM25 ranking fetched via the (score, doc_id) cursor of
+    page 1's last hit — never via offset — so a page at depth d costs
+    O(d + size) on ONE replica once, not O(d) heap on every replica per
+    request (query/pagination.py)."""
+    from ..index import IndexReader
+    from ..query.pagination import search_after_topk
+
+    reader = IndexReader(_built_index(sf_dir))
+    terms = tokenize_text(BM25_QUERY)
+    _page1, cursor = search_after_topk(reader, "content", terms, size=10)
+    page2, _ = search_after_topk(reader, "content", terms, size=10, after=cursor)
+    return pd.DataFrame(
+        {
+            "doc_id": np.array([d for d, _ in page2], dtype=np.int64),
+            "score": np.round(np.array([s for _, s in page2], dtype=np.float64), 6),
+        }
+    )
+
+
+def q_synonym_match(sf_dir: str):
+    """Query-time synonym expansion (analysis/synonyms.py, the
+    generalised form of the reference's special-query rewrites,
+    special.go:5-41): the flagship query expanded through a
+    term->synonyms map and scored as one OR-of-terms BM25 query — each
+    synonym scores with its own df, nothing is reindexed."""
+    from ..analysis.synonyms import expand_terms
+    from ..index import IndexReader
+    from ..query.wand import wand_topk
+
+    reader = IndexReader(_built_index(sf_dir))
+    terms = expand_terms(tokenize_text(BM25_QUERY), SYNONYMS)
+    hits = wand_topk(reader, "content", terms, k=30)
+    meta = reader.docmeta()
+    ords = np.array([d for d, _ in hits], dtype=np.int64)
+    scores = np.array([s for _, s in hits], dtype=np.float64)
+    doc_ids = meta["path"].to_numpy()[ords].astype(np.int64)
+    order = np.lexsort((doc_ids, -scores))[:10]
+    return pd.DataFrame(
+        {"doc_id": doc_ids[order], "score": np.round(scores[order], 6)}
+    )
+
+
+def q_rescore_phrase(sf_dir: str):
+    """Two-phase rescore (query/rescore.py): cheap BM25 top-50 window,
+    then +2.0 for window docs containing the adjacent phrase
+    'merge sort' (positional posting intersection), re-ranked, top 10.
+    Docs outside the window never pay the phrase check — at 10^12 docs
+    the expensive pass is window-sized, not corpus-sized."""
+    from ..index import IndexReader
+    from ..query.rescore import rescore_phrase_topk
+
+    reader = IndexReader(_built_index(sf_dir))
+    hits = rescore_phrase_topk(
+        reader,
+        "content",
+        tokenize_text(BM25_QUERY),
+        ["merge", "sort"],
+        window=RESCORE_WINDOW,
+        k=10,
+        bonus=PHRASE_RESCORE_BONUS,
+    )
+    return pd.DataFrame(
+        {
+            "doc_id": np.array([d for d, _ in hits], dtype=np.int64),
+            "score": np.round(np.array([s for _, s in hits], dtype=np.float64), 6),
+        }
+    )
+
+
+def _sql_synonym_match() -> str:
+    """The synonym-expanded query IS a plain BM25 query over the union
+    of surface + synonym terms — the oracle is the closed-form BM25 on
+    that expanded term list."""
+    from ..analysis.synonyms import expand_terms
+
+    expanded = expand_terms(tokenize_text(BM25_QUERY), SYNONYMS)
+    return _sql_bm25(" ".join(expanded))
+
+
+def _sql_rescore_phrase() -> str:
+    terms = tokenize_text(BM25_QUERY)
+    terms_sql = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOK}) AS term FROM documents
+),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl
+),
+qt(term) AS (VALUES {terms_sql}),
+tf AS (
+  SELECT t.doc_id, t.term, CAST(count(*) AS DOUBLE) AS tf
+  FROM toks t JOIN qt ON t.term = qt.term GROUP BY t.doc_id, t.term
+),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * ({K1} + 1)
+           / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))
+         ) AS score
+  FROM tf, stats
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  GROUP BY tf.doc_id
+),
+win AS (
+  SELECT doc_id, score FROM scored
+  ORDER BY score DESC, doc_id LIMIT {RESCORE_WINDOW}
+),
+ph AS (
+  SELECT doc_id FROM (SELECT doc_id, {TOK} AS toks FROM documents)
+  WHERE len(list_filter(range(1, len(toks)),
+        i -> toks[i] = 'merge' AND toks[i+1] = 'sort')) > 0
+),
+re AS (
+  SELECT w.doc_id,
+         w.score + CASE WHEN p.doc_id IS NOT NULL
+                        THEN {PHRASE_RESCORE_BONUS} ELSE 0.0 END AS score
+  FROM win w LEFT JOIN ph p ON w.doc_id = p.doc_id
+)
+SELECT doc_id, round(score, 6) AS score
+FROM re ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+def q_date_histogram(sf_dir: str):
+    """Date-histogram aggregation (the standard-engine time-bucket agg):
+    events bucketed by UTC day x event_type with count + sum(value).
+    Per-batch partial combine before ONE small groupby shuffle — the
+    exchange carries at most (days x types) rows per input block, never
+    the events themselves."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.strftime(b["ts"], format="%Y-%m-%d")
+        t = pa.table(
+            {
+                "day": day,
+                "event_type": b["event_type"],
+                "value": b["value"],
+                "one": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            }
+        )
+        agg = t.group_by(["day", "event_type"]).aggregate(
+            [("value", "sum"), ("one", "sum")]
+        )
+        return pa.table(
+            {
+                "day": agg["day"],
+                "event_type": agg["event_type"],
+                "v": agg["value_sum"],
+                "n": agg["one_sum"],
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    out = ds.groupby(["day", "event_type"]).aggregate(
+        Sum("v", alias_name="sum_value"), Sum("n", alias_name="n")
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "day": b["day"],
+                "event_type": b["event_type"],
+                "n": b["n"].cast(pa.int64()),
+                "sum_value": pc.round(b["sum_value"], 2),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_DATE_HISTOGRAM = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_significant_terms(sf_dir: str):
+    """Significant-terms aggregation (per-group lift vs background, the
+    standard-engine significant_terms shape): for each lang, the 3 terms
+    whose in-group df rate most exceeds the corpus-wide rate.  Two spill
+    exchanges — by term (fold per-lang df and the term's background df
+    in one partition) then by lang (run-length head-3) — plus one
+    summary-sized driver aggregate (docs per lang, |langs| rows) that is
+    broadcast by closure.  No whole-corpus state anywhere."""
+    from ray.data.aggregate import Sum
+    from ..functions.dedup import _run_bounds
+    from ..functions.exchange import spill_exchange
+
+    # docs per lang: |langs| rows — summary-sized by definition
+    def cnt(b: pa.Table) -> pa.Table:
+        agg = pa.table({"lang": b["lang"]}).group_by("lang").aggregate([([], "count_all")])
+        return pa.table({"lang": agg["lang"], "n": agg["count_all"].cast(pa.int64())})
+
+    nl_rows = (
+        _read(sf_dir, "documents", ["lang"])
+        .map_batches(cnt, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    n_lang = {r["lang"]: float(r["n"]) for r in nl_rows}
+    n_all = float(sum(n_lang.values()))
+
+    def partial(b: pa.Table) -> pa.Table:
+        parents, _pos, terms, _n = flat_tokens(b["text"])
+        langs = pc.take(b["lang"].combine_chunks(), pa.array(parents))
+        t = pa.table({"lang": langs, "term": terms, "parent": pa.array(parents)})
+        uniq = t.group_by(["lang", "term", "parent"]).aggregate([])
+        agg = uniq.group_by(["lang", "term"]).aggregate([("parent", "count")])
+        return pa.table(
+            {"lang": agg["lang"], "term": agg["term"],
+             "n": agg["parent_count"].cast(pa.int64())}
+        )
+
+    ds = _read(sf_dir, "documents", ["lang", "text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    lift_schema = pa.schema(
+        [("lang", pa.string()), ("term", pa.string()), ("lift", pa.float64())]
+    )
+
+    def fold_term(t: pa.Table) -> pa.Table:
+        # all rows of a term land in this partition: per-(lang, term) df
+        # plus the term's background df in one vectorized pass
+        if t.num_rows == 0:
+            return lift_schema.empty_table()
+        g = t.group_by(["term", "lang"], use_threads=False).aggregate([("n", "sum")])
+        g = g.sort_by([("term", "ascending"), ("lang", "ascending")]).combine_chunks()
+        dfl = g["n_sum"].to_numpy().astype(np.float64)
+        starts, lens = _run_bounds(g["term"].combine_chunks())
+        dfa = np.repeat(np.add.reduceat(dfl, starts), lens)
+        nl = np.array([n_lang[v] for v in g["lang"].to_pylist()], dtype=np.float64)
+        # operation order mirrors the SQL exactly (IEEE-identical)
+        lift = np.floor((dfl / nl) / (dfa / n_all) * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {"lang": g["lang"], "term": g["term"], "lift": pa.array(lift)}
+        )
+
+    lifted = spill_exchange(ds, "term", fold_term, num_parts=8)
+
+    def top3(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return lift_schema.empty_table()
+        g = t.sort_by(
+            [("lang", "ascending"), ("lift", "descending"), ("term", "ascending")]
+        ).combine_chunks()
+        starts, lens = _run_bounds(g["lang"].combine_chunks())
+        k = np.minimum(lens, 3)
+        cum = np.zeros(len(k), dtype=np.int64)
+        np.cumsum(k[:-1], out=cum[1:])
+        idx = np.repeat(starts, k) + (
+            np.arange(int(k.sum()), dtype=np.int64) - np.repeat(cum, k)
+        )
+        return g.take(pa.array(idx))
+
+    return spill_exchange(lifted, "lang", top3, num_parts=8)
+
+
+SQL_SIGNIFICANT_TERMS = f"""
+WITH d AS (SELECT lang, doc_id, unnest(list_distinct({TOK})) AS term FROM documents),
+df_lang AS (SELECT lang, term, CAST(count(*) AS DOUBLE) AS dfl FROM d GROUP BY 1, 2),
+df_all AS (SELECT term, sum(dfl) AS dfa FROM df_lang GROUP BY 1),
+nl AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY 1),
+na AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+lift AS (
+  SELECT l.lang, l.term,
+         floor((l.dfl / nl.n) / (a.dfa / na.n) * 1000000 + 0.5) / 1000000 AS lift
+  FROM df_lang l JOIN df_all a USING (term) JOIN nl USING (lang), na
+)
+SELECT lang, term, lift FROM lift
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY lift DESC, term) <= 3
+"""
+
+
+def q_importance_sample(sf_dir: str):
+    """Importance sampling for domain up/down-weighting (the hashed
+    deterministic DSIR shape — Xie et al. 2023, arXiv:2302.03169): each
+    doc's weight is its fraction of tokens inside a target vocabulary,
+    and the doc is kept iff u(text) < weight, where u is the first 32
+    md5 bits of the content as a uniform [0,1) draw.  Weight and draw
+    are both content-derived, so the sample is reproducible across
+    runs, layouts and cluster widths, and duplicates sample
+    identically.  One narrow per-batch map — no shuffle, no state."""
+
+    target = pa.array(TARGET_VOCAB)
+
+    def f(b: pa.Table) -> pa.Table:
+        parents, _pos, terms, n = flat_tokens(b["text"])
+        ntok = np.bincount(parents, minlength=n).astype(np.float64)
+        in_t = pc.is_in(terms, value_set=target).to_numpy(zero_copy_only=False)
+        hits = np.bincount(parents, weights=in_t.astype(np.float64), minlength=n)
+        w = np.where(ntok > 0, hits / np.maximum(ntok, 1.0), 0.0)
+        # acceptance threshold in 32-bit hash units; floor() mirrors the
+        # SQL's CAST(floor(w * 4294967296) AS BIGINT)
+        v = np.floor(w * 4294967296.0)
+        u = _md5_u32_column(b["text"]).astype(np.float64)
+        t = pa.table({"doc_id": b["doc_id"], "weight": pa.array(_round6(w))})
+        return t.filter(pa.array(u < v))
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+# the draw compares 9-char fixed-width lowercase hex LEXICOGRAPHICALLY:
+# '0' || first-8-md5-chars  <  printf('%09x', floor(w * 2^32)) — identical
+# to the Ray side's numeric u < v (both sides are < 16^9 and fixed width;
+# the 9th digit lets w == 1.0 produce threshold 0x100000000 = keep-always)
+_TARGET_VOCAB_SQL = ", ".join(f"'{t}'" for t in TARGET_VOCAB)
+SQL_IMPORTANCE_SAMPLE = f"""
+WITH w AS (
+  SELECT doc_id, md5(text) AS h,
+         CASE WHEN len({TOK}) = 0 THEN 0.0
+              ELSE CAST(len(list_filter({TOK}, t -> t IN ({_TARGET_VOCAB_SQL}))) AS DOUBLE)
+                   / CAST(len({TOK}) AS DOUBLE) END AS w
+  FROM documents
+)
+SELECT doc_id, floor(w * 1000000 + 0.5) / 1000000 AS weight
+FROM w
+WHERE '0' || substr(h, 1, 8)
+      < printf('%09x', CAST(floor(w * 4294967296.0) AS BIGINT))
+"""
+
+
+def q_vocab_prune(sf_dir: str):
+    """Vocabulary pruning / OOV tagging: the keep-vocabulary is every
+    term with df >= 50% of corpus docs, and each doc reports its OOV
+    token count and rate against it.  The broadcast is the KEEP set —
+    the bounded HEAD of the Zipf curve — never the unbounded rare tail:
+    a term either clears a constant fraction of n_docs (so at most
+    1/0.5 = 2 such terms exist per unit of df mass) or is OOV by
+    default without being shipped anywhere."""
+    from ray.data.aggregate import Sum
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        parents, _pos, terms, _n = flat_tokens(b["text"])
+        t = pa.table({"term": terms, "parent": pa.array(parents)})
+        uniq = t.group_by(["term", "parent"]).aggregate([])
+        agg = uniq.group_by("term").aggregate([("parent", "count")])
+        return pa.table({"term": agg["term"], "n": agg["parent_count"].cast(pa.int64())})
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = docs.count()
+    df_rows = (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(df_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="df"))
+        .take_all()
+    )  # head-sized: only terms that appear at all; the keep cut below
+    keep = pa.array(
+        sorted(r["term"] for r in df_rows if 2 * int(r["df"]) >= n_docs)
+    )
+
+    def f(b: pa.Table) -> pa.Table:
+        parents, _pos, terms, n = flat_tokens(b["text"])
+        ntok = np.bincount(parents, minlength=n).astype(np.float64)
+        oov = ~pc.is_in(terms, value_set=keep).to_numpy(zero_copy_only=False)
+        n_oov = np.bincount(parents, weights=oov.astype(np.float64), minlength=n)
+        rate = _round6(np.where(ntok > 0, n_oov / np.maximum(ntok, 1.0), 0.0))
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_oov": pa.array(n_oov.astype(np.int64)),
+                "oov_rate": pa.array(rate),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+SQL_VOCAB_PRUNE = f"""
+WITH df AS (
+  SELECT term, count(*) AS df
+  FROM (SELECT doc_id, unnest(list_distinct({TOK})) AS term FROM documents)
+  GROUP BY term
+),
+keep AS (SELECT term FROM df WHERE 2 * df >= (SELECT count(*) FROM documents)),
+t AS (SELECT doc_id, {TOK} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+oov AS (
+  SELECT tok.doc_id, count(*) AS n_oov
+  FROM tok LEFT JOIN keep USING (term)
+  WHERE keep.term IS NULL GROUP BY tok.doc_id
+)
+SELECT t.doc_id,
+       CAST(COALESCE(o.n_oov, 0) AS BIGINT) AS n_oov,
+       CASE WHEN len(t.toks) = 0 THEN 0.0
+            ELSE floor(CAST(COALESCE(o.n_oov, 0) AS DOUBLE) / len(t.toks)
+                       * 1000000 + 0.5) / 1000000 END AS oov_rate
+FROM t LEFT JOIN oov o ON t.doc_id = o.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3100,6 +3548,13 @@ def make_queries() -> dict:
         "perplexity_filter": q_perplexity_filter,
         "semdedup": q_semdedup,
         "regex_search": q_regex_search,
+        "search_after": q_search_after,
+        "synonym_match": q_synonym_match,
+        "rescore_phrase": q_rescore_phrase,
+        "date_histogram": q_date_histogram,
+        "significant_terms": q_significant_terms,
+        "importance_sample": q_importance_sample,
+        "vocab_prune": q_vocab_prune,
     }
 
 
@@ -3177,6 +3632,15 @@ def make_oracle_sql() -> dict:
         "perplexity_filter": SQL_PERPLEXITY_FILTER,
         "semdedup": _sql_semdedup(),
         "regex_search": SQL_REGEX_SEARCH,
+        # keyset pagination == offset pagination under a strict total
+        # order (score desc, doc_id asc): page 2 is rows 11-20
+        "search_after": _sql_bm25(BM25_QUERY, limit=10, offset=10),
+        "synonym_match": _sql_synonym_match(),
+        "rescore_phrase": _sql_rescore_phrase(),
+        "date_histogram": SQL_DATE_HISTOGRAM,
+        "significant_terms": SQL_SIGNIFICANT_TERMS,
+        "importance_sample": SQL_IMPORTANCE_SAMPLE,
+        "vocab_prune": SQL_VOCAB_PRUNE,
     }
 
 
