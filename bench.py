@@ -144,7 +144,8 @@ def run_bench() -> dict:
                      "regex_search", "incremental_neardup", "mix_weights",
                      "search_after", "synonym_match", "rescore_phrase",
                      "date_histogram", "significant_terms",
-                     "importance_sample", "vocab_prune"]:
+                     "importance_sample", "vocab_prune", "graph_pagerank",
+                     "triangle_count", "rolling_window"]:
             if time.time() - sweep_t0 > budget_s:
                 status[name] = "skipped_budget"
                 continue

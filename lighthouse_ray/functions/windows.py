@@ -334,3 +334,75 @@ def sessionize(ds, gap_us: int, key_col: str = "user_id", ts_col: str = "ts",
         ds.map_batches(pre, batch_format="pyarrow"), "k", reduce_fn,
         num_parts=num_parts,
     )
+
+
+def rolling_user_agg(ds, window: int = 3, key_col: str = "user_id",
+                     ts_col: str = "ts", id_col: str = "event_id",
+                     value_col: str = "value", num_parts: int = 32):
+    """Per-key ordered-frame window functions — running total plus a
+    ``window``-row trailing mean of ``value`` over events ordered by
+    (ts, id) within each key (the ROWS BETWEEN window-frame family).
+
+    One spill exchange by key; the reduce is a single sort + global
+    cumsum with per-run offsets — the trailing-frame sum at row i is
+    ``cum[i] - cum[max(run_start, i - window + 1) - 1]``, all index
+    arithmetic, no per-key Python.  Values ride as integer cents so the
+    running sums are order-exact at any layout; the single float
+    division per output row happens once, after all arithmetic."""
+
+    def pre(b: pa.Table) -> pa.Table:
+        cents = np.round(
+            b[value_col].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "k": b[key_col],
+                "ts_us": pa.array(_ts_us(b[ts_col])),
+                "id": b[id_col],
+                "cents": pa.array(cents),
+            }
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_id": pa.array([], type=pa.int64()),
+                "user_id": pa.array([], type=pa.int64()),
+                "running_total": pa.array([], type=pa.float64()),
+                "rolling_mean": pa.array([], type=pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by(
+            [("k", "ascending"), ("ts_us", "ascending"), ("id", "ascending")]
+        ).combine_chunks()
+        n = t.num_rows
+        k = t["k"].to_numpy(zero_copy_only=False)
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = k[1:] != k[:-1]
+        run_start = np.maximum.accumulate(np.where(new_key, np.arange(n), 0))
+        cum = np.cumsum(cents)
+        run_base = np.where(run_start > 0, cum[run_start - 1], 0)
+        running = cum - run_base
+        lo = np.maximum(run_start, np.arange(n) - window + 1)
+        lo_base = np.where(lo > 0, cum[lo - 1], 0)
+        frame_sum = cum - lo_base
+        frame_cnt = np.arange(n) - lo + 1
+        # op order mirrors the SQL: (CAST(sum AS DOUBLE) / cnt) / 100
+        rolling = frame_sum.astype(np.float64) / frame_cnt / 100.0
+        return pa.table(
+            {
+                "event_id": t["id"].cast(pa.int64()),
+                "user_id": t["k"].cast(pa.int64()),
+                "running_total": pa.array(running.astype(np.float64) / 100.0),
+                "rolling_mean": pa.array(rolling),
+            }
+        )
+
+    return spill_exchange(
+        ds.map_batches(pre, batch_format="pyarrow"), "k", reduce_fn,
+        num_parts=num_parts,
+    )

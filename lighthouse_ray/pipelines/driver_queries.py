@@ -3209,23 +3209,21 @@ def q_date_histogram(sf_dir: str):
 
     def partial(b: pa.Table) -> pa.Table:
         day = pc.strftime(b["ts"], format="%Y-%m-%d")
-        t = pa.table(
-            {
-                "day": day,
-                "event_type": b["event_type"],
-                "value": b["value"],
-                "one": pa.array(np.ones(b.num_rows, dtype=np.int64)),
-            }
+        # values are 2-decimal: sums ride as integer cents, making the
+        # distributed sum order-exact (the tumbling_window_agg convention)
+        cents = np.round(b["value"].to_numpy(zero_copy_only=False) * 100.0).astype(
+            np.int64
         )
+        t = pa.table({"day": day, "event_type": b["event_type"], "cents": pa.array(cents)})
         agg = t.group_by(["day", "event_type"]).aggregate(
-            [("value", "sum"), ("one", "sum")]
+            [("cents", "count"), ("cents", "sum")]
         )
         return pa.table(
             {
                 "day": agg["day"],
                 "event_type": agg["event_type"],
-                "v": agg["value_sum"],
-                "n": agg["one_sum"],
+                "v": agg["cents_sum"].cast(pa.int64()),
+                "n": agg["cents_count"].cast(pa.int64()),
             }
         )
 
@@ -3233,7 +3231,7 @@ def q_date_histogram(sf_dir: str):
         partial, batch_format="pyarrow"
     )
     out = ds.groupby(["day", "event_type"]).aggregate(
-        Sum("v", alias_name="sum_value"), Sum("n", alias_name="n")
+        Sum("v", alias_name="cents"), Sum("n", alias_name="n")
     )
     return out.map_batches(
         lambda b: pa.table(
@@ -3241,7 +3239,7 @@ def q_date_histogram(sf_dir: str):
                 "day": b["day"],
                 "event_type": b["event_type"],
                 "n": b["n"].cast(pa.int64()),
-                "sum_value": pc.round(b["sum_value"], 2),
+                "sum_value": pc.divide(b["cents"].cast(pa.float64()), 100.0),
             }
         ),
         batch_format="pyarrow",
@@ -3251,7 +3249,7 @@ def q_date_histogram(sf_dir: str):
 SQL_DATE_HISTOGRAM = """
 SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
        CAST(count(*) AS BIGINT) AS n,
-       round(sum(value), 2) AS sum_value
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
 FROM events GROUP BY 1, 2
 """
 
@@ -3475,6 +3473,124 @@ FROM t LEFT JOIN oov o ON t.doc_id = o.doc_id
 """
 
 
+def _knn_edges(sf_dir: str):
+    """Directed k-NN edges (src, dst) — the shared input of the graph
+    operators; same pipeline as gate ``knn_graph``."""
+    from ..functions.similarity import knn_graph
+
+    return knn_graph(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), k=3
+    ).map_batches(
+        lambda b: pa.table(
+            {"src": b["vec_id"].cast(pa.int64()), "dst": b["nn_id"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+_SQL_KNN_EDGES = f"""
+knn AS ({SQL_KNN_GRAPH}),
+edges AS (SELECT vec_id AS src, nn_id AS dst FROM knn)
+"""
+
+
+def q_pagerank(sf_dir: str):
+    """Fixed-point PageRank over the k-NN graph (functions/graph.py):
+    3 Pregel-by-joins iterations; int64 ranks scaled by 10^12 with
+    floor-division contributions make the distributed sums order-exact,
+    so the unrolled integer SQL mirror checks every value."""
+    from ..functions.graph import pagerank
+
+    nodes = _read(sf_dir, "embeddings", ["vec_id"]).map_batches(
+        lambda b: pa.table({"node": b["vec_id"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    # num_parts is pure configuration (never changes results); the gate
+    # graph is small, so fewer exchange partitions = less task overhead
+    out = pagerank(_knn_edges(sf_dir), nodes, iters=3, num_parts=8)
+    return out.map_batches(
+        lambda b: pa.table({"vec_id": b["node"], "rank": b["rank"]}),
+        batch_format="pyarrow",
+    )
+
+
+def _sql_pagerank(iters: int = 3) -> str:
+    from ..functions.graph import PR_SCALE
+
+    body = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        body.append(f"""
+r{i} AS (
+  SELECT n.node, (SELECT b FROM base) + (85 * COALESCE(s.c, 0)) // 100 AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank // d.outdeg) AS c
+    FROM edges e JOIN {prev} r ON e.src = r.node JOIN deg d ON e.src = d.src
+    GROUP BY e.dst
+  ) s ON n.node = s.node
+)""")
+        prev = f"r{i}"
+    return f"""
+WITH {_SQL_KNN_EDGES},
+nodes AS (SELECT vec_id AS node FROM embeddings),
+nn_cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+base AS (SELECT (15 * {PR_SCALE}) // (100 * n) AS b, {PR_SCALE} // n AS r0 FROM nn_cnt),
+r0 AS (SELECT node, (SELECT r0 FROM base) AS rank FROM nodes),
+{",".join(body)}
+SELECT node AS vec_id, CAST(rank AS BIGINT) AS rank FROM {prev}
+"""
+
+
+def q_triangle_count(sf_dir: str):
+    """Exact triangle count of the undirected k-NN graph
+    (functions/graph.py): smallest-endpoint wedge generation counts
+    each triangle exactly once; three spill exchanges, integer
+    output."""
+    from ..functions.graph import triangle_count
+
+    n = triangle_count(_knn_edges(sf_dir))
+    return pd.DataFrame({"n_triangles": np.array([n], dtype=np.int64)})
+
+
+SQL_TRIANGLE_COUNT = f"""
+WITH {_SQL_KNN_EDGES},
+e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM edges WHERE src != dst)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+          JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+"""
+
+
+def q_rolling_window(sf_dir: str):
+    """Ordered-frame window functions (ROWS BETWEEN family): per-user
+    running total + 3-row trailing mean over (ts, event_id) order —
+    one spill exchange, global-cumsum reduce, integer-cent sums
+    (functions/windows.py::rolling_user_agg)."""
+    from ..functions.windows import rolling_user_agg
+
+    return rolling_user_agg(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"]), window=3
+    )
+
+
+SQL_ROLLING_WINDOW = """
+WITH e AS (
+  SELECT event_id, user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / 100.0 AS running_total,
+       CAST(sum(cents) OVER w AS DOUBLE) / (count(*) OVER w) / 100.0 AS rolling_mean
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3555,6 +3671,9 @@ def make_queries() -> dict:
         "significant_terms": q_significant_terms,
         "importance_sample": q_importance_sample,
         "vocab_prune": q_vocab_prune,
+        "graph_pagerank": q_pagerank,
+        "triangle_count": q_triangle_count,
+        "rolling_window": q_rolling_window,
     }
 
 
@@ -3641,6 +3760,9 @@ def make_oracle_sql() -> dict:
         "significant_terms": SQL_SIGNIFICANT_TERMS,
         "importance_sample": SQL_IMPORTANCE_SAMPLE,
         "vocab_prune": SQL_VOCAB_PRUNE,
+        "graph_pagerank": _sql_pagerank(),
+        "triangle_count": SQL_TRIANGLE_COUNT,
+        "rolling_window": SQL_ROLLING_WINDOW,
     }
 
 
