@@ -145,7 +145,8 @@ def run_bench() -> dict:
                      "search_after", "synonym_match", "rescore_phrase",
                      "date_histogram", "significant_terms",
                      "importance_sample", "vocab_prune", "graph_pagerank",
-                     "triangle_count", "rolling_window"]:
+                     "triangle_count", "rolling_window", "approx_percentiles",
+                     "token_entropy", "rollup_counts", "weighted_sample"]:
             if time.time() - sweep_t0 > budget_s:
                 status[name] = "skipped_budget"
                 continue

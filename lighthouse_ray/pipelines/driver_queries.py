@@ -396,6 +396,37 @@ def _md5_u32_column(col) -> np.ndarray:
     return np.array(out, dtype=np.uint32)
 
 
+def _md5_low64_column(col) -> np.ndarray:
+    """Low 8 digest bytes (little-endian) of md5 per row — DuckDB's
+    ``md5_number_lower`` — over the UTF-8 buffer slices."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    out: list[int] = []
+    for chunk in chunks:
+        if len(chunk) == 0:
+            continue
+        bufs = chunk.buffers()
+        if len(bufs) < 3 or bufs[2] is None:
+            empty = int(np.frombuffer(hashlib.md5(b"").digest(), dtype="<u8")[1])
+            out.extend(empty for _ in range(len(chunk)))
+            continue
+        odt = np.int64 if pa.types.is_large_string(chunk.type) else np.int32
+        offs = np.frombuffer(bufs[1], dtype=odt, count=len(chunk) + chunk.offset + 1)[
+            chunk.offset :
+        ]
+        data = memoryview(bufs[2])
+        out.extend(
+            int(
+                np.frombuffer(
+                    hashlib.md5(data[offs[i] : offs[i + 1]]).digest(), dtype="<u8"
+                )[1]
+            )
+            for i in range(len(chunk))
+        )
+    return np.array(out, dtype=np.uint64)
+
+
 def q_exact_dedup(sf_dir: str):
     """Exact dedup by content hash: hash-partition groupby with plain
     Min/Count aggregates (no per-group Python) — the distributed form of
@@ -3591,6 +3622,232 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+# single-pass histogram-quantile sketch configuration: a declared value
+# domain + fixed bin grid makes the sketch a deterministic function of
+# the data MULTISET (layout-independent), with bounded state B rows/group
+PCTL_LO, PCTL_HI, PCTL_BINS = 0.0, 500.0, 1000
+PCTL_W = (PCTL_HI - PCTL_LO) / PCTL_BINS
+PCTL_QS = (0.5, 0.9, 0.99)
+
+
+def q_approx_percentiles(sf_dir: str):
+    """Single-pass approximate quantiles (fixed-bin histogram sketch):
+    per event_type, the 0.5/0.9/0.99 quantile estimated as the left
+    edge of the bin where the cumulative count crosses ceil(q*n).
+    Unlike the exact percentiles gate (which needs the values
+    co-located), the sketch shuffles at most BINS rows per group per
+    input block and the driver holds only the (groups x BINS) summary —
+    the estimate is within bin-width of exact by construction, and
+    DETERMINISTIC (integer counts on a fixed grid), so the SQL mirror
+    is exact."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        bins = np.clip(
+            np.floor((v - PCTL_LO) / PCTL_W), 0, PCTL_BINS - 1
+        ).astype(np.int64)
+        t = pa.table({"event_type": b["event_type"], "bin": pa.array(bins)})
+        g = t.group_by(["event_type", "bin"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "bin": g["bin"],
+                "n": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    hist = (
+        _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "bin"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )  # summary-sized: <= groups x BINS rows
+    out = []
+    for et, g in hist.groupby("event_type"):
+        g = g.sort_values("bin")
+        cum = g["n"].cumsum().to_numpy()
+        n = int(cum[-1])
+        for q in PCTL_QS:
+            target = np.ceil(q * n)
+            bin_idx = int(g["bin"].to_numpy()[np.searchsorted(cum, target)])
+            out.append((et, q, PCTL_LO + bin_idx * PCTL_W))
+    return pd.DataFrame(out, columns=["event_type", "q", "est"])
+
+
+SQL_APPROX_PERCENTILES = f"""
+WITH b AS (
+  SELECT event_type,
+         LEAST(GREATEST(CAST(floor((value - {PCTL_LO}) / {PCTL_W}) AS BIGINT), 0),
+               {PCTL_BINS - 1}) AS bin
+  FROM events
+),
+hist AS (SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, bin,
+         sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS c
+  FROM hist
+),
+tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1),
+q(q) AS (VALUES (0.5), (0.9), (0.99)),
+sel AS (
+  SELECT t.event_type, q.q, min(cum.bin) AS bin
+  FROM tot t, q
+  JOIN cum ON cum.event_type = t.event_type AND cum.c >= ceil(q.q * t.n)
+  GROUP BY 1, 2
+)
+SELECT event_type, q, {PCTL_LO} + bin * {PCTL_W} AS est FROM sel
+"""
+
+
+def q_token_entropy(sf_dir: str):
+    """Per-doc Shannon entropy of the token distribution (a standard
+    gibberish/repetition quality signal): H = ln(n) - Σ c·ln(c) / n
+    over per-term counts.  One narrow vectorized map — term counts via
+    an Arrow in-batch group-by, the Σ c·ln(c) per doc via bincount
+    weights; no shuffle."""
+
+    def f(b: pa.Table) -> pa.Table:
+        parents, _pos, terms, n = flat_tokens(b["text"])
+        ntok = np.bincount(parents, minlength=n).astype(np.float64)
+        t = pa.table({"p": pa.array(parents), "term": terms})
+        g = t.group_by(["p", "term"]).aggregate([([], "count_all")])
+        p = g["p"].to_numpy()
+        c = g["count_all"].to_numpy().astype(np.float64)
+        s = np.bincount(p, weights=c * np.log(c), minlength=n)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ent = np.where(ntok > 0, np.log(np.maximum(ntok, 1.0)) - s / np.maximum(ntok, 1.0), 0.0)
+        return pa.table(
+            {"doc_id": b["doc_id"], "entropy": pa.array(_round6(ent))}
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+SQL_TOKEN_ENTROPY = f"""
+WITH tc AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS c
+  FROM (SELECT doc_id, unnest({TOK}) AS term FROM documents)
+  GROUP BY 1, 2
+),
+dl AS (SELECT doc_id, sum(c) AS n, sum(c * ln(c)) AS s FROM tc GROUP BY 1)
+SELECT d.doc_id,
+       CASE WHEN dl.doc_id IS NULL THEN 0.0
+            ELSE floor((ln(dl.n) - dl.s / dl.n) * 1000000 + 0.5) / 1000000 END AS entropy
+FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
+"""
+
+
+def q_rollup_counts(sf_dir: str):
+    """OLAP rollup (GROUPING SETS): event counts + exact cent-sums at
+    (day, event_type), (day) and grand-total levels.  The finest level
+    is the distributed date-histogram aggregation; the coarser levels
+    derive from its SUMMARY (days x types rows, driver-held by design)
+    — never from a second pass over the events."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.strftime(b["ts"], format="%Y-%m-%d")
+        cents = np.round(b["value"].to_numpy(zero_copy_only=False) * 100.0).astype(
+            np.int64
+        )
+        t = pa.table({"day": day, "event_type": b["event_type"], "cents": pa.array(cents)})
+        g = t.group_by(["day", "event_type"]).aggregate(
+            [("cents", "count"), ("cents", "sum")]
+        )
+        return pa.table(
+            {
+                "day": g["day"],
+                "event_type": g["event_type"],
+                "v": g["cents_sum"].cast(pa.int64()),
+                "n": g["cents_count"].cast(pa.int64()),
+            }
+        )
+
+    fine = (
+        _read(sf_dir, "events", ["ts", "event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["day", "event_type"])
+        .aggregate(Sum("v", alias_name="v"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    by_day = fine.groupby("day", as_index=False)[["v", "n"]].sum()
+    by_day["event_type"] = None
+    total = pd.DataFrame(
+        {"day": [None], "event_type": [None], "v": [fine["v"].sum()], "n": [fine["n"].sum()]}
+    )
+    out = pd.concat([fine, by_day, total], ignore_index=True)
+    return pd.DataFrame(
+        {
+            "day": out["day"].astype(object).where(out["day"].notna(), None),
+            "event_type": out["event_type"].astype(object).where(
+                out["event_type"].notna(), None
+            ),
+            "n": out["n"].astype(np.int64),
+            "sum_value": out["v"].astype(np.float64) / 100.0,
+        }
+    )
+
+
+SQL_ROLLUP_COUNTS = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+FROM events GROUP BY ROLLUP(day, event_type)
+"""
+
+WEIGHTED_SAMPLE_K = 50
+
+
+def q_weighted_sample(sf_dir: str):
+    """Weighted sampling without replacement (A-Res, Efraimidis &
+    Spirakis 2006): each doc draws key = ln(u)/w with w = n_chars and
+    u = (md5_number_lower(text)+1)/2^64; the k largest keys are the
+    sample.  The draw is content-derived (deterministic at any
+    parallelism) and the shuffle-free reduction ships only each
+    batch's top-k candidates — never the corpus."""
+
+    k = WEIGHTED_SAMPLE_K
+
+    def partial(b: pa.Table) -> pa.Table:
+        u64 = _md5_low64_column(b["text"])
+        w = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        u = (u64.astype(np.float64) + 1.0) / 18446744073709551616.0
+        key = np.log(u) / w
+        t = pa.table(
+            {"doc_id": b["doc_id"], "n_chars": b["n_chars"], "key": pa.array(key)}
+        )
+        if t.num_rows > k:
+            kth = -np.partition(-key, k - 1)[k - 1]
+            t = t.filter(pa.array(key >= kth))
+        return t
+
+    cand = (
+        _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )  # <= k rows per input block
+    cand = cand.sort_values(["key", "doc_id"], ascending=[False, True]).head(k)
+    return pd.DataFrame(
+        {
+            "doc_id": cand["doc_id"].to_numpy(),
+            "n_chars": cand["n_chars"].to_numpy(),
+        }
+    )
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+SELECT doc_id, n_chars
+FROM documents
+ORDER BY ln((CAST(md5_number_lower(text) AS DOUBLE) + 1.0)
+            / 18446744073709551616.0) / n_chars DESC, doc_id
+LIMIT {WEIGHTED_SAMPLE_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3674,6 +3931,10 @@ def make_queries() -> dict:
         "graph_pagerank": q_pagerank,
         "triangle_count": q_triangle_count,
         "rolling_window": q_rolling_window,
+        "approx_percentiles": q_approx_percentiles,
+        "token_entropy": q_token_entropy,
+        "rollup_counts": q_rollup_counts,
+        "weighted_sample": q_weighted_sample,
     }
 
 
@@ -3763,6 +4024,10 @@ def make_oracle_sql() -> dict:
         "graph_pagerank": _sql_pagerank(),
         "triangle_count": SQL_TRIANGLE_COUNT,
         "rolling_window": SQL_ROLLING_WINDOW,
+        "approx_percentiles": SQL_APPROX_PERCENTILES,
+        "token_entropy": SQL_TOKEN_ENTROPY,
+        "rollup_counts": SQL_ROLLUP_COUNTS,
+        "weighted_sample": SQL_WEIGHTED_SAMPLE,
     }
 
 
