@@ -33,10 +33,17 @@ from ..index import IndexReader
 
 @dataclass(frozen=True)
 class PageCursor:
-    """Sort key of the last hit of a page: (score desc, doc_id asc)."""
+    """Sort key of the last hit of a page: (score desc, doc_id asc).
+
+    ``k_hint`` is a pure optimization carried between pages: the fetch
+    depth that sufficed for the previous page, so the next page starts
+    its deepening there instead of re-climbing the doubling ladder from
+    the bottom.  It never affects results (any starting k converges to
+    the same page via the completeness check)."""
 
     score: float
     doc_id: int
+    k_hint: int = 0
 
 
 def search_after_topk(
@@ -63,7 +70,7 @@ def search_after_topk(
     if doc_ids is None:
         doc_ids = reader.docmeta()["path"].to_numpy().astype(np.int64)
 
-    k = max(4 * size, 16)
+    k = max(4 * size, 16, after.k_hint if after is not None else 0)
     while True:
         k = min(k, n)
         hits = wand_topk(reader, field, terms, k=k)
@@ -87,6 +94,8 @@ def search_after_topk(
         have = min(size, len(ids))
         if exhausted or (have == size and scores[have - 1] > frontier):
             page = [(int(ids[i]), float(scores[i])) for i in range(have)]
-            cursor = PageCursor(page[-1][1], page[-1][0]) if page else None
+            cursor = (
+                PageCursor(page[-1][1], page[-1][0], k_hint=k) if page else None
+            )
             return page, cursor
         k *= 2

@@ -57,8 +57,12 @@ def rescore_phrase_topk(
     order = np.lexsort((ids, -scores))[:window]
     ords, ids, scores = ords[order], ids[order], scores[order]
 
-    # expensive pass on the window only: positional phrase presence
-    ph = Scorer(reader).phrase(field, list(phrase), slop=0)
+    # expensive pass on the window only: positional phrase presence,
+    # restricted to the window's ordinals (position-chain work is
+    # O(window), not O(df))
+    ph = Scorer(reader).phrase(
+        field, list(phrase), slop=0, within=np.sort(ords)
+    )
     rescored = scores + np.where(ph.mask[ords], bonus, 0.0)
 
     out = np.lexsort((ids, -rescored))[:k]

@@ -183,15 +183,27 @@ class Scorer:
 
     # -- phrases --------------------------------------------------------------
 
-    def phrase(self, field: str, terms: list[str], slop: int = 0) -> DenseResult:
+    def phrase(self, field: str, terms: list[str], slop: int = 0,
+               within: np.ndarray | None = None) -> DenseResult:
+        """``within`` (optional sorted ordinal array): restrict the match
+        to those docs — the position-chain work then costs O(|within|),
+        not O(df); used by two-phase rescoring where only a top-window
+        needs the expensive positional verification."""
         if not terms:
             return DenseResult.empty(self.n)
         if len(terms) == 1:
-            return self.term_result(field, terms[0])
+            res = self.term_result(field, terms[0])
+            if within is not None:
+                sel = np.zeros(self.n, dtype=bool)
+                sel[within] = True
+                res.restrict(sel)
+            return res
         tps = [self.r.lookup(field, t) for t in terms]
         if any(tp is None for tp in tps):
             return DenseResult.empty(self.n)
-        return self._phrase_from_postings(field, tps, [self.idf(tp.df) for tp in tps], slop)
+        return self._phrase_from_postings(
+            field, tps, [self.idf(tp.df) for tp in tps], slop, within=within
+        )
 
     def _phrase_from_postings(
         self,
@@ -199,6 +211,7 @@ class Scorer:
         tps: list,
         idfs: list[float],
         slop: int,
+        within: np.ndarray | None = None,
     ) -> DenseResult:
         """Positional phrase over already-resolved posting lists; entries of
         ``tps`` may be TermPostings or (ords, tfs, pos, off) union tuples."""
@@ -209,6 +222,8 @@ class Scorer:
         # smallest possible candidate sets
         order = np.argsort(np.asarray([len(r[0]) for r in resolved]), kind="stable")
         cand = resolved[int(order[0])][0]
+        if within is not None:
+            cand = cand[_in_sorted(cand, within)]
         for j in order[1:]:
             cand = cand[_in_sorted(cand, resolved[int(j)][0])]
             if len(cand) == 0:
