@@ -42,7 +42,7 @@ class PageCursor:
     the same page via the completeness check)."""
 
     score: float
-    doc_id: int
+    doc_id: object  # any ordered id type (int for the driver corpus, str for claim ids)
     k_hint: int = 0
 
 
@@ -53,14 +53,19 @@ def search_after_topk(
     size: int = 10,
     after: PageCursor | None = None,
     doc_ids: np.ndarray | None = None,
+    live: np.ndarray | None = None,
 ) -> tuple[list[tuple[int, float]], PageCursor | None]:
     """One page of ``(doc_id, score)`` in (score desc, doc_id asc) order
     starting strictly after ``after``; returns ``(page, next_cursor)``.
 
     ``doc_ids`` maps internal ordinal -> external doc id (defaults to
     the docmeta ``path`` column cast to int64, the driver-corpus
-    convention).  The page order ties on the EXTERNAL id so cursors
-    survive reindexing with a different ordinal assignment.
+    convention; any numpy-sortable id dtype works, including strings).
+    The page order ties on the EXTERNAL id so cursors survive
+    reindexing with a different ordinal assignment.
+
+    ``live`` (optional bool mask over ordinals) is forwarded to WAND —
+    delta-aware serving paginates over live docs only.
     """
     from .wand import wand_topk
 
@@ -73,7 +78,7 @@ def search_after_topk(
     k = max(4 * size, 16, after.k_hint if after is not None else 0)
     while True:
         k = min(k, n)
-        hits = wand_topk(reader, field, terms, k=k)
+        hits = wand_topk(reader, field, terms, k=k, live=live)
         if not hits:
             return [], None
         frontier = min(s for _, s in hits)
@@ -93,7 +98,10 @@ def search_after_topk(
         # nothing deeper exists
         have = min(size, len(ids))
         if exhausted or (have == size and scores[have - 1] > frontier):
-            page = [(int(ids[i]), float(scores[i])) for i in range(have)]
+            page = [
+                (v.item() if isinstance(v, np.generic) else v, float(scores[i]))
+                for i, v in ((i, ids[i]) for i in range(have))
+            ]
             cursor = (
                 PageCursor(page[-1][1], page[-1][0], k_hint=k) if page else None
             )

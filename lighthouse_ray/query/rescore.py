@@ -35,6 +35,7 @@ def rescore_phrase_topk(
     k: int = 10,
     bonus: float = 2.0,
     doc_ids: np.ndarray | None = None,
+    live: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """Top-``k`` ``(doc_id, score)`` where score = window-BM25 + bonus
     for docs whose ``field`` contains ``phrase`` as adjacent tokens.
@@ -48,7 +49,9 @@ def rescore_phrase_topk(
     if doc_ids is None:
         doc_ids = reader.docmeta()["path"].to_numpy().astype(np.int64)
 
-    hits = wand_topk(reader, field, terms, k=min(window + _TIE_MARGIN, reader.n_docs))
+    hits = wand_topk(
+        reader, field, terms, k=min(window + _TIE_MARGIN, reader.n_docs), live=live
+    )
     if not hits:
         return []
     ords = np.fromiter((d for d, _ in hits), dtype=np.int64, count=len(hits))

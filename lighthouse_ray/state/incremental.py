@@ -205,6 +205,36 @@ class IncrementalIndex:
             .reset_index(drop=True)
         )
 
+    def search_after(self, field: str, terms: list[str], size: int = 10,
+                     after=None):
+        """Keyset pagination across live segments: each segment serves
+        its own post-cursor page (shadowed docs masked inside WAND),
+        the merge keeps the global (score desc, doc_id asc) order and
+        cuts to ``size``.  The cursor is a pure (score, doc_id) sort
+        key, so it stays valid across delta appends that do not shadow
+        already-returned docs — exactly the search_after contract.
+
+        Returns ``(DataFrame[doc_id, score], next_cursor)``."""
+        from ..query.pagination import PageCursor, search_after_topk
+
+        masks = self.live_map()
+        rows: list[tuple] = []
+        for rdr, mask in zip(self.readers(), masks):
+            ids = rdr.docmeta()["doc_id"].to_numpy()
+            page, _cur = search_after_topk(
+                rdr, field, terms, size=size, after=after, doc_ids=ids, live=mask
+            )
+            rows.extend(page)
+        rows.sort(key=lambda x: (-x[1], x[0]))
+        rows = rows[:size]
+        df = pd.DataFrame(rows, columns=["doc_id", "score"])
+        cursor = (
+            PageCursor(rows[-1][1], rows[-1][0],
+                       k_hint=after.k_hint if after is not None else 0)
+            if rows else None
+        )
+        return df, cursor
+
     # -- blocklists (J4, app/jobs/blocked/blocked.go) ------------------------
 
     def apply_blocklist(

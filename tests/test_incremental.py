@@ -213,3 +213,50 @@ def test_delete_only_delta_builds_empty_index(ray_session, tmp_path):
     assert len(ii.search_topk("content", ["spent"], k=5)) == 0
     assert len(ii.readers()) == 2
     assert ii.readers()[1].n_docs == 0
+
+
+def test_search_after_pages_over_delta_chain(ray_session, tmp_path_factory):
+    """Walking keyset pages across base+delta segments reproduces the
+    exhaustive merged live ranking — no gaps, no shadowed docs."""
+    import ray.data as rd
+
+    from lighthouse_ray.query.wand import wand_topk
+
+    root = str(tmp_path_factory.mktemp("incpage") / "root")
+    ii = IncrementalIndex(root, CFG)
+    ii.build_base(rd.from_arrow(gen_corpus(150)), CFG)
+    old5, upsert, new = _delta_rows()
+    delta = pa.table(
+        {k: pa.array([upsert[k], new[k]], type=pa.string())
+         for k in ("repo", "path", "commit", "lang", "content")}
+    )
+    victim = dict(gen_corpus(150).slice(7, 1).to_pylist()[0])
+    ii.apply_delta(rd.from_arrow(delta),
+                   tombstone_keys=[(victim["repo"], victim["path"])])
+
+    terms = ["merge", "sorted", "import"]
+    # exhaustive reference: per-segment full scoring under live masks,
+    # global (score desc, doc_id asc) order
+    want = []
+    for rdr, mask in zip(ii.readers(), ii.live_map()):
+        hits = wand_topk(rdr, "content", terms, k=rdr.n_docs, live=mask)
+        ids = rdr.docmeta()["doc_id"].to_numpy()
+        want.extend((ids[d], s) for d, s in hits)
+    want.sort(key=lambda x: (-x[1], x[0]))
+
+    got, cur = [], None
+    while True:
+        page, cur = ii.search_after("content", terms, size=7, after=cur)
+        if page.empty:
+            break
+        got.extend(page.itertuples(index=False, name=None))
+    assert [d for d, _ in got] == [d for d, _ in want]
+    import numpy as np
+    np.testing.assert_allclose([s for _, s in got], [s for _, s in want], rtol=1e-12)
+    # the tombstoned victim never appears
+    victim_ids = {d for d, _ in got if isinstance(d, str) and victim["path"] in d}
+    meta_victims = [
+        ids for rdr, mask in zip(ii.readers(), ii.live_map())
+        for ids in rdr.docmeta().loc[~np.asarray(mask), "doc_id"].tolist()
+    ]
+    assert not victim_ids.intersection(meta_victims)
