@@ -29,8 +29,12 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
+import uuid
+
 import numpy as np
 import pyarrow as pa
+import pyarrow.parquet as pq
 
 from .dedup import _run_bounds
 from .exchange import spill_exchange
@@ -49,96 +53,202 @@ def pagerank(edges, nodes, iters: int = 3, damping_pct: int = 85,
     iterations of  rank = base + (damping_pct * Σ_in rank_src //
     outdeg_src) // 100  with base = ((100 - damping_pct) * SCALE) //
     (100 * n_nodes).
+
+    Execution (partition-aligned Pregel): the STATIC sides spill once —
+    edges hash-partitioned by src, nodes by node; because the routing
+    hash is value-based, an edge partition p and rank/node partition p
+    hold exactly the same key population.  Each iteration then runs one
+    task per partition that reads its static edges + current ranks from
+    disk, computes per-src outdeg in-partition (all of a src's
+    out-edges are co-located), pre-aggregates contributions by dst, and
+    exchanges ONLY those combined rows — O(min(E_p, V)) per partition
+    per iteration, never the O(E) edge set.  The receiving task left
+    joins its node partition (teleport for no-inlink nodes) and writes
+    the next rank partition in the same aligned layout.  Superseded
+    iteration scratch is GC'd eagerly.
     """
-    from ray.data.aggregate import Sum
+    import shutil
 
-    from .joins import shuffle_join
+    import ray.data as rd
 
+    from .exchange import _SpillMap, xchg_base
+
+    empty = pa.table({"node": pa.array([], pa.int64()), "rank": pa.array([], pa.int64())})
     n_nodes = nodes.count()
     if n_nodes == 0:
-        return nodes.map_batches(
-            lambda b: pa.table(
-                {"node": pa.array([], pa.int64()), "rank": pa.array([], pa.int64())}
-            ),
-            batch_format="pyarrow",
-        )
+        return rd.from_arrow(empty)
     base = ((100 - damping_pct) * PR_SCALE) // (100 * n_nodes)
     r0 = PR_SCALE // n_nodes
 
-    def count_deg(b: pa.Table) -> pa.Table:
-        g = b.group_by("src").aggregate([([], "count_all")])
-        return pa.table({"node": g["src"], "deg": g["count_all"].cast(pa.int64())})
+    run_root = os.path.join(xchg_base(), "pr-" + uuid.uuid4().hex[:16])
 
-    deg = (
-        edges.map_batches(count_deg, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Sum("deg", alias_name="outdeg"))
-    )
+    def _spill(ds, key: str, sub: str) -> dict[int, list[str]]:
+        root = os.path.join(run_root, sub)
+        man = ds.map_batches(
+            _SpillMap(key, num_parts, root), batch_format="pyarrow"
+        ).take_all()
+        files: dict[int, list[str]] = {}
+        for r in man:
+            if int(r["part"]) >= 0:
+                files.setdefault(int(r["part"]), []).append(r["file"])
+        return files
 
-    # state: (node, outdeg, rank); isolated/dangling nodes carry outdeg 0
-    state = shuffle_join(
-        nodes, deg, key="node", lcols=[], rcols=["outdeg"], how="left",
-        num_parts=num_parts,
-    ).map_batches(
-        lambda b: pa.table(
-            {
-                "node": b["node"].cast(pa.int64()),
-                "outdeg": b["outdeg"].cast(pa.int64()).fill_null(0),
-                "rank": pa.array(np.full(b.num_rows, r0, dtype=np.int64)),
-            }
+    def _read(sub: str, p: int, files: list[str]) -> pa.Table | None:
+        if not files:
+            return None
+        root = os.path.join(run_root, sub)
+        return pa.concat_tables(
+            pq.read_table(os.path.join(root, f"part={p}", f)) for f in sorted(files)
+        )
+
+    efiles = _spill(
+        edges.map_batches(
+            lambda b: pa.table(
+                {"src": b["src"].cast(pa.int64()), "dst": b["dst"].cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
         ),
-        batch_format="pyarrow",
+        "src", "edges",
+    )
+    nfiles = _spill(
+        nodes.map_batches(
+            lambda b: pa.table({"node": b["node"].cast(pa.int64())}),
+            batch_format="pyarrow",
+        ),
+        "node", "nodes",
     )
 
-    src_edges = edges.map_batches(
-        lambda b: pa.table({"node": b["src"].cast(pa.int64()), "dst": b["dst"].cast(pa.int64())}),
-        batch_format="pyarrow",
-    )
+    state_sub: str | None = None  # None => every rank is the constant r0
+    state_files: dict[int, list[str]] = {}
+    all_parts = sorted(set(efiles) | set(nfiles))
 
-    for _ in range(iters):
-        # contribution of every edge: rank_src // outdeg_src
-        j = shuffle_join(
-            src_edges, state, key="node", lcols=["dst"], rcols=["outdeg", "rank"],
-            how="inner", num_parts=num_parts,
+    for it in range(iters):
+        contrib_sub = f"contrib-{it}"
+        s_sub, s_files = state_sub, state_files  # captured for the map
+
+        def contrib_map(b: pa.Table) -> pa.Table:
+            spill = _SpillMap("dst", num_parts, os.path.join(run_root, contrib_sub))
+            outs = []
+            for row in b.to_pylist():
+                p = int(row["part"])
+                et = _read("edges", p, efiles.get(p, []))
+                if et is None or et.num_rows == 0:
+                    continue
+                order = np.argsort(et["src"].to_numpy(), kind="stable")
+                src = et["src"].to_numpy()[order]
+                dst = et["dst"].to_numpy()[order]
+                starts = np.flatnonzero(np.diff(src, prepend=src[0] - 1))
+                outdeg = np.diff(np.append(starts, len(src)))
+                usrc = src[starts]
+                if s_sub is None:
+                    rank_u = np.full(len(usrc), r0, dtype=np.int64)
+                else:
+                    st = _read(s_sub, p, s_files.get(p, []))
+                    nsort = np.argsort(st["node"].to_numpy(), kind="stable")
+                    snode = st["node"].to_numpy()[nsort]
+                    srank = st["rank"].to_numpy()[nsort]
+                    rank_u = srank[np.searchsorted(snode, usrc)]
+                c = np.repeat(rank_u // outdeg, outdeg)
+                t = pa.table({"dst": pa.array(dst), "c": pa.array(c.astype(np.int64))})
+                # in-partition combine: the exchange carries distinct
+                # dsts, never the edge stream
+                g = t.group_by("dst", use_threads=False).aggregate([("c", "sum")])
+                outs.append(
+                    spill(pa.table({"dst": g["dst"], "c": g["c_sum"].cast(pa.int64())}))
+                )
+            if not outs:
+                return pa.table(
+                    {"part": pa.array([-1], pa.int32()), "file": pa.array([""], pa.string())}
+                )
+            return pa.concat_tables(outs)
+
+        cman = (
+            rd.from_items([{"part": p} for p in all_parts],
+                          override_num_blocks=max(1, len(all_parts)))
+            .map_batches(contrib_map, batch_format="pyarrow", batch_size=None)
+            .take_all()
         )
+        cfiles: dict[int, list[str]] = {}
+        for r in cman:
+            if int(r["part"]) >= 0:
+                cfiles.setdefault(int(r["part"]), []).append(r["file"])
 
-        def contrib(b: pa.Table) -> pa.Table:
-            c = b["rank"].to_numpy() // b["outdeg"].to_numpy()
-            return pa.table({"dst": b["dst"], "c": pa.array(c.astype(np.int64))})
+        next_sub = f"state-{it}"
 
-        sums = (
-            j.map_batches(contrib, batch_format="pyarrow")
-            .groupby("dst")
-            .aggregate(Sum("c", alias_name="c"))
-            .map_batches(
-                lambda b: pa.table(
-                    {"node": b["dst"].cast(pa.int64()), "c": b["c"].cast(pa.int64())}
-                ),
-                batch_format="pyarrow",
+        def state_reduce(b: pa.Table) -> pa.Table:
+            rows_part, rows_file = [], []
+            for row in b.to_pylist():
+                p = int(row["part"])
+                nt = _read("nodes", p, nfiles.get(p, []))
+                if nt is None or nt.num_rows == 0:
+                    continue
+                node = np.sort(nt["node"].to_numpy())
+                c = np.zeros(len(node), dtype=np.int64)
+                ct = _read(contrib_sub, p, cfiles.get(p, []))
+                if ct is not None and ct.num_rows:
+                    g = ct.group_by("dst", use_threads=False).aggregate([("c", "sum")])
+                    gd = g["dst"].to_numpy()
+                    gc = g["c_sum"].to_numpy().astype(np.int64)
+                    idx = np.searchsorted(node, gd)
+                    # contributions to nodes absent from the node set
+                    # (edges referencing unknown ids) are dropped
+                    ok = (idx < len(node)) & (node[np.minimum(idx, len(node) - 1)] == gd)
+                    np.add.at(c, idx[ok], gc[ok])
+                rank = base + (damping_pct * c) // 100
+                out = pa.table({"node": pa.array(node), "rank": pa.array(rank)})
+                sink = pa.BufferOutputStream()
+                pq.write_table(out, sink, compression="zstd", compression_level=1,
+                               write_statistics=False)
+                data = sink.getvalue().to_pybytes()
+                fname = f"state-{uuid.uuid4().hex[:12]}.parquet"
+                from ..util import atomic_write_bytes
+
+                atomic_write_bytes(
+                    os.path.join(run_root, next_sub, f"part={p}", fname), data
+                )
+                rows_part.append(p)
+                rows_file.append(fname)
+            if not rows_part:
+                rows_part, rows_file = [-1], [""]
+            return pa.table(
+                {"part": pa.array(rows_part, pa.int32()),
+                 "file": pa.array(rows_file, pa.string())}
             )
+
+        sman = (
+            rd.from_items([{"part": p} for p in all_parts],
+                          override_num_blocks=max(1, len(all_parts)))
+            .map_batches(state_reduce, batch_format="pyarrow", batch_size=None)
+            .take_all()
         )
-        state = shuffle_join(
-            state, sums, key="node", lcols=["outdeg"], rcols=["c"], how="left",
-            num_parts=num_parts,
-        ).map_batches(
+        new_files: dict[int, list[str]] = {}
+        for r in sman:
+            if int(r["part"]) >= 0:
+                new_files.setdefault(int(r["part"]), []).append(r["file"])
+        # superseded scratch: this iteration's contribs + the previous state
+        shutil.rmtree(os.path.join(run_root, contrib_sub), ignore_errors=True)
+        if state_sub is not None:
+            shutil.rmtree(os.path.join(run_root, state_sub), ignore_errors=True)
+        state_sub, state_files = next_sub, new_files
+
+    if state_sub is None:  # iters == 0: every node at r0
+        return nodes.map_batches(
             lambda b: pa.table(
                 {
                     "node": b["node"].cast(pa.int64()),
-                    "outdeg": b["outdeg"].cast(pa.int64()),
-                    "rank": pa.array(
-                        base
-                        + (damping_pct * b["c"].cast(pa.int64()).fill_null(0).to_numpy())
-                        // 100
-                    ),
+                    "rank": pa.array(np.full(b.num_rows, r0, dtype=np.int64)),
                 }
             ),
             batch_format="pyarrow",
         )
-
-    return state.map_batches(
-        lambda b: pa.table({"node": b["node"], "rank": b["rank"]}),
-        batch_format="pyarrow",
-    )
+    paths = [
+        os.path.join(run_root, state_sub, f"part={p}", f)
+        for p, fs in sorted(state_files.items())
+        for f in sorted(fs)
+    ]
+    if not paths:
+        return rd.from_arrow(empty)
+    return rd.read_parquet(paths, columns=["node", "rank"])
 
 
 def triangle_count(edges, num_parts: int = 32) -> int:
