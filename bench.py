@@ -146,7 +146,8 @@ def run_bench() -> dict:
                      "date_histogram", "significant_terms",
                      "importance_sample", "vocab_prune", "graph_pagerank",
                      "triangle_count", "rolling_window", "approx_percentiles",
-                     "token_entropy", "rollup_counts", "weighted_sample"]:
+                     "token_entropy", "rollup_counts", "weighted_sample",
+                     "linreg_fit"]:
             if time.time() - sweep_t0 > budget_s:
                 status[name] = "skipped_budget"
                 continue

@@ -3848,6 +3848,105 @@ LIMIT {WEIGHTED_SAMPLE_K}
 """
 
 
+def q_linreg_fit(sf_dir: str):
+    """Distributed model fitting via exact sufficient statistics — the
+    TRAINING side of the batched-inference op (`model_score`): per lang,
+    ordinary least squares of n_chars on n_tokens.  Each batch emits
+    integer partials (n, Σx, Σy, Σx², Σxy, Σy²); one tiny groupby sums
+    them EXACTLY (integer arithmetic — no float-order nondeterminism),
+    and the closed-form solve happens once on the driver over |langs|
+    rows.  The same shape scales to d features as a d×d Gram matrix per
+    batch (k·d² ints shuffled, never the rows) with the driver solving
+    the normal equations — how linear probes / quality classifiers are
+    fit over corpus-scale features."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        parents, _pos, _terms, n = flat_tokens(b["text"])
+        x = np.bincount(parents, minlength=n).astype(np.int64)
+        y = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table(
+            {
+                "lang": b["lang"],
+                "n": pa.array(np.ones(n, dtype=np.int64)),
+                "sx": pa.array(x),
+                "sy": pa.array(y),
+                "sxx": pa.array(x * x),
+                "sxy": pa.array(x * y),
+                "syy": pa.array(y * y),
+            }
+        )
+        g = t.group_by("lang").aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxx", "sum"), ("sxy", "sum"), ("syy", "sum")]
+        )
+        return pa.table(
+            {
+                "lang": g["lang"],
+                **{c: g[f"{c}_sum"].cast(pa.int64())
+                   for c in ("n", "sx", "sy", "sxx", "sxy", "syy")},
+            }
+        )
+
+    agg = (
+        _read(sf_dir, "documents", ["lang", "text", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(*[Sum(c, alias_name=c) for c in ("n", "sx", "sy", "sxx", "sxy", "syy")])
+        .to_pandas()
+    )  # |langs| rows
+    n = agg["n"].to_numpy().astype(np.float64)
+    sx = agg["sx"].to_numpy().astype(np.float64)
+    sy = agg["sy"].to_numpy().astype(np.float64)
+    sxx = agg["sxx"].to_numpy().astype(np.float64)
+    sxy = agg["sxy"].to_numpy().astype(np.float64)
+    syy = agg["syy"].to_numpy().astype(np.float64)
+    # op order mirrors the SQL exactly; inputs are exact integers so the
+    # doubles agree bit-for-bit
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    cov = n * sxy - sx * sy
+    r2 = cov * cov / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+
+    def rh(v: np.ndarray) -> np.ndarray:
+        # round-half-away-from-zero at 6 dp == DuckDB round(x, 6)
+        return np.copysign(np.floor(np.abs(v) * 1e6 + 0.5), v) / 1e6
+
+    return pd.DataFrame(
+        {
+            "lang": agg["lang"],
+            "slope": rh(slope),
+            "intercept": rh(intercept),
+            "r2": rh(r2),
+        }
+    )
+
+
+SQL_LINREG_FIT = f"""
+WITH f AS (
+  SELECT lang,
+         CAST(len({TOK}) AS BIGINT) AS x,
+         n_chars AS y
+  FROM documents
+),
+s AS (
+  SELECT lang,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x * x) AS DOUBLE) AS sxx, CAST(sum(x * y) AS DOUBLE) AS sxy,
+         CAST(sum(y * y) AS DOUBLE) AS syy
+  FROM f GROUP BY lang
+)
+SELECT lang,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS intercept,
+       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3935,6 +4034,7 @@ def make_queries() -> dict:
         "token_entropy": q_token_entropy,
         "rollup_counts": q_rollup_counts,
         "weighted_sample": q_weighted_sample,
+        "linreg_fit": q_linreg_fit,
     }
 
 
@@ -4028,6 +4128,7 @@ def make_oracle_sql() -> dict:
         "token_entropy": SQL_TOKEN_ENTROPY,
         "rollup_counts": SQL_ROLLUP_COUNTS,
         "weighted_sample": SQL_WEIGHTED_SAMPLE,
+        "linreg_fit": SQL_LINREG_FIT,
     }
 
 

@@ -93,3 +93,30 @@ def test_token_entropy_bounds(ray_session):
     assert (out["entropy"] >= 0).all()
     assert (out["entropy"] <= np.log(31) + 1e-9).all()
     assert out["entropy"].nunique() > 10  # actually varies per doc
+
+
+def test_linreg_fit_matches_numpy_lstsq(ray_session):
+    import duckdb
+
+    from lighthouse_ray.pipelines.driver_queries import q_linreg_fit
+
+    sf = "/root/testdata/sf0.001"
+    got = q_linreg_fit(sf).set_index("lang")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    import numpy as np
+
+    from lighthouse_ray.analysis import sql_tokens_expr
+
+    tok = sql_tokens_expr("text")
+    df = con.execute(
+        f"SELECT lang, len({tok}) AS x, n_chars AS y FROM documents"
+    ).df()
+    for lang, g in df.groupby("lang"):
+        A = np.stack([g["x"].to_numpy().astype(float), np.ones(len(g))], axis=1)
+        slope, intercept = np.linalg.lstsq(A, g["y"].to_numpy().astype(float), rcond=None)[0]
+        np.testing.assert_allclose(got.loc[lang, "slope"], slope, rtol=1e-6)
+        np.testing.assert_allclose(got.loc[lang, "intercept"], intercept, rtol=1e-4)
+        assert 0.0 <= got.loc[lang, "r2"] <= 1.0
