@@ -336,6 +336,70 @@ def sessionize(ds, gap_us: int, key_col: str = "user_id", ts_col: str = "ts",
     )
 
 
+def session_funnel(ds, first_type: str = "click", then_type: str = "purchase",
+                   gap_us: int = US_PER_DAY // 4, key_col: str = "user_id",
+                   ts_col: str = "ts", id_col: str = "event_id",
+                   type_col: str = "event_type", num_parts: int = 32):
+    """Session funnel conversion: among gap-based sessions (same
+    boundaries as :func:`sessionize`), count sessions containing a
+    ``then_type`` event STRICTLY after their first ``first_type`` event.
+
+    One spill exchange by key; the reduce finds session boundaries with
+    the sessionize pass and computes per-session first-A / last-B
+    timestamps with masked ``reduceat`` — no per-session Python.  Each
+    partition emits ONE (n_sessions, n_converted) partial row; the
+    caller sums |partitions| integers, so nothing row-sized ever
+    reaches the driver."""
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": b[key_col],
+                "ts_us": pa.array(_ts_us(b[ts_col])),
+                "id": b[id_col],
+                "et": b[type_col],
+            }
+        )
+
+    I64MAX = np.iinfo(np.int64).max
+    I64MIN = np.iinfo(np.int64).min
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"n_sessions": pa.array([], pa.int64()), "n_converted": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by(
+            [("k", "ascending"), ("ts_us", "ascending"), ("id", "ascending")]
+        ).combine_chunks()
+        n = t.num_rows
+        k = t["k"].to_numpy(zero_copy_only=False)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        et = t["et"].to_numpy(zero_copy_only=False)
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = k[1:] != k[:-1]
+        gap = np.empty(n, dtype=np.int64)
+        gap[0] = 0
+        gap[1:] = ts[1:] - ts[:-1]
+        starts = np.flatnonzero(new_key | (gap > gap_us))
+        first_a = np.minimum.reduceat(np.where(et == first_type, ts, I64MAX), starts)
+        last_b = np.maximum.reduceat(np.where(et == then_type, ts, I64MIN), starts)
+        conv = (first_a != I64MAX) & (last_b > first_a)
+        return pa.table(
+            {
+                "n_sessions": pa.array([len(starts)], pa.int64()),
+                "n_converted": pa.array([int(conv.sum())], pa.int64()),
+            }
+        )
+
+    return spill_exchange(
+        ds.map_batches(pre, batch_format="pyarrow"), "k", reduce_fn,
+        num_parts=num_parts,
+    )
+
+
 def rolling_user_agg(ds, window: int = 3, key_col: str = "user_id",
                      ts_col: str = "ts", id_col: str = "event_id",
                      value_col: str = "value", num_parts: int = 32):

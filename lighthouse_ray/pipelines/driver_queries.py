@@ -3947,6 +3947,63 @@ FROM s
 """
 
 
+def q_session_funnel(sf_dir: str):
+    """Session funnel conversion (the classic product-analytics op):
+    among 6-hour-gap sessions, the share containing a purchase STRICTLY
+    after the session's first click.  One exchange by user; each
+    partition emits a single (n_sessions, n_converted) partial —
+    |partitions| integer rows reach the driver, never sessions
+    (functions/windows.py::session_funnel)."""
+    from ..functions.windows import session_funnel
+
+    parts = session_funnel(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"]),
+        first_type="click", then_type="purchase", gap_us=SESSION_GAP_US,
+    ).to_pandas()
+    ns = int(parts["n_sessions"].sum())
+    nc = int(parts["n_converted"].sum())
+    rate = float(np.floor(nc / ns * 1e6 + 0.5) / 1e6) if ns else 0.0
+    return pd.DataFrame(
+        {
+            "n_sessions": np.array([ns], dtype=np.int64),
+            "n_converted": np.array([nc], dtype=np.int64),
+            "conv_rate": np.array([rate]),
+        }
+    )
+
+
+SQL_SESSION_FUNNEL = f"""
+WITH o AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), s AS (
+  SELECT user_id, event_type, ts_us,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM o
+), per AS (
+  SELECT user_id, sess,
+         min(CASE WHEN event_type = 'click' THEN ts_us END) AS first_click,
+         max(CASE WHEN event_type = 'purchase' THEN ts_us END) AS last_purch
+  FROM s GROUP BY user_id, sess
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+         CAST(sum(CASE WHEN first_click IS NOT NULL AND last_purch > first_click
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+  FROM per
+)
+SELECT n_sessions, n_converted,
+       CASE WHEN n_sessions = 0 THEN 0.0
+            ELSE floor(CAST(n_converted AS DOUBLE) / n_sessions * 1000000 + 0.5)
+                 / 1000000 END AS conv_rate
+FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4035,6 +4092,7 @@ def make_queries() -> dict:
         "rollup_counts": q_rollup_counts,
         "weighted_sample": q_weighted_sample,
         "linreg_fit": q_linreg_fit,
+        "session_funnel": q_session_funnel,
     }
 
 
@@ -4129,6 +4187,7 @@ def make_oracle_sql() -> dict:
         "rollup_counts": SQL_ROLLUP_COUNTS,
         "weighted_sample": SQL_WEIGHTED_SAMPLE,
         "linreg_fit": SQL_LINREG_FIT,
+        "session_funnel": SQL_SESSION_FUNNEL,
     }
 
 
