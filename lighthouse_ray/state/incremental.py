@@ -219,19 +219,22 @@ class IncrementalIndex:
 
         masks = self.live_map()
         rows: list[tuple] = []
+        hints = [after.k_hint] if after is not None else [0]
         for rdr, mask in zip(self.readers(), masks):
             ids = rdr.docmeta()["doc_id"].to_numpy()
-            page, _cur = search_after_topk(
+            page, seg_cur = search_after_topk(
                 rdr, field, terms, size=size, after=after, doc_ids=ids, live=mask
             )
             rows.extend(page)
+            if seg_cur is not None:
+                hints.append(seg_cur.k_hint)
         rows.sort(key=lambda x: (-x[1], x[0]))
         rows = rows[:size]
         df = pd.DataFrame(rows, columns=["doc_id", "score"])
+        # carry the deepest per-segment fetch depth so the next page's
+        # deepening starts where this one ended (pure optimization)
         cursor = (
-            PageCursor(rows[-1][1], rows[-1][0],
-                       k_hint=after.k_hint if after is not None else 0)
-            if rows else None
+            PageCursor(rows[-1][1], rows[-1][0], k_hint=max(hints)) if rows else None
         )
         return df, cursor
 
