@@ -20,6 +20,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
+import pyarrow.compute as pc
 import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
@@ -208,15 +209,29 @@ class IndexReader:
 
     def field_dictionary(self, field: str) -> np.ndarray:
         """Sorted array of all terms of a field (loaded once; used for
-        prefix expansion — autocomplete A4 — and fuzzy edit-distance scans)."""
+        prefix expansion — autocomplete A4 — and fuzzy edit-distance scans).
+
+        Prefers the ``dict/`` sidecar the merge tasks write (per-shard
+        distinct base terms — vocabulary-sized, already de-salted); falls
+        back to scanning the term column of every segment shard for
+        indexes built before the sidecar existed."""
         if self._dictionary is None:
             self._dictionary = {}
         arr = self._dictionary.get(field)
         if arr is None:
-            ds = pads.dataset(os.path.join(self.index_dir, "segments"))
-            t = ds.to_table(columns=["field", "term"], filter=pads.field("field") == field)
-            terms = [s.split("\x01", 1)[0] for s in t["term"].to_pylist()]
-            arr = np.unique(np.asarray(terms, dtype=object))
+            ddir = os.path.join(self.index_dir, "dict")
+            if os.path.isdir(ddir):
+                t = pads.dataset(ddir).to_table(
+                    columns=["term"], filter=pads.field("field") == field
+                )
+                u = pc.unique(t["term"].combine_chunks())
+                u = u.take(pc.sort_indices(u))
+                arr = np.asarray(u.to_pylist(), dtype=object)
+            else:
+                ds = pads.dataset(os.path.join(self.index_dir, "segments"))
+                t = ds.to_table(columns=["field", "term"], filter=pads.field("field") == field)
+                terms = [s.split("\x01", 1)[0] for s in t["term"].to_pylist()]
+                arr = np.unique(np.asarray(terms, dtype=object))
             self._dictionary[field] = arr
         return arr
 

@@ -391,3 +391,31 @@ def test_resume_refuses_layout_mismatch(ray_session, built, tmp_path):
     other = IndexConfig(**{**CFG.to_json(), "num_term_shards": CFG.num_term_shards * 2})
     with pytest.raises(ValueError, match="resume config mismatch"):
         build_index(rd.from_arrow(gen_corpus(N_DOCS)), idx7, other, resume=True)
+
+
+def test_dictionary_sidecar_parity(built):
+    """dict/ sidecar == de-salted distinct terms scanned from segments,
+    per field; the reader must prefer the sidecar and agree with the
+    legacy segment-scan fallback byte-for-byte."""
+    import shutil as _sh
+
+    from lighthouse_ray.config import FIELDS
+    from lighthouse_ray.index import IndexReader
+
+    idx, _ = built
+    assert os.path.isdir(os.path.join(idx, "dict")), "sidecar missing"
+    via_sidecar = {f: IndexReader(idx).field_dictionary(f) for f in FIELDS}
+
+    # force the fallback path on a copy with the sidecar removed
+    legacy = idx + "_nodict"
+    if os.path.isdir(legacy):
+        _sh.rmtree(legacy)
+    _sh.copytree(idx, legacy)
+    _sh.rmtree(os.path.join(legacy, "dict"))
+    via_scan = {f: IndexReader(legacy).field_dictionary(f) for f in FIELDS}
+
+    for f in FIELDS:
+        assert list(via_sidecar[f]) == list(via_scan[f]), f"field {f} diverges"
+        # sorted + unique invariants callers rely on (searchsorted)
+        a = via_sidecar[f]
+        assert all(a[i] < a[i + 1] for i in range(len(a) - 1))
