@@ -29,6 +29,14 @@ from ..config import FIELDS
 from ..util import read_json, stable_hash64
 
 
+def _scatter_keep(alive: np.ndarray, keep: np.ndarray) -> np.ndarray:
+    """Narrow a boolean survivor mask: ``alive`` marks positions in the
+    original array, ``keep`` marks survivors among the currently-alive."""
+    out = alive.copy()
+    out[alive] = keep
+    return out
+
+
 def _popcount64(a: np.ndarray) -> np.ndarray:
     """Vectorized 64-bit popcount (SWAR)."""
     x = a.astype(np.uint64)
@@ -286,24 +294,59 @@ class IndexReader:
         cand_idx = np.flatnonzero(sel)
         if len(cand_idx) == 0:
             return []
-        C = mat[cand_idx]
-        L = lens[cand_idx]
         n = len(term)
-        width = C.shape[1]
+        # the length filter above guarantees every candidate is at most
+        # n+maxd chars, so the DP never needs columns past that — clamp
+        # the matrix width instead of paying for the dictionary's single
+        # longest term on every scan
+        width = min(mat.shape[1], n + maxd)
+        C = np.ascontiguousarray(mat[cand_idx, :width])
+        L = lens[cand_idx]
         tcodes = np.frombuffer(term.encode("utf-32-le"), dtype=np.uint32)
+        # banded DP: any cell with |i-j| > maxd has true distance > maxd,
+        # so saturating it at BIG never flips an accept (a path through it
+        # costs >= BIG and DP values never decrease along a path); the
+        # inner loop then touches <= 2*maxd+1 columns per row, not `width`
+        BIG = np.int32(maxd + 1)
         prev = np.broadcast_to(
-            np.arange(width + 1, dtype=np.int32), (len(cand_idx), width + 1)
+            np.minimum(np.arange(width + 1, dtype=np.int32), BIG),
+            (len(cand_idx), width + 1),
         ).copy()
+        alive = None  # lazily materialized positions into cand_idx
         for i in range(1, n + 1):
-            cur = np.empty_like(prev)
-            cur[:, 0] = i
-            sub = (C != tcodes[i - 1]).astype(np.int32)
-            for j in range(1, width + 1):
-                np.minimum(prev[:, j] + 1, prev[:, j - 1] + sub[:, j - 1], out=cur[:, j])
+            cur = np.full_like(prev, BIG)
+            j_lo = max(1, i - maxd)
+            j_hi = min(width, i + maxd)
+            if i <= maxd:
+                cur[:, 0] = i
+            t_i = tcodes[i - 1]
+            for j in range(j_lo, j_hi + 1):
+                np.minimum(
+                    prev[:, j] + 1, prev[:, j - 1] + (C[:, j - 1] != t_i), out=cur[:, j]
+                )
                 np.minimum(cur[:, j], cur[:, j - 1] + 1, out=cur[:, j])
             prev = cur
-        dist = prev[np.arange(len(cand_idx)), L]
-        hits = cand_idx[dist <= maxd]
+            # early abandon: a candidate whose whole band exceeds maxd can
+            # never recover (values are non-decreasing along any path) —
+            # compact the working set so later rows scan only survivors
+            if len(prev) > 4096 and i < n:
+                band_min = prev[:, j_lo : j_hi + 1].min(axis=1)
+                if i <= maxd:
+                    band_min = np.minimum(band_min, prev[:, 0])
+                keep = band_min <= maxd
+                if keep.mean() < 0.6:
+                    prev = prev[keep]
+                    C = C[keep]
+                    L = L[keep]
+                    alive = keep if alive is None else _scatter_keep(alive, keep)
+        dist = prev[np.arange(len(prev)), L]
+        ok = dist <= maxd
+        if alive is not None:
+            final = alive.copy()
+            final[alive] = ok
+            hits = cand_idx[final]
+        else:
+            hits = cand_idx[ok]
         return [d[i] for i in hits]
 
     def expand_prefix(self, field: str, prefix: str, limit: int = 50) -> list[str]:
