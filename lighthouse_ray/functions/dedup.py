@@ -2015,3 +2015,117 @@ def substring_dup_docs(ds, *, k: int, text_col: str = "text",
         }),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate segment removal (CCNet / RefinedWeb line-level dedup)
+# ---------------------------------------------------------------------------
+
+_BP_TRIM = " \t\r\x0b\x0c"  # explicit charset so the SQL oracle can mirror it
+
+
+def boilerplate_strip(ds, *, min_docs: int, min_len: int = 8, sep: str = "\n",
+                      text_col: str = "text", id_col: str = "doc_id",
+                      num_parts: int = 16):
+    """Corpus-level boilerplate removal: split every document into
+    ``sep``-separated segments (lines for real text), and strip each
+    ELIGIBLE segment (trimmed length >= ``min_len``) whose trimmed form
+    occurs in >= ``min_docs`` DISTINCT documents — the line-level dedup
+    of CCNet (Wenzek et al. 2020) / RefinedWeb, which removes nav bars,
+    cookie banners and license headers that whole-doc dedup never sees.
+    Output: one row per doc with (doc_id, n_segments, n_removed,
+    text_clean), ``text_clean`` the kept segments re-joined by ``sep``
+    in original order (byte-lossless when nothing is removed).
+
+    Scale shape: two spill exchanges, both streaming corpus-sized rows
+    — segments routed by trimmed text (reduce counts distinct docs per
+    segment inside its partition and marks rows; exact-STRING
+    semantics, the routing hash only co-locates), then marked rows
+    routed by doc id (reduce rebuilds each doc's text from sorted
+    (id, idx) runs, fully vectorized via LargeListArray + binary_join).
+    No segment's doc list is ever driver-materialized; a segment shared
+    by d docs costs d rows, never d²."""
+
+    def explode(b: pa.Table) -> pa.Table:
+        txt = b[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        ids = b[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        lst = pc.split_pattern(txt, sep)
+        lines = pc.list_flatten(lst)
+        lens = pc.list_value_length(lst).to_numpy(zero_copy_only=False).astype(np.int64)
+        parents = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        offs = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        idx = np.arange(len(lines), dtype=np.int64) - offs[:-1][parents]
+        t = pc.utf8_trim(lines, _BP_TRIM)
+        elig = pc.greater_equal(pc.utf8_length(t), min_len)
+        return pa.table({
+            "id": pc.take(ids, pa.array(parents)).cast(pa.int64()),
+            "idx": pa.array(idx),
+            "line": lines,
+            "t": t,
+            "elig": elig,
+        })
+
+    marked_schema = pa.schema([
+        ("id", pa.int64()), ("idx", pa.int64()),
+        ("line", pa.string()), ("keep", pa.bool_()),
+    ])
+
+    def mark(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return marked_schema.empty_table()
+        el = t.filter(t["elig"])
+        if el.num_rows:
+            d = el.select(["t", "id"]).group_by(["t", "id"], use_threads=False).aggregate([])
+            cnt = d.group_by("t", use_threads=False).aggregate([([], "count_all")])
+            bad = cnt.filter(pc.greater_equal(cnt["count_all"], min_docs))["t"]
+            keep = pc.invert(pc.and_(
+                t["elig"].combine_chunks(),
+                pc.is_in(t["t"].combine_chunks(), value_set=bad.combine_chunks()),
+            ))
+        else:
+            keep = pa.array(np.ones(t.num_rows, dtype=bool))
+        return pa.table({"id": t["id"], "idx": t["idx"], "line": t["line"],
+                         "keep": keep}).cast(marked_schema)
+
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("n_segments", pa.int64()),
+        ("n_removed", pa.int64()), ("text_clean", pa.string()),
+    ])
+
+    def rebuild(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        t = t.sort_by([("id", "ascending"), ("idx", "ascending")]).combine_chunks()
+        ids = t["id"].combine_chunks()
+        starts, lens = _run_bounds(ids)
+        keep = t["keep"].combine_chunks().to_numpy(zero_copy_only=False)
+        n_rem = np.add.reduceat((~keep).astype(np.int64), starts)
+        kept_counts = lens - n_rem
+        offs = np.zeros(len(starts) + 1, dtype=np.int64)
+        np.cumsum(kept_counts, out=offs[1:])
+        kept_lines = t["line"].combine_chunks().filter(pa.array(keep))
+        joined = pc.binary_join(
+            pa.LargeListArray.from_arrays(pa.array(offs, type=pa.int64()), kept_lines),
+            sep,
+        )
+        return pa.table({
+            "doc_id": ids.take(pa.array(starts)),
+            "n_segments": pa.array(lens.astype(np.int64)),
+            "n_removed": pa.array(n_rem),
+            "text_clean": joined,
+        }).cast(out_schema)
+
+    stats1: dict = {}
+    marked = spill_exchange(
+        ds.map_batches(explode, batch_format="pyarrow"), "t", mark,
+        num_parts=num_parts, stats=stats1,
+    )
+    # the id-exchange's map pass fully consumes the segment exchange's
+    # spills — GC them as soon as that happens (bounded live frontier)
+    return spill_exchange(marked, "id", rebuild, num_parts=num_parts,
+                          cleanup_after=[stats1["root"]])

@@ -3033,6 +3033,60 @@ SELECT doc_id, xent, CAST(xent <= {PPL_CUTOFF} AS BIGINT) AS kept FROM x
 """
 
 
+BP_FRAC = 0.75   # a segment in >= 75% of docs is boilerplate
+BP_MIN_LEN = 2   # trimmed segments shorter than this are never stripped
+
+
+def q_boilerplate_strip(sf_dir: str):
+    """Boilerplate segment removal (CCNet / RefinedWeb line-level dedup,
+    Wenzek et al. 2020): strip every segment whose trimmed form occurs
+    in >= {BP_FRAC} of DISTINCT docs, and rebuild each doc's text from
+    the kept segments in original order.  Real corpora split on
+    newlines; the synthetic table has none, so the gate exercises the
+    same machinery at sep=' ' — corpus-DF-driven token stripping with
+    order-preserving reconstruction
+    (functions/dedup.py::boilerplate_strip)."""
+    from ..functions.dedup import boilerplate_strip
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    min_docs = int(np.ceil(BP_FRAC * docs.count()))
+    return boilerplate_strip(
+        docs, min_docs=min_docs, min_len=BP_MIN_LEN, sep=" "
+    ).sort("doc_id")
+
+
+SQL_BOILERPLATE_STRIP = f"""
+WITH l AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS line,
+         generate_subscripts(string_split(text, ' '), 1) AS idx
+  FROM documents
+),
+e AS (
+  SELECT doc_id, idx, line,
+         trim(line, ' ' || chr(9) || chr(13) || chr(11) || chr(12)) AS t
+  FROM l
+),
+bad AS (
+  SELECT t FROM e WHERE len(t) >= {BP_MIN_LEN}
+  GROUP BY t
+  HAVING count(DISTINCT doc_id)
+         >= CAST(ceil({BP_FRAC} * (SELECT count(*) FROM documents)) AS BIGINT)
+),
+m AS (
+  SELECT doc_id, idx, line,
+         NOT (len(t) >= {BP_MIN_LEN} AND t IN (SELECT t FROM bad)) AS keep
+  FROM e
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+       coalesce(string_agg(CASE WHEN keep THEN line END, ' ' ORDER BY idx), '')
+         AS text_clean
+FROM m GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 SEM_K, SEM_ITERS, SEM_THR = 8, 2, 0.4
 
 
@@ -4075,6 +4129,7 @@ def make_queries() -> dict:
         "spell_suggest": q_spell_suggest,
         "substring_dup": q_substring_dup,
         "perplexity_filter": q_perplexity_filter,
+        "boilerplate_strip": q_boilerplate_strip,
         "semdedup": q_semdedup,
         "regex_search": q_regex_search,
         "search_after": q_search_after,
@@ -4168,6 +4223,7 @@ def make_oracle_sql() -> dict:
         "spell_suggest": SQL_SPELL_SUGGEST,
         "substring_dup": SQL_SUBSTRING_DUP,
         "perplexity_filter": SQL_PERPLEXITY_FILTER,
+        "boilerplate_strip": SQL_BOILERPLATE_STRIP,
         "semdedup": _sql_semdedup(),
         "regex_search": SQL_REGEX_SEARCH,
         # keyset pagination == offset pagination under a strict total

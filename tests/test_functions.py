@@ -1537,3 +1537,41 @@ def test_bloom_filtered_pairs_hot_run_pair_list():
     for a, b in extras:  # extras must at least be same-run (i < j) pairs
         assert any(a in set(ids[s:s+ln].tolist()) and b in set(ids[s:s+ln].tolist())
                    for s, ln in zip(starts, lens))
+
+
+def test_boilerplate_strip_lines(ray_session):
+    """Line-level boilerplate removal: cross-doc repeated lines stripped,
+    order-preserving rebuild, trimming charset honored, short lines immune,
+    all-removed docs come back as empty text."""
+    import ray.data as rd
+
+    from lighthouse_ray.functions.dedup import boilerplate_strip
+
+    banner = "subscribe to our newsletter"
+    docs = [
+        (1, f"alpha unique line\n{banner}\nbody one"),
+        (2, f" {banner}\t\nbody two"),          # trims to the same banner
+        (3, f"{banner}\nbody three\nok"),
+        (4, banner),                             # the whole doc is boilerplate
+        (5, ""),                                 # empty doc survives
+        (6, "zz\nzz\nzz"),                       # short line (<8) never stripped
+    ]
+    ds = rd.from_items([{"doc_id": i, "text": t} for i, t in docs])
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_strip(ds, min_docs=3, min_len=8).take_all()
+    }
+    assert out[1]["text_clean"] == "alpha unique line\nbody one"
+    assert out[1]["n_segments"] == 3 and out[1]["n_removed"] == 1
+    assert out[2]["text_clean"] == "body two"
+    assert out[3]["text_clean"] == "body three\nok"
+    assert out[4]["text_clean"] == "" and out[4]["n_removed"] == 1
+    assert out[5]["text_clean"] == "" and out[5]["n_segments"] == 1
+    assert out[5]["n_removed"] == 0
+    assert out[6]["text_clean"] == "zz\nzz\nzz"  # short lines immune
+
+    # nothing-removed docs rebuild byte-lossless (incl. consecutive seps)
+    weird = "a\n\n  b \nc"
+    ds2 = rd.from_items([{"doc_id": 9, "text": weird}])
+    (r,) = boilerplate_strip(ds2, min_docs=2, min_len=8).take_all()
+    assert r["text_clean"] == weird and r["n_removed"] == 0
