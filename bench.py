@@ -140,7 +140,8 @@ def run_bench() -> dict:
                      "bloom_anti_join", "kmv_distinct", "pii_scrub",
                      "shard_stream", "dedup_keep", "domain_quota",
                      "facet_counts", "highlight_snippet", "spell_suggest",
-                     "perplexity_filter", "semdedup", "substring_dup",
+                     "perplexity_filter", "boilerplate_strip", "semdedup",
+                     "substring_dup",
                      "regex_search", "incremental_neardup", "mix_weights",
                      "search_after", "synonym_match", "rescore_phrase",
                      "date_histogram", "significant_terms",
