@@ -3507,16 +3507,25 @@ def q_vocab_prune(sf_dir: str):
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     n_docs = docs.count()
+
+    def head_cut(b: pa.Table) -> pa.Table:
+        # the keep cut runs INSIDE the pipeline so only the bounded Zipf
+        # head (2*df >= n_docs → at most 2 terms per unit of df mass)
+        # ever reaches the driver; the unbounded rare tail is dropped
+        # where it was aggregated
+        m = pc.greater_equal(pc.multiply(b["df"], pa.scalar(2, pa.int64())),
+                             pa.scalar(n_docs, pa.int64()))
+        return b.filter(m)
+
     df_rows = (
         _read(sf_dir, "documents", ["text"])
         .map_batches(df_partial, batch_format="pyarrow")
         .groupby("term")
         .aggregate(Sum("n", alias_name="df"))
+        .map_batches(head_cut, batch_format="pyarrow")
         .take_all()
-    )  # head-sized: only terms that appear at all; the keep cut below
-    keep = pa.array(
-        sorted(r["term"] for r in df_rows if 2 * int(r["df"]) >= n_docs)
     )
+    keep = pa.array(sorted(r["term"] for r in df_rows))
 
     def f(b: pa.Table) -> pa.Table:
         parents, _pos, terms, n = flat_tokens(b["text"])
