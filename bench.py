@@ -148,7 +148,7 @@ def run_bench() -> dict:
                      "importance_sample", "vocab_prune", "graph_pagerank",
                      "triangle_count", "rolling_window", "approx_percentiles",
                      "token_entropy", "rollup_counts", "weighted_sample",
-                     "linreg_fit", "session_funnel"]:
+                     "linreg_fit", "session_funnel", "collapse_topk"]:
             if time.time() - sweep_t0 > budget_s:
                 status[name] = "skipped_budget"
                 continue

@@ -19,6 +19,7 @@ Design notes (100 TB posture):
 from __future__ import annotations
 
 import hashlib
+import math
 import os
 
 import numpy as np
@@ -238,6 +239,160 @@ scored AS (
 )
 SELECT doc_id, round(score, 6) AS score
 FROM scored ORDER BY scored.score DESC, doc_id LIMIT {limit} OFFSET {offset}
+"""
+
+
+def q_collapse_topk(sf_dir: str):
+    """ES field collapsing (the `collapse` search option of the
+    reference's ES 6.x backend; companion to Q16/Q17 top-k,
+    `app/actions/search/search.go:96-116`): BM25-score every doc
+    matching the query, keep exactly ONE best hit per collapse key
+    (`lang` here; channel/repo in the reference's data model), and
+    return the collapsed groups ordered by their winning hit.
+
+    Distributed shape: a bounded stats pass (n_docs, avgdl, per-query-
+    term df — summary-sized partials), then one scoring pass whose
+    per-batch combiner keeps the best hit per key IN THE BATCH (shuffle
+    carries <= |keys| rows per batch, never the hit list), then a
+    `groupby(key).aggregate(Min(packed))` where the winner's
+    (inv_score, doc_id) ride inside a fixed-width packed key — the same
+    winner-in-the-key pattern as the curation funnel.  A
+    high-cardinality collapse key keeps the Dataset `sort().limit()`
+    tail; the driver drain is collapsed-page-sized."""
+    from ray.data.aggregate import Min
+
+    terms = tokenize_text(BM25_QUERY)
+
+    def stats_partial(b: pa.Table) -> pa.Table:
+        parents, _pos, toks, n = flat_tokens(b["text"])
+        dl = float(len(parents))
+        cols = {
+            "n": pa.array([float(n)]),
+            "dl": pa.array([dl]),
+        }
+        for i, t in enumerate(terms):
+            m = pc.equal(toks, t).to_numpy(zero_copy_only=False)
+            # df partial: docs in this batch containing the term
+            cols[f"df{i}"] = pa.array([float(len(np.unique(parents[m])))])
+        return pa.table(cols)
+
+    parts = (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(stats_partial, batch_format="pyarrow")
+        .take_all()
+    )  # one row per batch — summary-sized
+    n_docs = sum(r["n"] for r in parts)
+    avgdl = sum(r["dl"] for r in parts) / n_docs
+    df = [sum(r[f"df{i}"] for r in parts) for i in range(len(terms))]
+    idf = [math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)) for d in df]
+
+    def score_collapse(b: pa.Table) -> pa.Table:
+        empty = pa.table({"lang": pa.array([], type=pa.string()),
+                          "k": pa.array([], type=pa.string())})
+        parents, _pos, toks, n = flat_tokens(b["text"])
+        if n == 0:
+            return empty
+        dl = np.bincount(parents, minlength=n).astype(np.float64)
+        score = np.zeros(n, dtype=np.float64)
+        matched = np.zeros(n, dtype=bool)
+        denom_dl = K1 * (1.0 - B + B * dl / avgdl)
+        for i, t in enumerate(terms):
+            m = pc.equal(toks, t).to_numpy(zero_copy_only=False)
+            tf = np.bincount(parents[m], minlength=n).astype(np.float64)
+            has = tf > 0
+            matched |= has
+            score[has] += idf[i] * tf[has] * (K1 + 1.0) / (tf[has] + denom_dl[has])
+        if not matched.any():
+            return empty
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)[matched]
+        langs = b["lang"].to_numpy(zero_copy_only=False)[matched]
+        s_int = np.floor(score[matched] * 1e6 + 0.5).astype(np.int64)
+        # batch-local best per lang: rank by (score desc, doc_id asc),
+        # keep the first occurrence of each lang
+        order = np.lexsort((ids, -s_int))
+        _, first = np.unique(langs[order], return_index=True)
+        sel = order[first]
+        inv = 10**13 - s_int[sel]  # Min(packed) == score desc, doc_id asc
+        k = pc.binary_join_element_wise(
+            pc.utf8_lpad(pc.cast(pa.array(inv), pa.string()), 13, "0"),
+            pc.utf8_lpad(pc.cast(pa.array(ids[sel]), pa.string()), 20, "0"),
+            "",
+        )
+        return pa.table({"lang": pa.array(langs[sel]), "k": k})
+
+    winners = (
+        _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+        .map_batches(score_collapse, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Min("k", alias_name="k"))
+    )
+    decode_empty = pa.schema(
+        [("lang", pa.string()), ("doc_id", pa.int64()),
+         ("score", pa.float64()), ("k", pa.string())]
+    ).empty_table()
+
+    def decode(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return decode_empty
+        inv = pc.cast(pc.utf8_slice_codeunits(b["k"], 0, 13), pa.int64())
+        s = pc.divide(pc.cast(pc.subtract(pa.scalar(10**13, pa.int64()), inv),
+                              pa.float64()), 1e6)
+        return pa.table(
+            {
+                "lang": b["lang"],
+                "doc_id": pc.cast(pc.utf8_slice_codeunits(b["k"], 13, 33), pa.int64()),
+                "score": s,
+                "k": b["k"],
+            }
+        )
+
+    top = winners.map_batches(decode, batch_format="pyarrow").sort("k").limit(10)
+    out = top.to_pandas()  # <= 10 collapsed rows — page-sized by construction
+    return out[["lang", "doc_id", "score"]]
+
+
+def _sql_collapse_topk() -> str:
+    terms = tokenize_text(BM25_QUERY)
+    terms_sql = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOK}) AS term FROM documents
+),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl
+),
+qt(term) AS (VALUES {terms_sql}),
+tf AS (
+  SELECT t.doc_id, t.term, CAST(count(*) AS DOUBLE) AS tf
+  FROM toks t JOIN qt ON t.term = qt.term GROUP BY t.doc_id, t.term
+),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * ({K1} + 1)
+           / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))
+         ) AS score
+  FROM tf, stats
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  GROUP BY tf.doc_id
+),
+hit AS (
+  SELECT d.lang, s.doc_id,
+         floor(s.score * 1000000 + 0.5) / 1000000 AS score
+  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+),
+best AS (
+  SELECT lang, doc_id, score,
+         row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS rn
+  FROM hit
+)
+SELECT lang, CAST(doc_id AS BIGINT) AS doc_id, score
+FROM best WHERE rn = 1 ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
@@ -4078,6 +4233,7 @@ def make_queries() -> dict:
         "term_tf_total": q_term_tf_total,
         "autocomplete_prefix": q_autocomplete_prefix,
         "bm25_topk": q_bm25_topk,
+        "collapse_topk": q_collapse_topk,
         "lang_counts": q_lang_counts,
         "filter_terms_range": q_filter_terms_range,
         "sort_topk": q_sort_topk,
@@ -4167,6 +4323,7 @@ def make_oracle_sql() -> dict:
         "term_tf_total": SQL_TERM_TF_TOTAL,
         "autocomplete_prefix": SQL_AUTOCOMPLETE_PREFIX,
         "bm25_topk": _sql_bm25(BM25_QUERY),
+        "collapse_topk": _sql_collapse_topk(),
         "lang_counts": SQL_LANG_COUNTS,
         "filter_terms_range": SQL_FILTER_TERMS_RANGE,
         "sort_topk": SQL_SORT_TOPK,

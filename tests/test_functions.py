@@ -1575,3 +1575,57 @@ def test_boilerplate_strip_lines(ray_session):
     ds2 = rd.from_items([{"doc_id": 9, "text": weird}])
     (r,) = boilerplate_strip(ds2, min_docs=2, min_len=8).take_all()
     assert r["text_clean"] == weird and r["n_removed"] == 0
+
+
+def test_collapse_topk_vs_bruteforce(ray_session):
+    """ES field collapsing (gate collapse_topk) pinned against a pure-
+    Python BM25 + argmax-per-lang reference at sf0.001 — independent of
+    the DuckDB oracle the driver uses."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from lighthouse_ray.analysis import tokenize_text
+    from lighthouse_ray.pipelines.driver_queries import (
+        B, BM25_QUERY, K1, q_collapse_topk,
+    )
+
+    docs = pq.read_table(SF + "/documents.parquet", columns=["doc_id", "text", "lang"])
+    ids = docs["doc_id"].to_pylist()
+    texts = docs["text"].to_pylist()
+    langs = docs["lang"].to_pylist()
+    toks = {d: tokenize_text(t) for d, t in zip(ids, texts)}
+    terms = tokenize_text(BM25_QUERY)
+
+    n = len(ids)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df = {t: sum(1 for ts in toks.values() if t in ts) for t in terms}
+    idf = {t: math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5)) for t in terms}
+
+    best: dict[str, tuple[float, int]] = {}
+    for d, lang in zip(ids, langs):
+        ts = toks[d]
+        dl = len(ts)
+        score = 0.0
+        hit = False
+        for t in terms:
+            tf = ts.count(t)
+            if tf:
+                hit = True
+                score += idf[t] * tf * (K1 + 1) / (tf + K1 * (1 - B + B * dl / avgdl))
+        if not hit:
+            continue
+        s6 = math.floor(score * 1e6 + 0.5) / 1e6
+        cur = best.get(lang)
+        # score desc, doc_id asc
+        if cur is None or (-s6, d) < (-cur[0], cur[1]):
+            best[lang] = (s6, d)
+
+    want = sorted(
+        ((lang, d, s) for lang, (s, d) in best.items()),
+        key=lambda r: (-r[2], r[1]),
+    )[:10]
+    got = q_collapse_topk(SF)
+    assert [(r.lang, r.doc_id, r.score) for r in got.itertuples()] == want
+    # one hit per collapse key, keys unique
+    assert got.lang.is_unique and len(got) == len(want)
