@@ -148,7 +148,8 @@ def run_bench() -> dict:
                      "importance_sample", "vocab_prune", "graph_pagerank",
                      "triangle_count", "rolling_window", "approx_percentiles",
                      "token_entropy", "rollup_counts", "weighted_sample",
-                     "linreg_fit", "session_funnel", "collapse_topk"]:
+                     "linreg_fit", "session_funnel", "collapse_topk",
+                     "boosting_topk"]:
             if time.time() - sweep_t0 > budget_s:
                 status[name] = "skipped_budget"
                 continue

@@ -242,6 +242,58 @@ FROM scored ORDER BY scored.score DESC, doc_id LIMIT {limit} OFFSET {offset}
 """
 
 
+def _bm25_corpus_stats(sf_dir: str, terms: list[str]):
+    """Bounded BM25 stats pass: n_docs, avgdl, and idf per query term.
+    One map over `text` emitting a single partial row per batch
+    (summary-sized by construction — the driver never sees the corpus)."""
+
+    def stats_partial(b: pa.Table) -> pa.Table:
+        parents, _pos, toks, n = flat_tokens(b["text"])
+        cols = {
+            "n": pa.array([float(n)]),
+            "dl": pa.array([float(len(parents))]),
+        }
+        for i, t in enumerate(terms):
+            m = pc.equal(toks, t).to_numpy(zero_copy_only=False)
+            # df partial: docs in this batch containing the term
+            cols[f"df{i}"] = pa.array([float(len(np.unique(parents[m])))])
+        return pa.table(cols)
+
+    parts = (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(stats_partial, batch_format="pyarrow")
+        .take_all()
+    )  # one row per batch — summary-sized
+    n_docs = sum(r["n"] for r in parts)
+    avgdl = sum(r["dl"] for r in parts) / n_docs
+    df = [sum(r[f"df{i}"] for r in parts) for i in range(len(terms))]
+    idf = [math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)) for d in df]
+    return n_docs, avgdl, idf
+
+
+def _bm25_batch_scores(b: pa.Table, terms, idf, avgdl):
+    """Vectorized per-batch BM25 over `text`: returns (matched_mask,
+    scores) for the batch's rows; a doc never spans batches so the sum
+    is complete.  Terms accumulate in fixed list order (deterministic
+    at any parallelism).  Also returns the flat token view so callers
+    can test further per-doc predicates without re-tokenizing."""
+    parents, _pos, toks, n = flat_tokens(b["text"])
+    if n == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return np.zeros(0, dtype=bool), np.zeros(0), z, toks, 0
+    dl = np.bincount(parents, minlength=n).astype(np.float64)
+    score = np.zeros(n, dtype=np.float64)
+    matched = np.zeros(n, dtype=bool)
+    denom_dl = K1 * (1.0 - B + B * dl / avgdl)
+    for i, t in enumerate(terms):
+        m = pc.equal(toks, t).to_numpy(zero_copy_only=False)
+        tf = np.bincount(parents[m], minlength=n).astype(np.float64)
+        has = tf > 0
+        matched |= has
+        score[has] += idf[i] * tf[has] * (K1 + 1.0) / (tf[has] + denom_dl[has])
+    return matched, score, parents, toks, n
+
+
 def q_collapse_topk(sf_dir: str):
     """ES field collapsing (the `collapse` search option of the
     reference's ES 6.x backend; companion to Q16/Q17 top-k,
@@ -262,46 +314,12 @@ def q_collapse_topk(sf_dir: str):
     from ray.data.aggregate import Min
 
     terms = tokenize_text(BM25_QUERY)
-
-    def stats_partial(b: pa.Table) -> pa.Table:
-        parents, _pos, toks, n = flat_tokens(b["text"])
-        dl = float(len(parents))
-        cols = {
-            "n": pa.array([float(n)]),
-            "dl": pa.array([dl]),
-        }
-        for i, t in enumerate(terms):
-            m = pc.equal(toks, t).to_numpy(zero_copy_only=False)
-            # df partial: docs in this batch containing the term
-            cols[f"df{i}"] = pa.array([float(len(np.unique(parents[m])))])
-        return pa.table(cols)
-
-    parts = (
-        _read(sf_dir, "documents", ["text"])
-        .map_batches(stats_partial, batch_format="pyarrow")
-        .take_all()
-    )  # one row per batch — summary-sized
-    n_docs = sum(r["n"] for r in parts)
-    avgdl = sum(r["dl"] for r in parts) / n_docs
-    df = [sum(r[f"df{i}"] for r in parts) for i in range(len(terms))]
-    idf = [math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)) for d in df]
+    n_docs, avgdl, idf = _bm25_corpus_stats(sf_dir, terms)
 
     def score_collapse(b: pa.Table) -> pa.Table:
         empty = pa.table({"lang": pa.array([], type=pa.string()),
                           "k": pa.array([], type=pa.string())})
-        parents, _pos, toks, n = flat_tokens(b["text"])
-        if n == 0:
-            return empty
-        dl = np.bincount(parents, minlength=n).astype(np.float64)
-        score = np.zeros(n, dtype=np.float64)
-        matched = np.zeros(n, dtype=bool)
-        denom_dl = K1 * (1.0 - B + B * dl / avgdl)
-        for i, t in enumerate(terms):
-            m = pc.equal(toks, t).to_numpy(zero_copy_only=False)
-            tf = np.bincount(parents[m], minlength=n).astype(np.float64)
-            has = tf > 0
-            matched |= has
-            score[has] += idf[i] * tf[has] * (K1 + 1.0) / (tf[has] + denom_dl[has])
+        matched, score, _parents, _toks, _n = _bm25_batch_scores(b, terms, idf, avgdl)
         if not matched.any():
             return empty
         ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)[matched]
@@ -349,6 +367,91 @@ def q_collapse_topk(sf_dir: str):
     top = winners.map_batches(decode, batch_format="pyarrow").sort("k").limit(10)
     out = top.to_pandas()  # <= 10 collapsed rows — page-sized by construction
     return out[["lang", "doc_id", "score"]]
+
+
+BOOSTING_NEG_TERM, BOOSTING_NEG_FACTOR = "spark", 0.4
+
+
+def q_boosting_topk(sf_dir: str):
+    """ES `boosting` query (positive scored, negative DEMOTED — not
+    excluded — by `negative_boost`; an ES 6.x compound the reference's
+    backend exposes alongside the bool compounds of
+    `app/actions/search/query.go:21-71`): BM25 over the standard query,
+    ×0.4 for docs containing the negative term, global top-10.
+
+    Distributed shape: the bounded stats pass, then one scoring map
+    whose per-batch combiner keeps only the batch-local top-10 (the
+    global top-10 is a subset of the union of batch top-10s), then
+    `sort().limit(10)` over combiner rows — the shuffle carries ≤ 10
+    rows per batch, never the hit list."""
+    terms = tokenize_text(BM25_QUERY)
+    _n_docs, avgdl, idf = _bm25_corpus_stats(sf_dir, terms)
+
+    def score_demote(b: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "score": pa.array([], type=pa.float64())})
+        matched, score, parents, toks, n = _bm25_batch_scores(b, terms, idf, avgdl)
+        if not matched.any():
+            return empty
+        neg = pc.equal(toks, BOOSTING_NEG_TERM).to_numpy(zero_copy_only=False)
+        has_neg = np.bincount(parents[neg], minlength=n) > 0
+        score = np.where(has_neg, score * BOOSTING_NEG_FACTOR, score)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)[matched]
+        s6 = _round6(score[matched])
+        order = np.lexsort((ids, -s6))[:10]  # batch-local combiner cut
+        return pa.table({"doc_id": pa.array(ids[order]),
+                         "score": pa.array(s6[order])})
+
+    top = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(score_demote, batch_format="pyarrow")
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(10)
+    )
+    return top.to_pandas()
+
+
+def _sql_boosting_topk() -> str:
+    terms = tokenize_text(BM25_QUERY)
+    terms_sql = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOK}) AS term FROM documents
+),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl
+),
+qt(term) AS (VALUES {terms_sql}),
+tf AS (
+  SELECT t.doc_id, t.term, CAST(count(*) AS DOUBLE) AS tf
+  FROM toks t JOIN qt ON t.term = qt.term GROUP BY t.doc_id, t.term
+),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * ({K1} + 1)
+           / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))
+         ) AS score
+  FROM tf, stats
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  GROUP BY tf.doc_id
+),
+neg AS (SELECT DISTINCT doc_id FROM toks WHERE term = '{BOOSTING_NEG_TERM}'),
+demoted AS (
+  SELECT s.doc_id,
+         floor(s.score * CASE WHEN n.doc_id IS NULL THEN 1.0
+                              ELSE {BOOSTING_NEG_FACTOR} END
+               * 1000000 + 0.5) / 1000000 AS score
+  FROM scored s LEFT JOIN neg n ON s.doc_id = n.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, score
+FROM demoted ORDER BY score DESC, doc_id LIMIT 10
+"""
 
 
 def _sql_collapse_topk() -> str:
@@ -4234,6 +4337,7 @@ def make_queries() -> dict:
         "autocomplete_prefix": q_autocomplete_prefix,
         "bm25_topk": q_bm25_topk,
         "collapse_topk": q_collapse_topk,
+        "boosting_topk": q_boosting_topk,
         "lang_counts": q_lang_counts,
         "filter_terms_range": q_filter_terms_range,
         "sort_topk": q_sort_topk,
@@ -4324,6 +4428,7 @@ def make_oracle_sql() -> dict:
         "autocomplete_prefix": SQL_AUTOCOMPLETE_PREFIX,
         "bm25_topk": _sql_bm25(BM25_QUERY),
         "collapse_topk": _sql_collapse_topk(),
+        "boosting_topk": _sql_boosting_topk(),
         "lang_counts": SQL_LANG_COUNTS,
         "filter_terms_range": SQL_FILTER_TERMS_RANGE,
         "sort_topk": SQL_SORT_TOPK,

@@ -1629,3 +1629,63 @@ def test_collapse_topk_vs_bruteforce(ray_session):
     assert [(r.lang, r.doc_id, r.score) for r in got.itertuples()] == want
     # one hit per collapse key, keys unique
     assert got.lang.is_unique and len(got) == len(want)
+
+
+def test_boosting_topk_vs_bruteforce(ray_session):
+    """ES boosting query (gate boosting_topk): positive BM25, docs with
+    the negative term demoted ×negative_boost — pinned against a pure-
+    Python reference at sf0.001."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from lighthouse_ray.analysis import tokenize_text
+    from lighthouse_ray.pipelines.driver_queries import (
+        B, BM25_QUERY, BOOSTING_NEG_FACTOR, BOOSTING_NEG_TERM, K1,
+        q_boosting_topk,
+    )
+
+    docs = pq.read_table(SF + "/documents.parquet", columns=["doc_id", "text"])
+    ids = docs["doc_id"].to_pylist()
+    texts = docs["text"].to_pylist()
+    toks = {d: tokenize_text(t) for d, t in zip(ids, texts)}
+    terms = tokenize_text(BM25_QUERY)
+
+    n = len(ids)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df = {t: sum(1 for ts in toks.values() if t in ts) for t in terms}
+    idf = {t: math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5)) for t in terms}
+
+    rows = []
+    for d in ids:
+        ts = toks[d]
+        dl = len(ts)
+        score, hit = 0.0, False
+        for t in terms:
+            tf = ts.count(t)
+            if tf:
+                hit = True
+                score += idf[t] * tf * (K1 + 1) / (tf + K1 * (1 - B + B * dl / avgdl))
+        if not hit:
+            continue
+        if BOOSTING_NEG_TERM in ts:
+            score *= BOOSTING_NEG_FACTOR
+        rows.append((d, math.floor(score * 1e6 + 0.5) / 1e6))
+    want = sorted(rows, key=lambda r: (-r[1], r[0]))[:10]
+    got = q_boosting_topk(SF)
+    assert [(r.doc_id, r.score) for r in got.itertuples()] == want
+    # the demotion is live: it reorders the undemoted top-10
+    undemoted = []
+    for d in ids:
+        ts = toks[d]
+        dl = len(ts)
+        score, hit = 0.0, False
+        for t in terms:
+            tf = ts.count(t)
+            if tf:
+                hit = True
+                score += idf[t] * tf * (K1 + 1) / (tf + K1 * (1 - B + B * dl / avgdl))
+        if hit:
+            undemoted.append((d, math.floor(score * 1e6 + 0.5) / 1e6))
+    plain = sorted(undemoted, key=lambda r: (-r[1], r[0]))[:10]
+    assert [d for d, _ in want] != [d for d, _ in plain]
