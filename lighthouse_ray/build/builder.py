@@ -106,6 +106,28 @@ def build_index(
     manifest.setdefault("config", cfg.to_json())
     stages = manifest["stages"]
 
+    # Resume of a COMPLETE-AND-CLEANED build: the postings spill dir is
+    # removed ONLY after a fully-recorded build (cfg.cleanup_spills), so
+    # its absence together with a recorded segments stage + stats.json
+    # (the last artifact written) means there is nothing to do — falling
+    # through to stage D would misread the GC'd spills as lost state.
+    # When spills are still present (cleanup_spills=False, or a repair
+    # that deleted specific shard records), stage D runs normally and
+    # rebuilds exactly the unrecorded shards.
+    if (
+        resume
+        and "segments" in stages
+        and not os.path.isdir(os.path.join(index_dir, "postings"))
+        and os.path.exists(os.path.join(index_dir, "stats.json"))
+    ):
+        seg_done = stages["segments"].get("shards", {})
+        return BuildResult(
+            index_dir=index_dir,
+            n_docs=int(manifest.get("n_docs", 0)),
+            n_postings=sum(int(v["n_postings"]) for v in seg_done.values()),
+            manifest=manifest,
+        )
+
     if isinstance(source, rd.Dataset):
         ds = source
     else:
