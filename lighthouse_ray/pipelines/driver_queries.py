@@ -259,15 +259,23 @@ def _bm25_corpus_stats(sf_dir: str, terms: list[str]):
             cols[f"df{i}"] = pa.array([float(len(np.unique(parents[m])))])
         return pa.table(cols)
 
-    parts = (
+    from ray.data.aggregate import Sum
+
+    # one partial row per batch, folded by a distributed Sum — the
+    # driver sees a single row no matter the corpus size.  All partials
+    # are integer-valued floats, so summation order cannot change them.
+    cols = ["n", "dl"] + [f"df{i}" for i in range(len(terms))]
+    agg = (
         _read(sf_dir, "documents", ["text"])
         .map_batches(stats_partial, batch_format="pyarrow")
-        .take_all()
-    )  # one row per batch — summary-sized
-    n_docs = sum(r["n"] for r in parts)
-    avgdl = sum(r["dl"] for r in parts) / n_docs
-    df = [sum(r[f"df{i}"] for r in parts) for i in range(len(terms))]
-    idf = [math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)) for d in df]
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+    )
+    n_docs = agg["n"]
+    avgdl = agg["dl"] / n_docs
+    idf = [
+        math.log(1.0 + (n_docs - agg[f"df{i}"] + 0.5) / (agg[f"df{i}"] + 0.5))
+        for i in range(len(terms))
+    ]
     return n_docs, avgdl, idf
 
 
