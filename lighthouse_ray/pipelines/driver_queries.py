@@ -338,7 +338,11 @@ def q_collapse_topk(sf_dir: str):
         order = np.lexsort((ids, -s_int))
         _, first = np.unique(langs[order], return_index=True)
         sel = order[first]
-        inv = 10**13 - s_int[sel]  # Min(packed) == score desc, doc_id asc
+        # Min(packed) == score desc, doc_id asc.  The -1 keeps inv at 13
+        # digits even for a score that rounds to 0 (tiny idf at huge n):
+        # a 14-digit "1..." would otherwise sort BEFORE every 13-digit
+        # key and promote the worst doc.
+        inv = 10**13 - 1 - s_int[sel]
         k = pc.binary_join_element_wise(
             pc.utf8_lpad(pc.cast(pa.array(inv), pa.string()), 13, "0"),
             pc.utf8_lpad(pc.cast(pa.array(ids[sel]), pa.string()), 20, "0"),
@@ -361,7 +365,7 @@ def q_collapse_topk(sf_dir: str):
         if b.num_rows == 0:
             return decode_empty
         inv = pc.cast(pc.utf8_slice_codeunits(b["k"], 0, 13), pa.int64())
-        s = pc.divide(pc.cast(pc.subtract(pa.scalar(10**13, pa.int64()), inv),
+        s = pc.divide(pc.cast(pc.subtract(pa.scalar(10**13 - 1, pa.int64()), inv),
                               pa.float64()), 1e6)
         return pa.table(
             {
