@@ -172,19 +172,29 @@ class SearchEngine:
         n = self.r.n_docs
         meta = self._meta
 
-        explain_clauses = None
-        if related_to is not None:
-            base_scores, base_mask = self._related_scores(related_to)
-            decay = None
-        else:
-            base_scores, base_mask, explain_clauses = self._general_scores_explained(s)
-            decay = self._decay_multiplier()
-
         fmask = self._filter_mask(
             s=s, channel=channel, channel_id=channel_id, content_type=content_type,
             media_type=media_type, claim_type=claim_type, nsfw=nsfw,
             free_only=free_only, claim_id=claim_id, related_to=related_to,
         )
+
+        explain_clauses = None
+        if related_to is not None:
+            base_scores, base_mask = self._related_scores(related_to)
+            decay = None
+        else:
+            # docs outside fmask are dropped at the AND below, so the
+            # expensive positional phrase clauses only need to verify
+            # filter-surviving docs: pass the filter ordinals as `within`
+            # when the filter is selective (a quoted-phrase query filters
+            # to a tiny set; the dense clause arithmetic is then bounded
+            # by it).  Scores at kept docs are bit-identical either way.
+            nf = int(fmask.sum())
+            within = np.flatnonzero(fmask) if nf < (n >> 1) else None
+            base_scores, base_mask, explain_clauses = self._general_scores_explained(
+                s, within=within
+            )
+            decay = self._decay_multiplier()
         cand = base_mask & fmask
         ords = np.flatnonzero(cand)
         scores = np.zeros(n)
@@ -243,7 +253,7 @@ class SearchEngine:
     # -- clause assembly (query.go:21-71) --------------------------------------
 
     def _general_scores_explained(
-        self, s: str
+        self, s: str, within: np.ndarray | None = None
     ) -> tuple[np.ndarray, np.ndarray, list[tuple[str, DenseResult]]]:
         sc = self.scorer
         n = self.r.n_docs
@@ -254,19 +264,24 @@ class SearchEngine:
         compressed_terms = tokenize_text(s.replace(" ", ""))
         at_boost = 10.0 if s.startswith("@") else 1.0
 
+        # `within` (sorted ordinals of the request's filter mask, when
+        # selective): the positional phrase clauses verify only those
+        # docs — every other doc is dropped by the filter AND in
+        # search(), so its clause score is never read.  Cheap dense
+        # clauses (match / fuzzy) stay unrestricted.
         # clause names = the reference's QueryName strings (query.go)
         minc: list[tuple[str, DenseResult]] = [
             ("more-like-this", self._mlt_text(s)),
-            ("name-match-phrase", sc.phrase("name", terms).boosted(2.0 * at_boost)),
+            ("name-match-phrase", sc.phrase("name", terms, within=within).boosted(2.0 * at_boost)),
             ("name-match", sc.match_fuzzy("name", terms).boosted(1.0 * at_boost)),
-            ("channel-phrase-match", sc.phrase("name", terms).restrict(is_channel).boosted(10.0)),
+            ("channel-phrase-match", sc.phrase("name", terms, within=within).restrict(is_channel).boosted(10.0)),
             ("title-match", sc.match_fuzzy("title", terms).boosted(1.0)),
-            ("title-match-phrase", sc.phrase("title", terms).boosted(10.0)),
+            ("title-match-phrase", sc.phrase("title", terms, within=within).boosted(10.0)),
             ("description-match", sc.match("content", terms).boosted(1.0)),
-            ("description-match-phrase", sc.phrase("content", terms).boosted(2.0)),
+            ("description-match-phrase", sc.phrase("content", terms, within=within).boosted(2.0)),
             ("name-match-@compressed", sc.match_fuzzy("name", compressed_terms).boosted(10.0).restrict(is_channel)),
             ("channel-match-@boost", sc.match("channel", terms).restrict(is_stream).boosted(5.0)),
-            ("channel-match-@compressed", sc.phrase("channel", compressed_terms).boosted(5.0).restrict(is_stream)),
+            ("channel-match-@compressed", sc.phrase("channel", compressed_terms, within=within).boosted(5.0).restrict(is_stream)),
         ]
 
         min_mask = np.zeros(n, dtype=bool)

@@ -242,7 +242,9 @@ class Scorer:
                 cum = np.zeros(len(lens), dtype=np.int64)
                 np.cumsum(lens[:-1], out=cum[1:])
                 flat_idx = np.arange(total, dtype=np.int64) + np.repeat(starts - cum, lens)
-                docrep = np.repeat(docsel.astype(np.int64), lens)
+                docrep = np.repeat(docsel, lens)  # int64 already
+                # positions are uint64: the astype to int64 is required so
+                # the composite (doc << 32 | pos) key stays integer
                 return pos[flat_idx].astype(np.int64) + (docrep << 32)
 
             alive = np.arange(len(cand), dtype=np.int64)
