@@ -20,6 +20,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
 import pyarrow.parquet as pq
@@ -234,19 +235,34 @@ class IndexReader:
                 )
                 u = pc.unique(t["term"].combine_chunks())
                 u = u.take(pc.sort_indices(u))
-                arr = np.asarray(u.to_pylist(), dtype=object)
             else:
                 ds = pads.dataset(os.path.join(self.index_dir, "segments"))
                 t = ds.to_table(columns=["field", "term"], filter=pads.field("field") == field)
                 terms = [s.split("\x01", 1)[0] for s in t["term"].to_pylist()]
-                arr = np.unique(np.asarray(terms, dtype=object))
+                u = pa.array(np.unique(np.asarray(terms, dtype=object)), type=pa.string())
+            arr = u.to_numpy(zero_copy_only=False)
+            # keep the Arrow array too: fuzzy_candidates reads its raw
+            # offset/byte buffers directly, avoiding a re-encode pass
+            self._dictionary[("__arr__", field)] = u
             self._dictionary[field] = arr
         return arr
 
-    def fuzzy_candidates(self, field: str, term: str, maxd: int) -> list[str]:
-        """Dictionary terms within edit distance ``maxd`` of ``term``, in
-        dictionary (sorted) order — vectorized banded Levenshtein DP over
-        a padded codepoint matrix (no Python loop over the vocabulary)."""
+    def prewarm(self, fields: tuple[str, ...] | None = None) -> None:
+        """Eagerly load everything the first queries would otherwise pay
+        for lazily: doclens, docmeta, and per-field dictionaries + fuzzy
+        scan state.  Serving replicas call this at startup (the ES
+        index-warmer analog) so no user query ever sees the cold-start
+        cost; replicas of a sharded service warm in parallel."""
+        from ..config import FIELDS
+
+        for f in fields if fields is not None else FIELDS:
+            self.doclens(f)
+            self._fuzzy_scan_state(f)
+        self.docmeta()
+
+    def _fuzzy_scan_state(self, field: str):
+        """(terms, lens, offs, data, charmask) for the fuzzy scan —
+        built once per field, all O(total vocabulary bytes)."""
         if self._dictionary is None:
             self._dictionary = {}
         key = ("__mat__", field)
@@ -254,29 +270,44 @@ class IndexReader:
         if packed is None:
             d = self.field_dictionary(field)
             # terms are pure [a-z0-9] ASCII by tokenizer construction, so
-            # codepoints == bytes: build the padded matrix and per-term
-            # charmasks fully vectorized from the arrow buffer (the old
-            # per-term loop took ~20s on a 1M-term dictionary)
-            import pyarrow as _pa
-
-            arr = _pa.array(d, type=_pa.string())
+            # codepoints == bytes: keep only the raw offset/byte buffers
+            # plus per-term lens/charmasks — all O(total vocabulary bytes).
+            # Candidate rows are gathered into a padded matrix PER QUERY
+            # after the length+charmask prefilter (an eager whole-dictionary
+            # padded matrix cost ~20 s and ~1 GB at a 3.5M-term field; the
+            # per-query gather touches only prefilter survivors, the same
+            # rows the DP reads anyway)
+            arr = self._dictionary.get(("__arr__", field))
+            if arr is None:
+                arr = pa.array(d, type=pa.string())
             nd = len(arr)
             offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[: nd + 1].astype(np.int64)
             data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[: int(offs[-1])]
             lens = np.diff(offs).astype(np.int32)
-            maxlen = int(lens.max()) if nd else 0
-            mat = np.zeros((nd, maxlen), dtype=np.uint32)
-            if nd and maxlen:
-                rows = np.repeat(np.arange(nd, dtype=np.int64), lens)
-                cols = np.arange(len(data), dtype=np.int64) - np.repeat(offs[:-1], lens)
-                mat[rows, cols] = data
-                bits = np.uint64(1) << (data.astype(np.uint64) % np.uint64(64))
-                charmask = np.bitwise_or.reduceat(bits, offs[:-1])
+            if nd and len(data):
+                # per-byte mask bit via a 256-entry LUT gather (the
+                # elementwise uint64 modulo+shift formulation cost ~3.5 s
+                # on a 24 MB term buffer; the gather is ~50 ms)
+                lut = np.uint64(1) << (np.arange(256, dtype=np.uint64) % np.uint64(64))
+                bits = lut[data]
+                # reduceat segment starts must be < len(data); empty terms
+                # (impossible from the tokenizer, but cheap to guard) would
+                # repeat the next segment's or value — mask them after
+                starts = np.minimum(offs[:-1], len(data) - 1)
+                charmask = np.bitwise_or.reduceat(bits, starts)
+                charmask[lens == 0] = np.uint64(0)
             else:
                 charmask = np.zeros(nd, dtype=np.uint64)
-            packed = (d, lens, mat, charmask)
+            packed = (d, lens, offs, data, charmask)
             self._dictionary[key] = packed
-        d, lens, mat, charmask = packed
+        return packed
+
+    def fuzzy_candidates(self, field: str, term: str, maxd: int) -> list[str]:
+        """Dictionary terms within edit distance ``maxd`` of ``term``, in
+        dictionary (sorted) order — vectorized banded Levenshtein DP over
+        a padded codepoint matrix of the prefilter survivors (no Python
+        loop over the vocabulary)."""
+        d, lens, offs, data, charmask = self._fuzzy_scan_state(field)
         if len(d) == 0:
             return []
         sel = np.abs(lens - len(term)) <= maxd
@@ -296,12 +327,18 @@ class IndexReader:
             return []
         n = len(term)
         # the length filter above guarantees every candidate is at most
-        # n+maxd chars, so the DP never needs columns past that — clamp
-        # the matrix width instead of paying for the dictionary's single
-        # longest term on every scan
-        width = min(mat.shape[1], n + maxd)
-        C = np.ascontiguousarray(mat[cand_idx, :width])
+        # n+maxd chars, so the DP never needs columns past that width;
+        # gather just the candidate rows from the raw byte buffer into a
+        # padded codepoint matrix
+        width = n + maxd
         L = lens[cand_idx]
+        co = offs[cand_idx]
+        cols = np.arange(width, dtype=np.int64)[None, :]
+        valid = cols < np.minimum(L, width)[:, None]
+        gather = np.minimum(co[:, None] + cols, max(len(data) - 1, 0))
+        C = np.where(valid, data[gather], 0).astype(np.uint32) if len(data) else np.zeros(
+            (len(cand_idx), width), dtype=np.uint32
+        )
         tcodes = np.frombuffer(term.encode("utf-32-le"), dtype=np.uint32)
         # banded DP: any cell with |i-j| > maxd has true distance > maxd,
         # so saturating it at BIG never flips an accept (a path through it
@@ -377,9 +414,13 @@ class IndexReader:
             ds = pads.dataset(os.path.join(self.index_dir, "docstore"))
             cols = [c for c in self._META_COLS if c in ds.schema.names]
             t = ds.to_table(columns=cols)
-            df = t.to_pandas()
-            df["ordinal"] = self.offsets[df["part"].to_numpy()] + df["rank"].to_numpy()
-            df = df.sort_values("ordinal").reset_index(drop=True)
+            # sort by ordinal while still columnar Arrow (pandas
+            # sort_values moves object columns row-wise — ~3x the wall
+            # at a 3.5M-doc store), then convert once
+            ordinal = self.offsets[t["part"].to_numpy()] + t["rank"].to_numpy()
+            order = np.argsort(ordinal, kind="stable")
+            df = t.take(order).to_pandas(self_destruct=True, split_blocks=True)
+            df["ordinal"] = ordinal[order]
             assert (df["ordinal"].to_numpy() == np.arange(len(df))).all()
             self._docmeta = df
         return self._docmeta

@@ -43,6 +43,10 @@ class SearchReplica:
         self.engine = SearchEngine(
             IndexReader(index_dir), special_map=special_map, cache_ttl=cache_ttl
         )
+        # pay all lazy loads (doclens, docmeta, dictionaries, fuzzy scan
+        # state) at actor startup, never on a user query; replicas of a
+        # pool warm concurrently
+        self.engine.r.prewarm()
 
     def search(self, **kwargs):
         return self.engine.search(**kwargs)
@@ -102,6 +106,7 @@ class RangeReplica:
             RangeReader(IndexReader(index_dir), lo, hi), special_map=special_map,
             cache_ttl=cache_ttl,
         )
+        self.engine.r.prewarm()
         self._delay = debug_delay_s
 
     def search(self, **kwargs):

@@ -29,6 +29,11 @@ class _FakeReader:
     def field_dictionary(self, field):
         return self._dictionary[field]
 
+    def _fuzzy_scan_state(self, field):
+        from lighthouse_ray.index.reader import IndexReader
+
+        return IndexReader._fuzzy_scan_state(self, field)
+
     def fuzzy_candidates(self, field, term, maxd):
         from lighthouse_ray.index.reader import IndexReader
 
