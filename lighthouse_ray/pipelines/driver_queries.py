@@ -1967,6 +1967,236 @@ ORDER BY cos DESC, e.vec_id LIMIT 10
 """
 
 
+BPE_MERGES = 4
+
+
+def q_bpe_train(sf_dir: str):
+    """Distributed BPE tokenizer training (Sennrich et al. 2016; the
+    vocabulary-learning step every LLM data pipeline runs before
+    tokenizing): learn BPE_MERGES merges from documents.text and return
+    the merge table.  The working set collapses to the (word, n)
+    vocabulary via one groupby; each iteration is a vectorized
+    pair-count map + a small pair-keyed shuffle with a single argmax
+    row reaching the driver, then a vectorized merge-apply map — see
+    functions/bpe.py for the full scale notes."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.bpe import bpe_train
+
+    def word_partial(b: pa.Table) -> pa.Table:
+        _p, _pos, terms, _n = flat_tokens(b["text"])
+        t = pa.table({"word": terms})
+        agg = t.group_by("word").aggregate([([], "count_all")])
+        return pa.table({"word": agg["word"], "n": agg["count_all"].cast(pa.int64())})
+
+    words = (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(word_partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    merges = bpe_train(words, BPE_MERGES)
+    return pd.DataFrame(
+        {
+            "step": pd.array([m["step"] for m in merges], dtype="int64"),
+            "lft": [m["lft"] for m in merges],
+            "rgt": [m["rgt"] for m in merges],
+            "merged": [m["merged"] for m in merges],
+            "cnt": pd.array([m["cnt"] for m in merges], dtype="int64"),
+        }
+    )
+
+
+def _sql_bpe_train(T: int = BPE_MERGES) -> str:
+    """Exact oracle: T unrolled merge iterations.  Pair counts come from
+    the split symbol state (every adjacent position, overlaps included);
+    the argmax merge is applied by a recursive CTE that replaces the
+    LEFTMOST occurrence per recursion step — equivalent to the greedy
+    left-to-right scan (a replacement never creates the same pair to the
+    left of the scan point)."""
+    ctes = [
+        f"""words AS (SELECT term AS word, CAST(count(*) AS BIGINT) AS n
+          FROM (SELECT unnest({TOK}) AS term FROM documents) GROUP BY term)""",
+        """state0 AS (SELECT word, n,
+           array_to_string(list_transform(range(1, length(word) + 1), i -> word[i]), ' ') AS s
+           FROM words)""",
+    ]
+    for k in range(T):
+        ctes.append(f"""pairs{k} AS (
+  SELECT l[u] AS lft, l[u + 1] AS rgt, n FROM (
+    SELECT l, n, unnest(range(1, len(l))) AS u FROM (
+      SELECT str_split(s, ' ') AS l, n FROM state{k})))""")
+        ctes.append(f"""cnt{k} AS (
+  SELECT lft, rgt, CAST(sum(n) AS BIGINT) AS c FROM pairs{k} GROUP BY lft, rgt)""")
+        ctes.append(f"""best{k} AS (
+  SELECT lft, rgt, c FROM cnt{k} ORDER BY c DESC, lft, rgt LIMIT 1)""")
+        ctes.append(f"""rec{k}(word, n, s, done) AS (
+  SELECT word, n, ' ' || s || ' ', false FROM state{k}
+  UNION ALL
+  SELECT word, n,
+         CASE WHEN strpos(s, (SELECT ' ' || lft || ' ' || rgt || ' ' FROM best{k})) > 0
+              THEN regexp_replace(s,
+                     (SELECT ' ' || lft || ' ' || rgt || ' ' FROM best{k}),
+                     (SELECT ' ' || lft || rgt || ' ' FROM best{k}))
+              ELSE s END,
+         strpos(s, (SELECT ' ' || lft || ' ' || rgt || ' ' FROM best{k})) = 0
+  FROM rec{k} WHERE NOT done)""")
+        ctes.append(f"""state{k + 1} AS (SELECT word, n, trim(s) AS s FROM rec{k} WHERE done)""")
+    selects = "\nUNION ALL ".join(
+        f"SELECT CAST({k + 1} AS BIGINT) AS step, lft, rgt, lft || rgt AS merged, c AS cnt FROM best{k}"
+        for k in range(T)
+    )
+    return "WITH RECURSIVE\n" + ",\n".join(ctes) + f"\nSELECT * FROM ({selects}) ORDER BY step"
+
+
+RRF_K, RRF_DEPTH = 60, 50
+
+
+def q_rrf_hybrid(sf_dir: str):
+    """Reciprocal-rank-fusion hybrid retrieval (the standard
+    lexical+dense fusion primitive — Cormack/Clarke/Büttcher SIGIR'09;
+    ES 8.x exposes it as the `rrf` retriever): fuse a BM25 ranking over
+    ``documents.text`` with a cosine ranking over the aligned
+    ``embeddings`` table.  score(d) = Σ_legs 1/(RRF_K + rank_leg(d))
+    over the legs where d appears in the top-RRF_DEPTH; final top-10 by
+    (rrf desc, doc_id asc).
+
+    Distributed shape: each leg is the bounded-combiner top-N pattern
+    (per-batch top-RRF_DEPTH rows feed a ``sort().limit(RRF_DEPTH)`` —
+    the shuffle carries ≤ DEPTH rows per batch, never a corpus-sized
+    hit list); the fusion itself touches only the ≤ 2·DEPTH leg rows on
+    the driver, constant in corpus size.  Ranks are assigned over
+    integer micro-scores (floor(s·1e6 + 0.5), the SQL-mirrored
+    round-half-up) with a doc_id tie-break, so leg ranks — and hence
+    the fused order — are deterministic at any parallelism."""
+    import ray
+
+    import pyarrow.parquet as pq
+
+    terms = tokenize_text(BM25_QUERY)
+    _n_docs, avgdl, idf = _bm25_corpus_stats(sf_dir, terms)
+
+    def lex_combine(b: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "s": pa.array([], type=pa.int64())})
+        matched, score, _parents, _toks, _n = _bm25_batch_scores(b, terms, idf, avgdl)
+        if not matched.any():
+            return empty
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)[matched]
+        s_int = np.floor(score[matched] * 1e6 + 0.5).astype(np.int64)
+        order = np.lexsort((ids, -s_int))[:RRF_DEPTH]
+        return pa.table({"doc_id": pa.array(ids[order]), "s": pa.array(s_int[order])})
+
+    lex = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(lex_combine, batch_format="pyarrow")
+        .sort(["s", "doc_id"], descending=[True, False])
+        .limit(RRF_DEPTH)
+        .to_pandas()
+    )
+
+    q = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    qvec = np.asarray(q.filter(pc.equal(q["vec_id"], 0))["embedding"][0].as_py(),
+                      dtype=np.float64)
+    qref = ray.put(qvec / np.linalg.norm(qvec))
+
+    def dense_combine(b: pa.Table) -> pa.Table:
+        import ray as _r
+
+        b = b.filter(pc.not_equal(b["vec_id"], 0))
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "s": pa.array([], type=pa.int64())})
+        qv = _r.get(qref)
+        flat = np.asarray(b["embedding"].combine_chunks().flatten(), dtype=np.float64)
+        m = flat.reshape(len(b), -1)
+        cos = (m @ qv) / np.maximum(np.linalg.norm(m, axis=1), 1e-12)
+        c_int = np.floor(cos * 1e6 + 0.5).astype(np.int64)
+        ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, -c_int))[:RRF_DEPTH]
+        return pa.table({"doc_id": pa.array(ids[order]), "s": pa.array(c_int[order])})
+
+    den = (
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(dense_combine, batch_format="pyarrow")
+        .sort(["s", "doc_id"], descending=[True, False])
+        .limit(RRF_DEPTH)
+        .to_pandas()
+    )
+
+    # fusion over <= 2*DEPTH rows (summary-sized).  Contribution order
+    # is fixed (lexical + dense) so the float sum mirrors the SQL.
+    lex_rank = {int(d): i + 1 for i, d in enumerate(lex["doc_id"])}
+    den_rank = {int(d): i + 1 for i, d in enumerate(den["doc_id"])}
+    fused = []
+    for d in sorted(set(lex_rank) | set(den_rank)):
+        s = (1.0 / (RRF_K + lex_rank[d]) if d in lex_rank else 0.0) + (
+            1.0 / (RRF_K + den_rank[d]) if d in den_rank else 0.0
+        )
+        fused.append((d, s))
+    ids = np.array([d for d, _ in fused], dtype=np.int64)
+    rrf = _round6(np.array([s for _, s in fused], dtype=np.float64))
+    order = np.lexsort((ids, -rrf))[:10]
+    return pd.DataFrame({"doc_id": ids[order], "rrf": rrf[order]})
+
+
+def _sql_rrf_hybrid() -> str:
+    terms = tokenize_text(BM25_QUERY)
+    terms_sql = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOK}) AS term FROM documents
+),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl
+),
+qt(term) AS (VALUES {terms_sql}),
+tf AS (
+  SELECT t.doc_id, t.term, CAST(count(*) AS DOUBLE) AS tf
+  FROM toks t JOIN qt ON t.term = qt.term GROUP BY t.doc_id, t.term
+),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * ({K1} + 1)
+           / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))
+         ) AS score
+  FROM tf, stats
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  GROUP BY tf.doc_id
+),
+lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY floor(score * 1000000 + 0.5) DESC, doc_id) AS r
+  FROM scored QUALIFY r <= {RRF_DEPTH}
+),
+qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+cosined AS (
+  SELECT e.vec_id AS doc_id,
+         floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv.v)
+               * 1000000 + 0.5) AS c
+  FROM embeddings e, qv WHERE e.vec_id <> 0
+),
+den AS (
+  SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id) AS r
+  FROM cosined QUALIFY r <= {RRF_DEPTH}
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+         COALESCE(1.0 / ({RRF_K} + l.r), 0) + COALESCE(1.0 / ({RRF_K} + d.r), 0) AS s
+  FROM lex l FULL OUTER JOIN den d ON l.doc_id = d.doc_id
+)
+SELECT doc_id, floor(s * 1000000 + 0.5) / 1000000 AS rrf
+FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+"""
+
+
 def q_phrase_match(sf_dir: str):
     """Positional exact-phrase filter (Q2): docs whose token stream
     contains "merge sort" consecutively, with the occurrence count."""
@@ -4377,6 +4607,8 @@ def make_queries() -> dict:
         "group_concat": q_group_concat,
         "lineitem_agg": q_lineitem_agg,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "rrf_hybrid": q_rrf_hybrid,
+        "bpe_train": q_bpe_train,
         "phrase_match": q_phrase_match,
         "top_terms_per_lang": q_top_terms_per_lang,
         "lang_id": q_lang_id,
@@ -4470,6 +4702,8 @@ def make_oracle_sql() -> dict:
         "group_concat": SQL_GROUP_CONCAT,
         "lineitem_agg": SQL_LINEITEM_AGG,
         "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+        "rrf_hybrid": _sql_rrf_hybrid(),
+        "bpe_train": _sql_bpe_train(),
         "phrase_match": SQL_PHRASE_MATCH,
         "top_terms_per_lang": SQL_TOP_TERMS_PER_LANG,
         "lang_id": _sql_lang_id(),
