@@ -1,4 +1,7 @@
+from .alias import AliasError, AliasStore, reindex_swap
 from .checkpoint import SyncState
 from .incremental import IncrementalIndex
 
-__all__ = ["SyncState", "IncrementalIndex"]
+__all__ = [
+    "AliasError", "AliasStore", "IncrementalIndex", "SyncState", "reindex_swap",
+]
