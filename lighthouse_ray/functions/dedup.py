@@ -78,6 +78,16 @@ def _md5_low64(terms: list[str]) -> np.ndarray:
 # shingles
 # ---------------------------------------------------------------------------
 
+def _round6_up(x: np.ndarray) -> np.ndarray:
+    """Round-half-up to 6 dp: floor(x*1e6 + 0.5)/1e6, mirrored in SQL as
+    floor(x*1000000 + 0.5)/1000000.  np.round is half-to-even while
+    DuckDB round() is half-away-from-zero, so an integer-ratio value
+    whose *1e6 image lands on an exact .5 (any denominator holding a
+    2^7 factor, e.g. jaccard 3/128) would hash-mismatch the oracle.
+    Callers pass nonnegative values only."""
+    return np.floor(x * 1e6 + 0.5) / 1e6
+
+
 def doc_shingles(batch: pa.Table, text_col: str, id_col: str, n: int) -> pa.Table:
     """Distinct n-token string shingles per doc, fully vectorized: one
     ``binary_join_element_wise`` over n slices of the flat token stream,
@@ -352,7 +362,7 @@ def _pair_agg_reduce(min_inter: int | None, min_jaccard: float | None):
         inter = g["inter_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
         na = g["na_min"].to_numpy(zero_copy_only=False).astype(np.int64)
         nb = g["nb_min"].to_numpy(zero_copy_only=False).astype(np.int64)
-        jac = np.round(inter / (na + nb - inter), 6)
+        jac = _round6_up(inter / (na + nb - inter))
         keep = np.ones(len(inter), dtype=bool)
         if min_inter is not None:
             keep &= inter >= min_inter
@@ -589,7 +599,7 @@ def exact_jaccard_for_pair_ds(ds, cand, n: int = 3,
         # keyset-filtered path produced: non-candidates out, zero-
         # intersection candidates produce no partial row there either)
         keep = (is_c >= 1) & (inter >= 1)
-        jac = np.round(inter / np.maximum(na + nb - inter, 1), 6)
+        jac = _round6_up(inter / np.maximum(na + nb - inter, 1))
         ka = pa.array(keep)
         return pa.table(
             {
@@ -1211,7 +1221,7 @@ def _stored_verify(new_ds, cand, index_dir: str, meta: dict, threshold: float,
             na[j] = na_j
             nb[j] = int(nsh_b[srow])
             ok[j] = True
-        jac = np.round(inter / np.maximum(na + nb - inter, 1), 6)
+        jac = _round6_up(inter / np.maximum(na + nb - inter, 1))
         keep = ok & (inter >= 1) & (jac >= threshold)
         return pa.table(
             {

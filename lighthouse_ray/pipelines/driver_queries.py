@@ -2350,7 +2350,7 @@ def q_ngram_jaccard(sf_dir: str):
 SQL_NGRAM_JACCARD = f"""
 WITH {_sh_cte(NGRAM_MAX_DF)}
 SELECT p.a, p.b, p.inter,
-       round(CAST(p.inter AS DOUBLE) / (sa.nsh + sb.nsh - p.inter), 6) AS jaccard
+       floor(CAST(p.inter AS DOUBLE) / (sa.nsh + sb.nsh - p.inter) * 1000000 + 0.5) / 1000000 AS jaccard
 FROM pairs p JOIN sizes sa ON p.a = sa.doc_id JOIN sizes sb ON p.b = sb.doc_id
 WHERE p.inter >= 5
 """
@@ -2558,7 +2558,7 @@ SQL_MINHASH_LSH = f"""
 WITH {_sh_cte(None)}
 SELECT * FROM (
   SELECT p.a, p.b, p.inter,
-         round(CAST(p.inter AS DOUBLE) / (sa.nsh + sb.nsh - p.inter), 6) AS jaccard
+         floor(CAST(p.inter AS DOUBLE) / (sa.nsh + sb.nsh - p.inter) * 1000000 + 0.5) / 1000000 AS jaccard
   FROM pairs p JOIN sizes sa ON p.a = sa.doc_id JOIN sizes sb ON p.b = sb.doc_id
 ) WHERE jaccard >= {MINHASH_THRESHOLD}
 """
@@ -2623,7 +2623,7 @@ pairs AS (
 )
 SELECT * FROM (
   SELECT p.a, p.b, p.inter,
-         round(CAST(p.inter AS DOUBLE) / (sa.nsh + sb.nsh - p.inter), 6) AS jaccard
+         floor(CAST(p.inter AS DOUBLE) / (sa.nsh + sb.nsh - p.inter) * 1000000 + 0.5) / 1000000 AS jaccard
   FROM pairs p JOIN sizes sa ON p.a = sa.doc_id JOIN sizes sb ON p.b = sb.doc_id
 ) WHERE jaccard >= {MINHASH_THRESHOLD}
 """

@@ -1247,6 +1247,38 @@ def test_model_score_rounding_tie_matches_sql():
     assert z % 2 == 1 and (z / 128 * 1e6) % 1 == 0.5
 
 
+def test_ngram_jaccard_rounding_tie_matches_sql(ray_session, tmp_path):
+    """Jaccard 5/640 is an exact .5e-6 tie (0.0078125): two docs with a
+    7-token shared prefix and unique tails sized so na=322, nb=323,
+    inter=5, union=640.  np.round (half-to-even) gives 0.007812 while
+    DuckDB round() gives 0.007813 — both sides must use the shared
+    floor(x*1e6 + 0.5) rule (same class ADVICE flagged for
+    repetition_stats; this covers the jaccard family)."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from lighthouse_ray.pipelines.driver_queries import (
+        SQL_NGRAM_JACCARD,
+        q_ngram_jaccard,
+    )
+
+    common = " ".join(f"com{i}" for i in range(7))
+    a = common + " " + " ".join(f"aaa{i}" for i in range(317))
+    b = common + " " + " ".join(f"bbb{i}" for i in range(318))
+    t = pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                  "text": pa.array([a, b])})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = q_ngram_jaccard(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = con.execute(SQL_NGRAM_JACCARD).df()
+    assert (5 / 640 * 1e6) % 1 == 0.5  # the case really is a tie
+    assert len(got) == 1 and len(want) == 1
+    assert int(got["inter"].iloc[0]) == 5
+    assert got["jaccard"].iloc[0] == want["jaccard"].iloc[0]
+    assert got["jaccard"].iloc[0] == 0.007813  # half-up, not half-even
+
+
 def test_driver_contract_consistency():
     """queries() and oracle_sql() stay in lockstep: identical key sets
     and every oracle SQL plans against the driver's table views (an
