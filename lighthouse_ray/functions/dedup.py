@@ -409,6 +409,137 @@ def ngram_jaccard_pairs(ds, n: int = 3, min_inter: int = 5, text_col: str = "tex
     )
 
 
+def _md5_low64_arr(col) -> np.ndarray:
+    """Vectorized ``md5_number_lower``: low 8 digest bytes
+    (little-endian) of md5 per row of an Arrow string array, hashing the
+    UTF-8 buffer slices directly (no per-row Python strings).  Same
+    value as :func:`_md5_low64` and DuckDB's ``md5_number_lower``."""
+    import hashlib
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    out: list[np.ndarray] = []
+    for chunk in chunks:
+        n = len(chunk)
+        if n == 0:
+            continue
+        bufs = chunk.buffers()
+        vals = np.empty(n, dtype=np.uint64)
+        if len(bufs) < 3 or bufs[2] is None:
+            vals[:] = np.frombuffer(hashlib.md5(b"").digest(), dtype="<u8")[1]
+        else:
+            odt = np.int64 if pa.types.is_large_string(chunk.type) else np.int32
+            offs = np.frombuffer(bufs[1], dtype=odt, count=n + chunk.offset + 1)[
+                chunk.offset:
+            ]
+            data = memoryview(bufs[2])
+            md5 = hashlib.md5
+            for i in range(n):
+                vals[i] = np.frombuffer(
+                    md5(data[offs[i]: offs[i + 1]]).digest(), dtype="<u8"
+                )[1]
+        out.append(vals)
+    if not out:
+        return np.zeros(0, dtype=np.uint64)
+    return np.concatenate(out)
+
+
+def winnow_fingerprint_rows(batch: pa.Table, text_col: str, id_col: str,
+                            k: int, w: int) -> pa.Table:
+    """Winnowing fingerprints per doc (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS local document fingerprinting algorithm):
+    hash every k-token gram (md5-low64, the ``md5_number_lower``
+    mirror), slide a window of ``w`` consecutive gram hashes, and
+    record the minimum hash of each window.  Guarantee: any shared run
+    of w+k-1 tokens between two documents yields at least one shared
+    fingerprint, while only ~2/(w+1) of grams are kept — a
+    density-bounded LOCAL fingerprint (position-sensitive, unlike
+    minhash's global set sketch).  Since the output fingerprint set is
+    the DISTINCT selected hashes, the classic rightmost tie-break is
+    value-irrelevant (tied window minima are equal hashes) and the
+    whole selection vectorizes as w shifted ``np.minimum`` passes.
+
+    Docs with fewer than w grams (fewer than w+k-1 tokens) emit no
+    fingerprints — windows are full-width only, mirroring the SQL
+    oracle's ``s <= n_grams - w + 1`` frame.
+
+    Output rows ``(id, sh, nsh)``: one row per distinct fingerprint
+    hash per doc, with the doc's total distinct fingerprint count
+    riding every row (downstream pair construction needs no size join —
+    same contract as :func:`doc_shingles`)."""
+    empty = pa.table({
+        "id": pa.array([], type=pa.int64()),
+        "sh": pa.array([], type=pa.uint64()),
+        "nsh": pa.array([], type=pa.int64()),
+    })
+    parents, _pos, terms, nrows = flat_tokens(batch[text_col])
+    if nrows == 0:
+        return empty
+    ids = batch[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    L = len(parents)
+    G = L - k + 1
+    if G <= 0:
+        return empty
+    grams = pc.binary_join_element_wise(*[terms.slice(j, G) for j in range(k)], " ")
+    gvalid = parents[:G] == parents[k - 1: k - 1 + G]
+    gp = parents[:G][gvalid]
+    hv = _md5_low64_arr(grams.filter(pa.array(gvalid)))
+    M = len(gp) - w + 1
+    if M <= 0:
+        return empty
+    wvalid = gp[:M] == gp[w - 1: w - 1 + M]
+    minv = hv[:M].copy()
+    for j in range(1, w):
+        np.minimum(minv, hv[j: j + M], out=minv)
+    t = pa.table({"p": pa.array(gp[:M][wvalid]), "sh": pa.array(minv[wvalid])})
+    d = t.group_by(["p", "sh"], use_threads=False).aggregate([])
+    counts = np.zeros(nrows, dtype=np.int64)
+    cc = d.group_by("p", use_threads=False).aggregate([([], "count_all")])
+    counts[cc["p"].to_numpy(zero_copy_only=False)] = cc["count_all"].to_numpy(
+        zero_copy_only=False
+    )
+    p_out = d["p"].to_numpy(zero_copy_only=False)
+    return pa.table({
+        "id": pc.take(ids, d["p"]).cast(pa.int64()),
+        "sh": d["sh"],
+        "nsh": pa.array(counts[p_out]),
+    })
+
+
+def winnow_pairs(ds, *, k: int = 3, w: int = 4, min_shared: int = 2,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 max_df: int = 1000, num_parts: int = 32):
+    """Near-duplicate pairs by shared winnowing fingerprints — the MOSS
+    similarity criterion: docs sharing >= ``min_shared`` distinct
+    winnowed gram hashes, with the Jaccard of their fingerprint SETS.
+    Catches localized clone/boilerplate overlap (a shared w+k-1-token
+    run always collides) at ~2/(w+1) of the full-shingle exchange
+    volume — winnowing is the bandwidth-reduced sibling of
+    :func:`ngram_jaccard_pairs`.
+
+    Same two-spill-exchange shape as ngram_jaccard_pairs (explode →
+    exchange by fingerprint: within-run pairs, locally combined →
+    exchange by (a, b): global sums); ``max_df`` drops fingerprints
+    shared by more than that many docs before pairing (the O(df²)
+    guard, part of the operator semantics, mirrored by the oracle).
+    SQL-expressible; oracle-checked in pipelines/driver_queries.py."""
+    exploded = ds.map_batches(
+        lambda b: winnow_fingerprint_rows(b, text_col, id_col, k, w),
+        batch_format="pyarrow",
+    )
+    st: dict = {}
+    partial = spill_exchange(
+        exploded, "sh", _shingle_pairs_reduce(max_df), num_parts=num_parts, stats=st
+    )
+    return spill_exchange(
+        partial, ["a", "b"], _pair_agg_reduce(min_shared, None),
+        num_parts=num_parts, cleanup_after=[st["root"]],
+    )
+
+
 def exact_jaccard_for_pairs(ds, pairs: list[tuple], n: int = 3,
                             text_col: str = "text", id_col: str = "doc_id",
                             num_parts: int = 32):

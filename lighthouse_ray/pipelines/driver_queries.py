@@ -2356,6 +2356,59 @@ WHERE p.inter >= 5
 """
 
 
+WINNOW_K = 3       # gram width (tokens)
+WINNOW_W = 4       # window width (grams); guarantee span = w+k-1 tokens
+WINNOW_MIN_SHARED = 2
+WINNOW_MAX_DF = 1000
+
+
+def q_winnow_dedup(sf_dir: str):
+    """Near-dup pairs by winnowing fingerprints (Schleimer/Wilkerson/
+    Aiken, the MOSS algorithm): per-window minimum of md5-low64 gram
+    hashes — a density-bounded LOCAL fingerprint keeping ~2/(w+1) of
+    grams, so the pair exchange ships a fraction of ngram_jaccard's
+    volume while any shared (w+k-1)-token run still collides.  Exact
+    SQL mirror below (window min over the same gram hash)."""
+    from ..functions.dedup import winnow_pairs
+
+    return winnow_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        k=WINNOW_K, w=WINNOW_W, min_shared=WINNOW_MIN_SHARED,
+        max_df=WINNOW_MAX_DF,
+    )
+
+
+SQL_WINNOW_DEDUP = f"""
+WITH toks AS (SELECT doc_id, {TOK} AS t FROM documents),
+grams AS (
+  SELECT doc_id, len(t) - 2 AS n_grams,
+         unnest(list_transform(range(1, len(t) - 1),
+                i -> {{'s': i, 'hv': md5_number_lower(
+                        t[i] || ' ' || t[i+1] || ' ' || t[i+2])}})) AS g
+  FROM toks
+),
+wins AS (
+  SELECT doc_id, g.s AS s, n_grams,
+         min(g.hv) OVER (PARTITION BY doc_id ORDER BY g.s
+                         ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS mh
+  FROM grams
+),
+fp AS (SELECT DISTINCT doc_id, mh FROM wins WHERE s <= n_grams - {WINNOW_W} + 1),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh FROM fp GROUP BY doc_id),
+hot AS (SELECT mh FROM fp GROUP BY mh HAVING count(*) > {WINNOW_MAX_DF}),
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS inter
+  FROM fp x JOIN fp y ON x.mh = y.mh AND x.doc_id < y.doc_id
+  WHERE x.mh NOT IN (SELECT mh FROM hot)
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT p.a, p.b, p.inter,
+       floor(CAST(p.inter AS DOUBLE) / (sa.nsh + sb.nsh - p.inter) * 1000000 + 0.5) / 1000000 AS jaccard
+FROM pairs p JOIN sizes sa ON p.a = sa.doc_id JOIN sizes sb ON p.b = sb.doc_id
+WHERE p.inter >= {WINNOW_MIN_SHARED}
+"""
+
+
 def q_dup_clusters(sf_dir: str):
     """Duplicate clusters: distributed connected components (alternating
     large/small-star groupby rounds) over the exact n-gram-Jaccard pair
@@ -4613,6 +4666,7 @@ def make_queries() -> dict:
         "top_terms_per_lang": q_top_terms_per_lang,
         "lang_id": q_lang_id,
         "ngram_jaccard": q_ngram_jaccard,
+        "winnow_dedup": q_winnow_dedup,
         "dup_clusters": q_dup_clusters,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_lsh_near_dup": q_embedding_lsh_near_dup,
@@ -4708,6 +4762,7 @@ def make_oracle_sql() -> dict:
         "top_terms_per_lang": SQL_TOP_TERMS_PER_LANG,
         "lang_id": _sql_lang_id(),
         "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "winnow_dedup": SQL_WINNOW_DEDUP,
         "dup_clusters": SQL_DUP_CLUSTERS,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
         "embedding_lsh_near_dup": SQL_EMBEDDING_LSH_NEAR_DUP,

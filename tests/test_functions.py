@@ -213,6 +213,43 @@ def test_ngram_jaccard_exact(ray_session):
     assert row["jaccard"].iloc[0] == pytest.approx(want, abs=1e-6)
 
 
+def test_winnow_guarantee_and_density(ray_session):
+    """Winnowing's core guarantee (Schleimer et al. 2003): any shared
+    run of w+k-1 tokens yields >= 1 shared fingerprint; and the
+    selected density is bounded (far below one fingerprint per gram
+    for long docs).  Docs shorter than w+k-1 tokens emit nothing."""
+    import ray.data as rd
+
+    from lighthouse_ray.functions.dedup import (
+        winnow_fingerprint_rows,
+        winnow_pairs,
+    )
+
+    k, w = 3, 4
+    run = " ".join(f"com{i}" for i in range(w + k - 1))  # exactly w+k-1 tokens
+    a = " ".join(f"aaa{i}" for i in range(40)) + " " + run + " " + " ".join(
+        f"aab{i}" for i in range(40)
+    )
+    b = " ".join(f"bbb{i}" for i in range(40)) + " " + run + " " + " ".join(
+        f"bbc{i}" for i in range(40)
+    )
+    other = " ".join(f"zzz{i}" for i in range(80))
+    pairs = winnow_pairs(
+        rd.from_arrow(_docs_table([a, b, other])), k=k, w=w, min_shared=1
+    ).to_pandas()
+    assert set(zip(pairs["a"], pairs["b"])) == {(0, 1)}
+
+    t = _docs_table([other])
+    fp = winnow_fingerprint_rows(t, "text", "doc_id", k, w)
+    n_grams = 80 - k + 1
+    # expected density ~= 2/(w+1); allow generous slack but require a cut
+    assert 0 < fp.num_rows < 0.75 * n_grams
+    assert fp["nsh"][0].as_py() == fp.num_rows
+
+    short = _docs_table([" ".join(f"s{i}" for i in range(w + k - 2))])
+    assert winnow_fingerprint_rows(short, "text", "doc_id", k, w).num_rows == 0
+
+
 def test_ivf_recall_vs_brute_force(ray_session):
     import pyarrow.parquet as pq
     import ray.data as rd
