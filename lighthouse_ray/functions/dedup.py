@@ -2158,6 +2158,115 @@ def substring_dup_docs(ds, *, k: int, text_col: str = "text",
     )
 
 
+def substring_dup_spans(ds, *, k: int, text_col: str = "text",
+                        id_col: str = "doc_id", num_parts: int = 16):
+    """Maximal cross-document duplicated substring SPANS — the
+    positional companion of :func:`substring_dup_docs` and the
+    actionable ExactSubstr output (Lee et al. 2022 remove the
+    duplicated BYTES, not the whole doc): for every document, the
+    maximal token ranges covered by k-grams that appear verbatim in
+    >= 2 DISTINCT documents.  Output one row per span
+    ``(doc_id, s, e, len)`` with ``s`` the 1-based first token of the
+    span and ``e`` its exclusive end — exactly the ranges a
+    substring-level dedup pass cuts out of the training text.
+
+    Scale shape: stage 1 emits EVERY gram occurrence ``(gram, doc,
+    pos)`` (token-stream-sized, the same order as the postings build's
+    exchange); ONE exchange co-locates grams and its reduce keeps only
+    occurrences of grams seen in >= 2 distinct docs (run bounds over
+    the sorted partition — vectorized, no per-gram Python); a second
+    exchange routes the surviving occurrences (duplication-sized, not
+    corpus-sized) by doc and merges overlapping/adjacent gram
+    intervals ``[pos, pos+k)`` into maximal spans with one lexsort +
+    break-mask pass per partition.  No doc pair and no driver-side
+    row data anywhere; a gram shared by d docs costs d rows, never d².
+    """
+    empty_occ = pa.table({
+        "sh": pa.array([], type=pa.string()),
+        "id": pa.array([], type=pa.int64()),
+        "pos": pa.array([], type=pa.int64()),
+    })
+
+    def occ(b: pa.Table) -> pa.Table:
+        parents, pos0, terms, _n = flat_tokens(b[text_col])
+        ids = b[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        L = len(parents)
+        G = L - k + 1
+        if G <= 0:
+            return empty_occ
+        grams = pc.binary_join_element_wise(*[terms.slice(j, G) for j in range(k)], " ")
+        valid = parents[:G] == parents[k - 1: k - 1 + G]
+        va = pa.array(valid)
+        return pa.table({
+            "sh": grams.filter(va),
+            "id": pc.take(ids, pa.array(parents[:G][valid])).cast(pa.int64()),
+            # 1-based gram start position, mirroring the SQL oracle's
+            # range(1, len-k+2) subscripts
+            "pos": pa.array(pos0[:G][valid] + 1),
+        })
+
+    empty_kept = pa.table({
+        "id": pa.array([], type=pa.int64()),
+        "pos": pa.array([], type=pa.int64()),
+    })
+
+    def mark(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_kept
+        t = t.sort_by([("sh", "ascending"), ("id", "ascending")])
+        starts, lens = _run_bounds(t["sh"].combine_chunks())
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        # distinct docs per gram run = count of id-change boundaries
+        newdoc = np.empty(len(ids), dtype=np.int64)
+        newdoc[0] = 1
+        newdoc[1:] = (ids[1:] != ids[:-1]).astype(np.int64)
+        newdoc[starts] = 1
+        ndocs = np.add.reduceat(newdoc, starts)
+        keep = np.repeat(ndocs >= 2, lens)
+        kept = t.filter(pa.array(keep))
+        return pa.table({"id": kept["id"], "pos": kept["pos"]})
+
+    empty_spans = pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "s": pa.array([], type=pa.int64()),
+        "e": pa.array([], type=pa.int64()),
+        "len": pa.array([], type=pa.int64()),
+    })
+
+    def spans(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_spans
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        pos = t["pos"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos, ids))
+        i, p = ids[order], pos[order]
+        # intervals [p, p+k) merge when the next start is <= prev + k
+        # (overlapping OR adjacent coverage — one contiguous dup region)
+        brk = np.empty(len(i), dtype=bool)
+        brk[0] = True
+        brk[1:] = (i[1:] != i[:-1]) | (p[1:] > p[:-1] + k)
+        st = np.flatnonzero(brk)
+        last = np.append(st[1:], len(i)) - 1
+        s = p[st]
+        e = p[last] + k
+        return pa.table({
+            "doc_id": pa.array(i[st]),
+            "s": pa.array(s),
+            "e": pa.array(e),
+            "len": pa.array(e - s),
+        })
+
+    st1: dict = {}
+    kept = spill_exchange(
+        ds.map_batches(occ, batch_format="pyarrow"), "sh", mark,
+        num_parts=num_parts, stats=st1,
+    )
+    return spill_exchange(kept, "id", spans, num_parts=num_parts,
+                          cleanup_after=[st1["root"]])
+
+
 # ---------------------------------------------------------------------------
 # Boilerplate segment removal (CCNet / RefinedWeb line-level dedup)
 # ---------------------------------------------------------------------------

@@ -207,19 +207,25 @@ def spill_exchange(ds, key, reduce_fn, num_parts: int = 32, spill_root: str | No
         if digest_cols is not None:
             stats["digest"] = (dig_n, dig_x)
         stats["root"] = root
+    parts = sorted(part_files)
+    empty_result = None
+    if not parts:
+        # Empty input: derive the reduce output schema from an empty
+        # table.  MUST happen BEFORE the cleanup below — ``ds.schema()``
+        # re-executes (part of) the upstream lineage, which may read a
+        # predecessor exchange's spill root listed in ``cleanup_after``.
+        empty_in = pa.schema(
+            [(n, t) for n, t in zip(ds.schema().names, ds.schema().types)]
+        ).empty_table()
+        empty_result = rd.from_arrow(reduce_fn(empty_in))
     if cleanup_after:
         import shutil
 
         for r in cleanup_after:
             if r and r != root:
                 shutil.rmtree(r, ignore_errors=True)
-    parts = sorted(part_files)
-    if not parts:
-        # empty input: derive the reduce output schema from an empty table
-        empty_in = pa.schema(
-            [(n, t) for n, t in zip(ds.schema().names, ds.schema().types)]
-        ).empty_table()
-        return rd.from_arrow(reduce_fn(empty_in))
+    if empty_result is not None:
+        return empty_result
 
     def reduce_batch(b: pa.Table) -> pa.Table:
         outs = []

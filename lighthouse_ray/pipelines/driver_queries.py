@@ -3541,6 +3541,41 @@ FROM g JOIN d USING (gram) GROUP BY g.doc_id
 """
 
 
+def q_dup_substr_spans(sf_dir: str):
+    """Maximal duplicated-substring SPANS (Lee et al. 2022 ExactSubstr,
+    the positional output): per doc the maximal token ranges covered by
+    {SUB_K}-grams appearing verbatim in >= 2 distinct documents — the
+    exact ranges substring-level dedup removes from training text
+    (functions/dedup.py::substring_dup_spans)."""
+    from ..functions.dedup import substring_dup_spans
+
+    return substring_dup_spans(
+        _read(sf_dir, "documents", ["doc_id", "text"]), k=SUB_K
+    )
+
+
+SQL_DUP_SUBSTR_SPANS = f"""
+WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents),
+i AS (SELECT doc_id, unnest(range(1, len(toks) - {SUB_K} + 2)) AS gs,
+             unnest(list_transform(range(1, len(toks) - {SUB_K} + 2),
+                    j -> array_to_string(toks[j:j + {SUB_K} - 1], ' '))) AS gram
+      FROM t),
+d AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM i)
+      GROUP BY gram HAVING count(*) >= 2),
+o AS (SELECT doc_id, gs FROM i WHERE gram IN (SELECT gram FROM d)),
+b AS (SELECT doc_id, gs,
+             CASE WHEN gs <= lag(gs) OVER (PARTITION BY doc_id ORDER BY gs)
+                          + {SUB_K} THEN 0 ELSE 1 END AS brk
+      FROM o),
+g AS (SELECT doc_id, gs,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY gs) AS gid FROM b)
+SELECT doc_id, CAST(min(gs) AS BIGINT) AS s,
+       CAST(max(gs) + {SUB_K} AS BIGINT) AS e,
+       CAST(max(gs) + {SUB_K} - min(gs) AS BIGINT) AS len
+FROM g GROUP BY doc_id, gid
+"""
+
+
 PPL_VOCAB = 20   # binds at test scale so the OOV floor is exercised
 PPL_CUTOFF = 5.2
 
@@ -4695,6 +4730,7 @@ def make_queries() -> dict:
         "highlight_snippet": q_highlight_snippet,
         "spell_suggest": q_spell_suggest,
         "substring_dup": q_substring_dup,
+        "dup_substr_spans": q_dup_substr_spans,
         "perplexity_filter": q_perplexity_filter,
         "boilerplate_strip": q_boilerplate_strip,
         "semdedup": q_semdedup,
@@ -4794,6 +4830,7 @@ def make_oracle_sql() -> dict:
         "highlight_snippet": SQL_HIGHLIGHT_SNIPPET,
         "spell_suggest": SQL_SPELL_SUGGEST,
         "substring_dup": SQL_SUBSTRING_DUP,
+        "dup_substr_spans": SQL_DUP_SUBSTR_SPANS,
         "perplexity_filter": SQL_PERPLEXITY_FILTER,
         "boilerplate_strip": SQL_BOILERPLATE_STRIP,
         "semdedup": _sql_semdedup(),

@@ -1459,6 +1459,80 @@ def test_substring_dup_catches_contained_run(ray_session, tmp_path):
     assert list(got["n_dup_grams"]) == [1, 1]
 
 
+def test_substring_dup_spans_merge_and_positions(ray_session, tmp_path):
+    """Overlapping duplicated k-grams merge into one maximal span with
+    exact 1-based token positions; within-doc-only repeats don't count
+    (cross-doc criterion); results match the SQL oracle."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from lighthouse_ray.functions.dedup import substring_dup_spans
+
+    # docs 0/1 share a 6-token run -> with k=4 that is three overlapping
+    # duplicated grams per doc, merging into ONE span of len 6.
+    run = "alpha beta gamma delta eps zeta"
+    docs = [
+        f"x1 x2 {run} y1 y2",            # span at tokens 3..8
+        f"{run} z1 z2 z3",               # span at tokens 1..6
+        "w1 w2 w3 w4 w1 w2 w3 w4",       # within-doc repeat only: no span
+        "short text",                     # < k tokens
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+        "text": pa.array(docs),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    import ray.data as rd
+
+    got = (
+        substring_dup_spans(rd.read_parquet(str(tmp_path / "documents.parquet")), k=4)
+        .to_pandas().sort_values(["doc_id", "s"]).reset_index(drop=True)
+    )
+    assert got.to_dict("list") == {
+        "doc_id": [0, 1], "s": [3, 1], "e": [9, 7], "len": [6, 6]
+    }
+
+    # randomized corpus vs the registered oracle SQL (k=SUB_K=8)
+    import numpy as _np
+
+    from lighthouse_ray.pipelines.driver_queries import (
+        SQL_DUP_SUBSTR_SPANS,
+        q_dup_substr_spans,
+    )
+
+    rng = _np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(12)]
+    # plant shared runs (>= SUB_K tokens) into random filler so the
+    # cross-doc duplicated-span machinery actually fires
+    runs = [" ".join(rng.choice(vocab, size=rng.randint(9, 14))) for _ in range(5)]
+    rows = []
+    for i in range(60):
+        toks = list(rng.choice(vocab, size=rng.randint(5, 40)))
+        if i % 3 == 0:
+            r = runs[rng.randint(len(runs))].split()
+            at = rng.randint(len(toks) + 1)
+            toks = toks[:at] + r + toks[at:]
+        rows.append(" ".join(toks))
+    t2 = pa.table({
+        "doc_id": pa.array(range(len(rows)), type=pa.int64()),
+        "text": pa.array(rows),
+    })
+    pq.write_table(t2, str(tmp_path / "documents.parquet"))
+    got2 = (
+        q_dup_substr_spans(str(tmp_path)).to_pandas()
+        .sort_values(["doc_id", "s"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", t2)
+    want2 = (
+        con.execute(SQL_DUP_SUBSTR_SPANS).df()
+        .sort_values(["doc_id", "s"]).reset_index(drop=True)
+    )
+    assert len(got2) == len(want2) and len(got2) > 0
+    for c in ("doc_id", "s", "e", "len"):
+        assert list(got2[c]) == list(want2[c]), c
+
+
 def test_unigram_xent_oov_floor(ray_session, tmp_path):
     """With the vocab cap binding, OOV tokens score at ln(1/total) and
     the per-doc mean matches a hand computation."""
