@@ -807,7 +807,7 @@ def q_tfidf_keywords(sf_dir: str):
             return empty
         tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
         df_ = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
-        s = np.round(tf.astype(np.float64) * n_docs / df_, 6)
+        s = _round6(tf.astype(np.float64) * n_docs / df_)
         t = t.append_column("score", pa.array(s))
         t = t.sort_by(
             [("doc_id", "ascending"), ("score", "descending"), ("term", "ascending")]
@@ -831,11 +831,12 @@ tf AS (SELECT doc_id, term, count(*) AS tf FROM pos GROUP BY doc_id, term),
 df AS (SELECT term, count(DISTINCT doc_id) AS df FROM pos GROUP BY term),
 n AS (SELECT count(*) AS n FROM documents)
 SELECT tf.doc_id, tf.term,
-       round(CAST(tf.tf AS DOUBLE) * n.n / df.df, 6) AS score
+       floor(CAST(tf.tf AS DOUBLE) * n.n / df.df * 1000000 + 0.5) / 1000000 AS score
 FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
 QUALIFY row_number() OVER (
   PARTITION BY tf.doc_id
-  ORDER BY round(CAST(tf.tf AS DOUBLE) * n.n / df.df, 6) DESC, tf.term) <= 3
+  ORDER BY floor(CAST(tf.tf AS DOUBLE) * n.n / df.df * 1000000 + 0.5) / 1000000
+    DESC, tf.term) <= 3
 """
 
 
@@ -958,7 +959,7 @@ def q_pmi_pairs(sf_dir: str):
         c = c[keep]
         cx = b["cx"].to_numpy(zero_copy_only=False).astype(np.int64)
         cy = b["cy"].to_numpy(zero_copy_only=False).astype(np.int64)
-        s = np.round(c.astype(np.float64) * n_total / (cx * cy), 6)
+        s = _round6(c.astype(np.float64) * n_total / (cx * cy))
         return pa.table(
             {
                 "t1": b["t1"],
@@ -986,7 +987,7 @@ pairs AS (
 uni AS (SELECT term, count(*) AS c FROM pos GROUP BY term),
 tot AS (SELECT count(*) AS n FROM pos)
 SELECT p.t1, p.t2, CAST(p.c_xy AS BIGINT) AS c_xy,
-       round(CAST(p.c_xy AS DOUBLE) * t.n / (ua.c * ub.c), 6) AS score
+       floor(CAST(p.c_xy AS DOUBLE) * t.n / (ua.c * ub.c) * 1000000 + 0.5) / 1000000 AS score
 FROM pairs p CROSS JOIN tot t
 JOIN uni ua ON p.t1 = ua.term JOIN uni ub ON p.t2 = ub.term
 WHERE p.c_xy >= {PMI_MIN_C}

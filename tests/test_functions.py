@@ -1284,6 +1284,44 @@ def test_model_score_rounding_tie_matches_sql():
     assert z % 2 == 1 and (z / 128 * 1e6) % 1 == 0.5
 
 
+def test_tfidf_rounding_tie_matches_sql(ray_session, tmp_path):
+    """tf*n/df is a pure integer ratio, so power-of-two df makes exact
+    .5e-6 ties: 129 docs with term 'hot' in 128 of them scores
+    1*129/128 = 1.0078125 — np.round (half-even) would emit 1.007812
+    while DuckDB round() emits 1.007813.  Both sides must use the
+    shared floor(x*1e6 + 0.5) rule."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from lighthouse_ray.pipelines.driver_queries import (
+        SQL_TFIDF_KEYWORDS,
+        q_tfidf_keywords,
+    )
+
+    rows = [f"hot filler{i}" for i in range(128)] + ["cold alone"]
+    t = pa.table({
+        "doc_id": pa.array(range(len(rows)), type=pa.int64()),
+        "text": pa.array(rows),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = (
+        q_tfidf_keywords(str(tmp_path)).to_pandas()
+        .sort_values(["doc_id", "term"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = (
+        con.execute(SQL_TFIDF_KEYWORDS).df()
+        .sort_values(["doc_id", "term"]).reset_index(drop=True)
+    )
+    assert (129 / 128 * 1e6) % 1 == 0.5  # the case really is a tie
+    hot = got[got["term"] == "hot"]["score"]
+    assert len(hot) == 128 and (hot == 1.007813).all()  # half-up, not half-even
+    assert len(got) == len(want)
+    for c in ("doc_id", "term", "score"):
+        assert list(got[c]) == list(want[c]), c
+
+
 def test_ngram_jaccard_rounding_tie_matches_sql(ray_session, tmp_path):
     """Jaccard 5/640 is an exact .5e-6 tie (0.0078125): two docs with a
     7-token shared prefix and unique tails sized so na=322, nb=323,
