@@ -39,8 +39,13 @@ def shuffle_join(left, right, key: str, lcols: list[str], rcols: list[str],
 
     ``lcols`` / ``rcols`` name the payload columns to carry from each
     side (key excluded; output schema is [key, *lcols, *rcols]).
-    ``how``: "inner" or "left" (left outer: unmatched left rows keep
-    nulls in ``rcols``).
+    ``how``: "inner", "left" (left outer: unmatched left rows keep
+    nulls in ``rcols``) or "outer" (full outer: unmatched rows from
+    EITHER side survive with the other side's columns null — the key
+    run already co-locates both sides, so lone runs cost nothing
+    extra).  ``hot_keys`` is incompatible with "outer": right hot rows
+    replicate to every salt bucket, so a lone hot right row would be
+    emitted ``salt`` times.
 
     One exchange total: both sides are tagged and mapped to the common
     output schema (absent side's columns null), the exchange co-locates
@@ -57,8 +62,11 @@ def shuffle_join(left, right, key: str, lcols: list[str], rcols: list[str],
     count 1; right hot rows cost x``salt`` replication — put the
     smaller-per-hot-key side on the right.)
     """
-    if how not in ("inner", "left"):
-        raise ValueError(f"how={how!r}: only inner/left supported")
+    if how not in ("inner", "left", "outer"):
+        raise ValueError(f"how={how!r}: only inner/left/outer supported")
+    if how == "outer" and hot_keys:
+        raise ValueError("hot_keys requires inner/left: replicated right "
+                         "hot rows would duplicate lone outer emissions")
     hot = set(hot_keys) if hot_keys else None
     lsch = left.schema()
     rsch = right.schema()
@@ -152,8 +160,6 @@ def shuffle_join(left, right, key: str, lcols: list[str], rcols: list[str],
         n_r = np.add.reduceat(side.astype(np.int64), starts)
         n_l = lens - n_r
         counts = n_l * n_r
-        if how == "left":
-            lone = (n_r == 0) & (n_l > 0)
         total = int(counts.sum())
         li = np.zeros(0, dtype=np.int64)
         ri = np.zeros(0, dtype=np.int64)
@@ -164,34 +170,49 @@ def shuffle_join(left, right, key: str, lcols: list[str], rcols: list[str],
             local = np.arange(total, dtype=np.int64) - cum[run_of]
             li = starts[run_of] + local // n_r[run_of]
             ri = starts[run_of] + n_l[run_of] + local % n_r[run_of]
+
+        def expand_runs(rr: np.ndarray, cnt: np.ndarray, base: np.ndarray) -> np.ndarray:
+            # all row indices of the selected runs: base[j] .. base[j]+cnt[j]
+            if len(rr) == 0:
+                return np.zeros(0, dtype=np.int64)
+            run_pos = np.repeat(np.arange(len(rr)), cnt)
+            cum2 = np.zeros(len(rr), dtype=np.int64)
+            np.cumsum(cnt[:-1], out=cum2[1:])
+            return base[run_pos] + (
+                np.arange(int(cnt.sum()), dtype=np.int64) - cum2[run_pos]
+            )
+
+        # unmatched left runs (left/outer): left rows sit at the run start
+        lidx = np.zeros(0, dtype=np.int64)
+        if how in ("left", "outer"):
+            lr = np.flatnonzero((n_r == 0) & (n_l > 0))
+            lidx = expand_runs(lr, n_l[lr], starts[lr])
+        # unmatched right runs (outer): with n_l == 0 the right rows also
+        # sit at the run start
+        ridx = np.zeros(0, dtype=np.int64)
+        if how == "outer":
+            rr2 = np.flatnonzero((n_l == 0) & (n_r > 0))
+            ridx = expand_runs(rr2, n_r[rr2], starts[rr2])
+
         arrays = []
         lset = set(lcols)
-        if how == "left" and lone.any():
-            # unmatched left rows: every left index of the lone runs
-            lr = np.flatnonzero(lone)
-            nl = n_l[lr]
-            run_pos = np.repeat(np.arange(len(lr)), nl)
-            lcum = np.zeros(len(lr), dtype=np.int64)
-            np.cumsum(nl[:-1], out=lcum[1:])
-            lidx = starts[lr][run_pos] + (
-                np.arange(int(nl.sum()), dtype=np.int64) - lcum[run_pos]
-            )
-            for name, typ in out_fields:
-                col = t[name].combine_chunks()
-                if name == key or name in lset:
-                    a = pa.concat_arrays(
-                        [col.take(pa.array(li)), col.take(pa.array(lidx))]
-                    )
-                else:
-                    a = pa.concat_arrays(
-                        [col.take(pa.array(ri)), _null_column(len(lidx), typ)]
-                    )
-                arrays.append(a)
-            return pa.Table.from_arrays(arrays, schema=pa.schema(out_fields))
         for name, typ in out_fields:
             col = t[name].combine_chunks()
-            idx = li if (name == key or name in lset) else ri
-            arrays.append(col.take(pa.array(idx)))
+            from_left = name == key or name in lset
+            parts = [col.take(pa.array(li if from_left else ri))]
+            if len(lidx):
+                parts.append(
+                    col.take(pa.array(lidx)) if from_left else _null_column(len(lidx), typ)
+                )
+            if len(ridx):
+                # the key rides on BOTH sides' tagged rows, so a lone right
+                # run still carries it
+                parts.append(
+                    col.take(pa.array(ridx))
+                    if (name == key or name not in lset)
+                    else _null_column(len(ridx), typ)
+                )
+            arrays.append(parts[0] if len(parts) == 1 else pa.concat_arrays(parts))
         return pa.Table.from_arrays(arrays, schema=pa.schema(out_fields))
 
     # stats/cleanup_after pass straight through to the exchange (root

@@ -4657,6 +4657,235 @@ FROM agg
 
 
 # ---------------------------------------------------------------------------
+# round-3 batch: extended stats, pivoted counts, full-outer join
+# ---------------------------------------------------------------------------
+
+def q_extended_stats(sf_dir: str):
+    """ES `extended_stats` aggregation analog: per-lang count / min /
+    max / sum / mean / population variance of document token counts.
+    Per-batch INTEGER sufficient statistics (n, Σx, Σx², min, max) fold
+    through a distributed Sum/Min/Max — exact under any summation
+    order; the float mean/variance are computed once per group from the
+    exact integers, in the same IEEE expression form as the SQL."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        parents, _pos, _terms, n = flat_tokens(b["text"])
+        x = np.bincount(parents, minlength=n).astype(np.int64)
+        t = pa.table({"lang": b["lang"], "x": pa.array(x), "x2": pa.array(x * x)})
+        g = t.group_by("lang").aggregate(
+            [("x", "count"), ("x", "sum"), ("x2", "sum"), ("x", "min"), ("x", "max")]
+        )
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "n": g["x_count"].cast(pa.int64()),
+                "s": g["x_sum"].cast(pa.int64()),
+                "s2": g["x2_sum"].cast(pa.int64()),
+                "mn": g["x_min"].cast(pa.int64()),
+                "mx": g["x_max"].cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        _read(sf_dir, "documents", ["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s", alias_name="s"),
+            Sum("s2", alias_name="s2"),
+            Min("mn", alias_name="mn"),
+            Max("mx", alias_name="mx"),
+        )
+        .to_pandas()
+    )
+    n = agg["n"].to_numpy().astype(np.float64)
+    s = agg["s"].to_numpy().astype(np.float64)
+    s2 = agg["s2"].to_numpy().astype(np.float64)
+    return pd.DataFrame(
+        {
+            "lang": agg["lang"],
+            "n": agg["n"].astype(np.int64),
+            "min_tokens": agg["mn"].astype(np.int64),
+            "max_tokens": agg["mx"].astype(np.int64),
+            "sum_tokens": agg["s"].astype(np.int64),
+            "avg_tokens": _round6(s / n),
+            "var_tokens": _round6((s2 - s * s / n) / n),
+        }
+    )
+
+
+SQL_EXTENDED_STATS = f"""
+WITH tl AS (
+  SELECT lang, CAST(len({TOK}) AS BIGINT) AS x FROM documents
+),
+g AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS s,
+         CAST(sum(x * x) AS BIGINT) AS s2,
+         CAST(min(x) AS BIGINT) AS min_tokens,
+         CAST(max(x) AS BIGINT) AS max_tokens
+  FROM tl GROUP BY lang
+)
+SELECT lang, n, min_tokens, max_tokens, s AS sum_tokens,
+       floor(CAST(s AS DOUBLE) / n * 1000000 + 0.5) / 1000000 AS avg_tokens,
+       floor((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+             / n * 1000000 + 0.5) / 1000000 AS var_tokens
+FROM g
+"""
+
+
+PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_pivot_counts(sf_dir: str):
+    """Pivoted per-day event metrics (long→wide reshape over a KNOWN
+    column set — a pivot's output schema must be fixed up front, so the
+    type list is a declared constant, the honest contract at any
+    scale): one per-batch partial with a masked count + cent-sum column
+    pair per type, folded by a distributed Sum keyed on day.  The
+    exchange carries ≤ |days| rows × (2·|types|) ints per block."""
+    from ray.data.aggregate import Sum
+
+    cols = [f"{p}_{t}" for t in PIVOT_TYPES for p in ("n", "c")]
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.strftime(b["ts"], format="%Y-%m-%d")
+        cents = np.round(b["value"].to_numpy(zero_copy_only=False) * 100.0).astype(
+            np.int64
+        )
+        et = b["event_type"]
+        out = {"day": []}
+        data: dict[str, np.ndarray] = {}
+        # group by day once, then masked bincount-style sums per type
+        t = pa.table({"day": day}).group_by("day").aggregate([])
+        days = t["day"]
+        didx = pc.index_in(day, value_set=days).to_numpy(zero_copy_only=False)
+        nd = len(days)
+        for ty in PIVOT_TYPES:
+            m = pc.equal(et, ty).to_numpy(zero_copy_only=False)
+            data[f"n_{ty}"] = np.bincount(didx[m], minlength=nd).astype(np.int64)
+            data[f"c_{ty}"] = np.bincount(
+                didx[m], weights=cents[m].astype(np.float64), minlength=nd
+            ).astype(np.int64)
+        out = {"day": days}
+        out.update({k: pa.array(v) for k, v in data.items()})
+        return pa.table(out)
+
+    agg = (
+        _read(sf_dir, "events", ["ts", "event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+        .to_pandas()
+    )
+    res = {"day": agg["day"]}
+    for ty in PIVOT_TYPES:
+        res[f"n_{ty}"] = agg[f"n_{ty}"].astype(np.int64)
+        res[f"sum_{ty}"] = agg[f"c_{ty}"].astype(np.float64) / 100.0
+    return pd.DataFrame(res)
+
+
+def _sql_pivot_counts() -> str:
+    parts = []
+    for ty in PIVOT_TYPES:
+        parts.append(
+            f"CAST(count(CASE WHEN event_type = '{ty}' THEN 1 END) AS BIGINT)"
+            f" AS n_{ty}"
+        )
+        parts.append(
+            f"CAST(coalesce(sum(CASE WHEN event_type = '{ty}'"
+            f" THEN CAST(round(value * 100) AS BIGINT) END), 0) AS DOUBLE)"
+            f" / 100.0 AS sum_{ty}"
+        )
+    cols = ",\n       ".join(parts)
+    return f"""
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       {cols}
+FROM events GROUP BY day
+"""
+
+
+def q_outer_join(sf_dir: str):
+    """Large×large FULL OUTER shuffle join (functions/joins.py
+    how="outer"): per-user click counts ⟗ per-user purchase cent-sums
+    on user_id — users present on either side survive with the other
+    side's column null.  Both aggregates are per-batch partial combines
+    (the exchange ships ≤ |users| rows per block per side), and the
+    join itself is the ONE-exchange tagged-run reduce, so the full
+    outer costs exactly what the inner does."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.joins import shuffle_join
+
+    def clicks(b: pa.Table) -> pa.Table:
+        m = pc.equal(b["event_type"], "click")
+        t = b.filter(m).select(["user_id"])
+        g = t.group_by("user_id").aggregate([([], "count_all")])
+        return pa.table(
+            {"user_id": g["user_id"], "n": g["count_all"].cast(pa.int64())}
+        )
+
+    def purchases(b: pa.Table) -> pa.Table:
+        m = pc.equal(b["event_type"], "purchase")
+        t = b.filter(m)
+        cents = np.round(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        g = pa.table(
+            {"user_id": t["user_id"], "c": pa.array(cents)}
+        ).group_by("user_id").aggregate([("c", "sum")])
+        return pa.table(
+            {"user_id": g["user_id"], "c": g["c_sum"].cast(pa.int64())}
+        )
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+    left = (
+        ev.map_batches(clicks, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("n", alias_name="n_clicks"))
+    )
+    right = (
+        ev.map_batches(purchases, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("c", alias_name="cents"))
+    )
+    joined = shuffle_join(
+        left, right, "user_id", ["n_clicks"], ["cents"], how="outer",
+        num_parts=8,
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        cents = b["cents"].cast(pa.float64())
+        return pa.table(
+            {
+                "user_id": b["user_id"].cast(pa.int64()),
+                "n_clicks": b["n_clicks"].cast(pa.int64()),
+                "sum_purchase": pc.divide(cents, 100.0),
+            }
+        )
+
+    return joined.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_OUTER_JOIN = """
+WITH l AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_clicks
+  FROM events WHERE event_type = 'click' GROUP BY user_id
+),
+r AS (
+  SELECT user_id, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+           AS sum_purchase
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT coalesce(l.user_id, r.user_id) AS user_id, l.n_clicks, r.sum_purchase
+FROM l FULL OUTER JOIN r ON l.user_id = r.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -4752,6 +4981,9 @@ def make_queries() -> dict:
         "weighted_sample": q_weighted_sample,
         "linreg_fit": q_linreg_fit,
         "session_funnel": q_session_funnel,
+        "extended_stats": q_extended_stats,
+        "pivot_counts": q_pivot_counts,
+        "outer_join": q_outer_join,
     }
 
 
@@ -4854,6 +5086,9 @@ def make_oracle_sql() -> dict:
         "weighted_sample": SQL_WEIGHTED_SAMPLE,
         "linreg_fit": SQL_LINREG_FIT,
         "session_funnel": SQL_SESSION_FUNNEL,
+        "extended_stats": SQL_EXTENDED_STATS,
+        "pivot_counts": _sql_pivot_counts(),
+        "outer_join": SQL_OUTER_JOIN,
     }
 
 

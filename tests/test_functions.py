@@ -833,7 +833,7 @@ def test_shuffle_join_inner_and_left(ray_session):
         df = df[sorted(df.columns)].astype("float64")  # nulls -> NaN uniform
         return sorted(map(tuple, df.fillna(-1).itertuples(index=False)))
 
-    for how in ("inner", "left"):
+    for how in ("inner", "left", "outer"):
         got = shuffle_join(
             rd.from_pandas(left).repartition(7),
             rd.from_pandas(right).repartition(3),
@@ -841,6 +841,16 @@ def test_shuffle_join_inner_and_left(ray_session):
         ).to_pandas()
         want = left.merge(right, on="k", how=how)
         assert canon(got) == canon(want), how
+
+    # outer + hot_keys is rejected (replicated right hot rows would
+    # duplicate lone emissions)
+    import pytest
+
+    with pytest.raises(ValueError, match="hot_keys"):
+        shuffle_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            key="k", lcols=["lv"], rcols=["rv"], how="outer", hot_keys=[5],
+        )
 
 
 def test_chunk_and_percentiles_edges(ray_session):
