@@ -4886,6 +4886,270 @@ FROM l FULL OUTER JOIN r ON l.user_id = r.user_id
 
 
 # ---------------------------------------------------------------------------
+# round-3 batch: ES query-surface depth — dis_max, fuzzy match,
+# wildcard expansion, sloppy phrase (all answered by the real index)
+# ---------------------------------------------------------------------------
+
+DISMAX_LEG_A = "merge sort"
+DISMAX_LEG_B = "window scan"
+DISMAX_TIE = 0.3
+
+
+def _bm25_scored_cte(terms: list[str], alias: str) -> str:
+    """A `{alias} (doc_id, score)` CTE body: closed-form BM25 for a
+    fixed term list over `documents` (the _sql_bm25 core, reusable as a
+    leg of a compound)."""
+    terms_sql = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+{alias}_tf AS (
+  SELECT t.doc_id, t.term, CAST(count(*) AS DOUBLE) AS tf
+  FROM toks t JOIN (VALUES {terms_sql}) q(term) ON t.term = q.term
+  GROUP BY t.doc_id, t.term
+),
+{alias}_df AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM {alias}_tf GROUP BY term
+),
+{alias} AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * ({K1} + 1)
+           / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))
+         ) AS score
+  FROM {alias}_tf tf, stats
+  JOIN {alias}_df df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  GROUP BY tf.doc_id
+)"""
+
+
+def q_dismax_topk(sf_dir: str):
+    """ES `dis_max` compound (tie_breaker {DISMAX_TIE}): score = the
+    best leg's score + tie_breaker × the other leg's — rewarding docs
+    that match the stronger leg without double-counting overlap the way
+    a bool/should sum would.  Both legs run as index `match` queries
+    over the SAME reader (dense per-field accumulation); the combine is
+    one vectorized max/min expression."""
+    from ..index import IndexReader
+    from ..query.scoring import Scorer
+
+    reader = IndexReader(_built_index(sf_dir))
+    sc = Scorer(reader)
+    a = sc.match("content", tokenize_text(DISMAX_LEG_A))
+    bres = sc.match("content", tokenize_text(DISMAX_LEG_B))
+    mask = a.mask | bres.mask
+    s = np.maximum(a.scores, bres.scores) + DISMAX_TIE * np.minimum(
+        a.scores, bres.scores
+    )
+    ords = np.flatnonzero(mask)
+    meta = reader.docmeta()
+    doc_ids = meta["path"].to_numpy()[ords].astype(np.int64)
+    s6 = _round6(s[ords])
+    order = np.lexsort((doc_ids, -s6))[:10]
+    return pd.DataFrame({"doc_id": doc_ids[order], "score": s6[order]})
+
+
+def _sql_dismax_topk() -> str:
+    a = _bm25_scored_cte(tokenize_text(DISMAX_LEG_A), "la")
+    b = _bm25_scored_cte(tokenize_text(DISMAX_LEG_B), "lb")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOK}) AS term FROM documents
+),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl
+),
+{a},
+{b},
+u AS (
+  SELECT coalesce(la.doc_id, lb.doc_id) AS doc_id,
+         coalesce(la.score, 0.0) AS sa, coalesce(lb.score, 0.0) AS sb
+  FROM la FULL OUTER JOIN lb ON la.doc_id = lb.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       floor((greatest(sa, sb) + {DISMAX_TIE} * least(sa, sb)) * 1000000 + 0.5)
+         / 1000000 AS score
+FROM u ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+FUZZY_QUERY = "merge sow"
+
+
+def q_fuzzy_match(sf_dir: str):
+    """`match` with fuzziness=AUTO answered by the index (Q1's fuzzy
+    path end-to-end as a gate): each query term expands to dictionary
+    terms within the AUTO edit distance via the reader's banded
+    vectorized Levenshtein scan; each expansion scores BM25 at its OWN
+    df and a doc takes the MAX over a term's expansions (then terms
+    sum).  'sow' expands to {{row, slow}} on this corpus — a real
+    multi-expansion max.  The oracle recomputes the expansion sets with
+    DuckDB's levenshtein over the corpus vocabulary."""
+    from ..index import IndexReader
+    from ..query.scoring import Scorer
+
+    reader = IndexReader(_built_index(sf_dir))
+    sc = Scorer(reader)
+    terms = tokenize_text(FUZZY_QUERY)
+    # the SQL mirrors the UNCAPPED expansion set: guard the gate's
+    # equivalence assumption (vocab-bounded corpora stay far below it)
+    for t in terms:
+        assert len(sc.fuzzy_expand("content", t)) < 50
+    res = sc.match_fuzzy("content", terms)
+    ords = np.flatnonzero(res.mask)
+    meta = reader.docmeta()
+    doc_ids = meta["path"].to_numpy()[ords].astype(np.int64)
+    s6 = _round6(res.scores[ords])
+    order = np.lexsort((doc_ids, -s6))[:10]
+    return pd.DataFrame({"doc_id": doc_ids[order], "score": s6[order]})
+
+
+def _sql_fuzzy_match() -> str:
+    qts = tokenize_text(FUZZY_QUERY)
+    exp = "\nUNION ALL\n".join(
+        f"SELECT {i} AS qi, term FROM vocab"
+        f" WHERE levenshtein(term, '{t}') <= "
+        f"{0 if len(t) < 3 else (1 if len(t) < 6 else 2)}"
+        for i, t in enumerate(qts)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOK}) AS term FROM documents
+),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl
+),
+vocab AS (SELECT DISTINCT term FROM toks),
+qe AS ({exp}),
+tf AS (
+  SELECT t.doc_id, t.term, CAST(count(*) AS DOUBLE) AS tf
+  FROM toks t JOIN (SELECT DISTINCT term FROM qe) q ON t.term = q.term
+  GROUP BY t.doc_id, t.term
+),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+per_exp AS (
+  SELECT qe.qi, tf.doc_id,
+         ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * ({K1} + 1)
+           / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) AS s
+  FROM qe JOIN tf ON tf.term = qe.term, stats
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+),
+per_term AS (SELECT qi, doc_id, max(s) AS s FROM per_exp GROUP BY qi, doc_id),
+scored AS (SELECT doc_id, sum(s) AS score FROM per_term GROUP BY doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       floor(score * 1000000 + 0.5) / 1000000 AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+WILDCARD_LIKE = "s%a%"
+
+
+def q_wildcard_match(sf_dir: str):
+    """ES `wildcard` query answered at the DICTIONARY level (the
+    Lucene/ES contract: a wildcard expands against the term dictionary,
+    never the corpus text): the pattern's regex form scans the reader's
+    sorted per-field dictionary once (RE2 via pyarrow), then the
+    matching terms' POSTINGS union counts distinct matching terms per
+    doc.  The corpus text is never re-read — query cost is
+    dictionary + postings-sized."""
+    from ..index import IndexReader
+
+    reader = IndexReader(_built_index(sf_dir))
+    d = reader.field_dictionary("content")
+    regex = "^" + WILDCARD_LIKE.replace("%", ".*") + "$"
+    m = pc.match_substring_regex(pa.array(d, type=pa.string()), regex).to_numpy(
+        zero_copy_only=False
+    )
+    n = reader.n_docs
+    counts = np.zeros(n, dtype=np.int64)
+    for term in d[np.flatnonzero(m)]:
+        tp = reader.lookup("content", str(term))
+        if tp is not None:
+            counts[tp.ordinals.astype(np.int64)] += 1
+    ords = np.flatnonzero(counts)
+    meta = reader.docmeta()
+    doc_ids = meta["path"].to_numpy()[ords].astype(np.int64)
+    return pd.DataFrame({"doc_id": doc_ids, "n_wild_terms": counts[ords]})
+
+
+SQL_WILDCARD_MATCH = f"""
+SELECT doc_id, CAST(count(DISTINCT term) AS BIGINT) AS n_wild_terms
+FROM (SELECT doc_id, unnest(list_distinct({TOK})) AS term FROM documents)
+WHERE term LIKE '{WILDCARD_LIKE}'
+GROUP BY doc_id
+"""
+
+
+PHRASE_SLOP_TERMS = ("sort", "merge")
+PHRASE_SLOP = 2
+
+
+def q_phrase_slop(sf_dir: str):
+    """Sloppy phrase via positional postings (Q2 at slop>0): greedy
+    in-order alignment — each occurrence of the first term matches iff
+    the NEXT occurrence of the second term displaces by ≤ slop — scored
+    as BM25 with the sloppy freq as tf and the summed term idfs
+    (query/scoring.py::_sloppy_freq).  The oracle replays the same
+    greedy rule with nested DuckDB list lambdas."""
+    from ..index import IndexReader
+    from ..query.scoring import Scorer
+
+    reader = IndexReader(_built_index(sf_dir))
+    res = Scorer(reader).phrase(
+        "content", list(PHRASE_SLOP_TERMS), slop=PHRASE_SLOP
+    )
+    ords = np.flatnonzero(res.mask)
+    meta = reader.docmeta()
+    doc_ids = meta["path"].to_numpy()[ords].astype(np.int64)
+    return pd.DataFrame({"doc_id": doc_ids, "score": _round6(res.scores[ords])})
+
+
+def _sql_phrase_slop() -> str:
+    t1, t2 = PHRASE_SLOP_TERMS
+    nxt = f"list_filter(list_filter(range(1, len(toks)+1), i -> toks[i] = '{t2}'), q -> q > p)"
+    return f"""
+WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents),
+toks AS (SELECT doc_id, unnest(toks) AS term FROM t),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl
+),
+df AS (
+  SELECT
+    (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) FROM toks WHERE term = '{t1}') AS df1,
+    (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) FROM toks WHERE term = '{t2}') AS df2
+),
+freq AS (
+  SELECT doc_id,
+         CAST(len(list_filter(
+           list_filter(range(1, len(toks)+1), i -> toks[i] = '{t1}'),
+           p -> len({nxt}) > 0 AND list_min({nxt}) - p - 1 <= {PHRASE_SLOP}
+         )) AS DOUBLE) AS tfp
+  FROM t
+),
+scored AS (
+  SELECT f.doc_id,
+         (ln(1 + (stats.n - df.df1 + 0.5) / (df.df1 + 0.5))
+          + ln(1 + (stats.n - df.df2 + 0.5) / (df.df2 + 0.5)))
+         * f.tfp * ({K1} + 1)
+         / (f.tfp + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) AS score
+  FROM freq f, stats, df
+  JOIN dl ON f.doc_id = dl.doc_id
+  WHERE f.tfp > 0
+)
+SELECT doc_id, floor(score * 1000000 + 0.5) / 1000000 AS score FROM scored
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -4984,6 +5248,10 @@ def make_queries() -> dict:
         "extended_stats": q_extended_stats,
         "pivot_counts": q_pivot_counts,
         "outer_join": q_outer_join,
+        "dismax_topk": q_dismax_topk,
+        "fuzzy_match": q_fuzzy_match,
+        "wildcard_match": q_wildcard_match,
+        "phrase_slop": q_phrase_slop,
     }
 
 
@@ -5089,6 +5357,10 @@ def make_oracle_sql() -> dict:
         "extended_stats": SQL_EXTENDED_STATS,
         "pivot_counts": _sql_pivot_counts(),
         "outer_join": SQL_OUTER_JOIN,
+        "dismax_topk": _sql_dismax_topk(),
+        "fuzzy_match": _sql_fuzzy_match(),
+        "wildcard_match": SQL_WILDCARD_MATCH,
+        "phrase_slop": _sql_phrase_slop(),
     }
 
 

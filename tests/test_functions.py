@@ -1880,3 +1880,92 @@ def test_boosting_topk_vs_bruteforce(ray_session):
             undemoted.append((d, math.floor(score * 1e6 + 0.5) / 1e6))
     plain = sorted(undemoted, key=lambda r: (-r[1], r[0]))[:10]
     assert [d for d, _ in want] != [d for d, _ in plain]
+
+
+def test_phrase_slop_and_fuzzy_vs_bruteforce(ray_session):
+    """Index-backed sloppy phrase (gate phrase_slop) and fuzzy match
+    (gate fuzzy_match) pinned against pure-Python references at
+    sf0.001: greedy in-order alignment with displacement <= slop, and
+    AUTO-distance expansion with per-term max over expansions."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from lighthouse_ray.analysis import tokenize_text
+    from lighthouse_ray.pipelines.driver_queries import (
+        B, FUZZY_QUERY, K1, PHRASE_SLOP, PHRASE_SLOP_TERMS,
+        q_fuzzy_match, q_phrase_slop,
+    )
+
+    docs = pq.read_table(SF + "/documents.parquet", columns=["doc_id", "text"])
+    ids = docs["doc_id"].to_pylist()
+    toks = {d: tokenize_text(t) for d, t in zip(ids, docs["text"].to_pylist())}
+    n = len(ids)
+    avgdl = sum(len(t) for t in toks.values()) / n
+
+    def idf(df):
+        return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+    # --- sloppy phrase reference -----------------------------------------
+    t1, t2 = PHRASE_SLOP_TERMS
+    df1 = sum(1 for ts in toks.values() if t1 in ts)
+    df2 = sum(1 for ts in toks.values() if t2 in ts)
+    want = {}
+    for d, ts in toks.items():
+        p1 = [i for i, t in enumerate(ts) if t == t1]
+        p2 = [i for i, t in enumerate(ts) if t == t2]
+        tfp = 0
+        for p in p1:
+            nxt = [q for q in p2 if q > p]
+            if nxt and min(nxt) - p - 1 <= PHRASE_SLOP:
+                tfp += 1
+        if tfp:
+            dl = len(ts)
+            s = (idf(df1) + idf(df2)) * tfp * (K1 + 1) / (
+                tfp + K1 * (1 - B + B * dl / avgdl)
+            )
+            want[d] = math.floor(s * 1e6 + 0.5) / 1e6
+    got = q_phrase_slop(SF)
+    assert {r.doc_id: r.score for r in got.itertuples()} == want
+    assert want  # non-degenerate on this corpus
+
+    # --- fuzzy match reference -------------------------------------------
+    vocab = sorted({t for ts in toks.values() for t in ts})
+
+    def ed(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            ndp = [i] + [0] * len(b)
+            for j, cb in enumerate(b, 1):
+                ndp[j] = min(dp[j] + 1, ndp[j - 1] + 1, dp[j - 1] + (ca != cb))
+            dp = ndp
+        return dp[-1]
+
+    qterms = tokenize_text(FUZZY_QUERY)
+    rows = {}
+    multi = False
+    for d, ts in toks.items():
+        dl = len(ts)
+        total, hit = 0.0, False
+        for qt in qterms:
+            maxd = 0 if len(qt) < 3 else (1 if len(qt) < 6 else 2)
+            exps = [v for v in vocab if ed(v, qt) <= maxd] or [qt]
+            multi = multi or len(exps) > 1
+            best = 0.0
+            for e in exps:
+                tf = ts.count(e)
+                if tf:
+                    hit = True
+                    dfe = sum(1 for xs in toks.values() if e in xs)
+                    best = max(
+                        best,
+                        idf(dfe) * tf * (K1 + 1)
+                        / (tf + K1 * (1 - B + B * dl / avgdl)),
+                    )
+            total += best
+        if hit:
+            rows[d] = math.floor(total * 1e6 + 0.5) / 1e6
+    top = sorted(rows.items(), key=lambda r: (-r[1], r[0]))[:10]
+    got = q_fuzzy_match(SF)
+    assert [(r.doc_id, r.score) for r in got.itertuples()] == top
+    assert multi  # at least one query term expanded to >1 terms
