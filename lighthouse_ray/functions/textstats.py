@@ -196,3 +196,100 @@ def unigram_xent(ds, *, vocab: int = 65536, text_col: str = "text",
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def bigram_xent(ds, *, uni_vocab: int = 4096, bi_vocab: int = 65536,
+                text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document cross-entropy under an add-one-smoothed corpus
+    BIGRAM LM — the next step up from :func:`unigram_xent` toward the
+    KenLM-style perplexity filters of CCNet (Wenzek et al. 2020):
+    p(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V), with V the exact distinct
+    unigram count, c(w1 w2) = 0 for bigrams outside the top-``bi_vocab``
+    model and c(w1) = 1 for unigrams outside the top-``uni_vocab``.
+
+    Distributed shape mirrors the unigram filter: per-batch partial
+    counts for BOTH n-gram orders fold through small groupby-sums; only
+    the top-V model rows (ties broken by key — deterministic) and the
+    exact vocabulary size reach the driver and broadcast once via
+    ``ray.put``.  Scoring is one streaming pass: ``pc.index_in``
+    against the broadcast keys (bigrams as 'w1 w2' strings — tokens
+    never contain spaces), per-doc logprob sums via ``np.bincount``.
+    Docs with <2 tokens have no bigram positions and are dropped,
+    matching the SQL's GROUP BY over generated positions."""
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    def u_partial(b: pa.Table) -> pa.Table:
+        _p, _pos, terms, _n = flat_tokens(b[text_col])
+        agg = pa.table({"term": terms}).group_by("term").aggregate([([], "count_all")])
+        return pa.table({"term": agg["term"], "n": agg["count_all"].cast(pa.int64())})
+
+    def b_partial(b: pa.Table) -> pa.Table:
+        parents, _pos, terms, _n = flat_tokens(b[text_col])
+        if len(parents) < 2:
+            return pa.table({"bg": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        same = parents[1:] == parents[:-1]
+        w1 = terms.slice(0, len(terms) - 1).filter(pa.array(same))
+        w2 = terms.slice(1).filter(pa.array(same))
+        bg = pc.binary_join_element_wise(w1, w2, " ")
+        agg = pa.table({"bg": bg}).group_by("bg").aggregate([([], "count_all")])
+        return pa.table({"bg": agg["bg"], "n": agg["count_all"].cast(pa.int64())})
+
+    uni = (
+        ds.map_batches(u_partial, batch_format="pyarrow")
+        .groupby("term").aggregate(Sum("n", alias_name="c")).materialize()
+    )
+    v_size = int(uni.count())
+    u_top = uni.sort(["c", "term"], descending=[True, False]).limit(uni_vocab).to_pandas()
+    bi = (
+        ds.map_batches(b_partial, batch_format="pyarrow")
+        .groupby("bg").aggregate(Sum("n", alias_name="c"))
+    )
+    b_top = bi.sort(["c", "bg"], descending=[True, False]).limit(bi_vocab).to_pandas()
+    ref = ray.put((
+        pa.array(u_top["term"], type=pa.string()),
+        u_top["c"].to_numpy().astype(np.int64),
+        pa.array(b_top["bg"], type=pa.string()),
+        b_top["c"].to_numpy().astype(np.int64),
+        v_size,
+    ))
+
+    empty = pa.table({
+        id_col: pa.array([], type=pa.int64()),
+        "xent": pa.array([], type=pa.float64()),
+    })
+
+    def score(b: pa.Table, _ref=ref) -> pa.Table:
+        import ray as _r
+
+        u_terms, u_c, b_keys, b_c, v = _r.get(_ref)
+        parents, _pos, toks, n = flat_tokens(b[text_col])
+        if len(parents) < 2:
+            return empty
+        same = parents[1:] == parents[:-1]
+        if not same.any():
+            return empty
+        w1 = toks.slice(0, len(toks) - 1).filter(pa.array(same))
+        bg = pc.binary_join_element_wise(w1, toks.slice(1).filter(pa.array(same)), " ")
+        bp = parents[:-1][same]
+        ui = pc.fill_null(pc.index_in(w1, value_set=u_terms), -1).to_numpy(
+            zero_copy_only=False
+        )
+        bi_ = pc.fill_null(pc.index_in(bg, value_set=b_keys), -1).to_numpy(
+            zero_copy_only=False
+        )
+        c1 = np.where(ui >= 0, u_c[np.maximum(ui, 0)], 1).astype(np.float64)
+        c2 = np.where(bi_ >= 0, b_c[np.maximum(bi_, 0)], 0).astype(np.float64)
+        lp = np.log((c2 + 1.0) / (c1 + float(v)))
+        sums = np.bincount(bp, weights=lp, minlength=n)
+        counts = np.bincount(bp, minlength=n)
+        has = counts > 0
+        xent = np.floor(-sums[has] / counts[has] * 1e6 + 0.5) / 1e6
+        return pa.table({
+            id_col: pc.take(b[id_col], pa.array(np.flatnonzero(has))).cast(pa.int64()),
+            "xent": pa.array(xent),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

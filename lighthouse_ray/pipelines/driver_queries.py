@@ -5150,6 +5150,168 @@ SELECT doc_id, floor(score * 1000000 + 0.5) / 1000000 AS score FROM scored
 
 
 # ---------------------------------------------------------------------------
+# round-3 batch: paragraph-level dedup, bigram-LM perplexity
+# ---------------------------------------------------------------------------
+
+PARA_TOKENS = 3
+BIGRAM_PPL_CUTOFF = 3.45
+
+
+def q_paragraph_dedup(sf_dir: str):
+    """CCNet-style paragraph-level duplication audit (Wenzek et al.
+    2020 dedup by paragraph hash; real corpora split on newlines — the
+    synthetic table has none, so 'paragraph' = a non-overlapping
+    {PARA_TOKENS}-token window, same machinery): per doc, the count and
+    fraction of its paragraphs whose text occurs in ≥2 DISTINCT docs.
+
+    Shape: one map pass builds (chunk, doc_id, cnt) rows via offsets
+    arithmetic + a single binary_join kernel; ONE chunk-keyed spill
+    exchange marks each (chunk, doc) row with its chunk's distinct-doc
+    count (run-length over the sorted partition — (chunk, doc) pairs
+    are globally unique since a doc is one row); a doc-keyed groupby
+    folds the marks.  Chunks ride as text to stay SQL-comparable; at
+    scale the key would be a 128-bit content hash — same exchange."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.dedup import _run_bounds
+    from ..functions.exchange import spill_exchange
+
+    P = PARA_TOKENS
+
+    def chunks(b: pa.Table) -> pa.Table:
+        parents, pos, terms, _n = flat_tokens(b["text"])
+        empty = pa.table({
+            "chunk": pa.array([], type=pa.string()),
+            "doc_id": pa.array([], type=pa.int64()),
+            "cnt": pa.array([], type=pa.int64()),
+        })
+        if len(parents) == 0:
+            return empty
+        g = pos // P
+        key = (parents << 32) + g
+        starts = np.flatnonzero(np.diff(key, prepend=key[0] - 1))
+        offsets = np.append(starts, len(parents)).astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(offsets), terms)
+        chunk = pc.binary_join(lists, " ")
+        doc = pc.take(b["doc_id"], pa.array(parents[starts])).cast(pa.int64())
+        t = pa.table({"chunk": chunk, "doc_id": doc})
+        agg = t.group_by(["chunk", "doc_id"]).aggregate([([], "count_all")])
+        return pa.table({
+            "chunk": agg["chunk"],
+            "doc_id": agg["doc_id"],
+            "cnt": agg["count_all"].cast(pa.int64()),
+        })
+
+    def mark(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "doc_id": pa.array([], type=pa.int64()),
+            "cnt": pa.array([], type=pa.int64()),
+            "dup": pa.array([], type=pa.int64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("chunk", "ascending"), ("doc_id", "ascending")]).combine_chunks()
+        starts, lens = _run_bounds(t["chunk"].combine_chunks())
+        is_dup = np.repeat(lens >= 2, lens)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "cnt": t["cnt"],
+            "dup": pa.array(np.where(is_dup, cnt, 0).astype(np.int64)),
+        })
+
+    marked = spill_exchange(
+        _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            chunks, batch_format="pyarrow"
+        ),
+        "chunk", mark, num_parts=16,
+    )
+    agg = (
+        marked.groupby("doc_id")
+        .aggregate(Sum("cnt", alias_name="n_chunks"), Sum("dup", alias_name="n_dup"))
+        .to_pandas()
+    )
+    nc = agg["n_chunks"].to_numpy().astype(np.float64)
+    nd = agg["n_dup"].to_numpy().astype(np.float64)
+    return pd.DataFrame({
+        "doc_id": agg["doc_id"].astype(np.int64),
+        "n_chunks": agg["n_chunks"].astype(np.int64),
+        "n_dup": agg["n_dup"].astype(np.int64),
+        "dup_frac": _round6(nd / nc),
+    })
+
+
+SQL_PARAGRAPH_DEDUP = f"""
+WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents),
+c AS (
+  SELECT doc_id, array_to_string(toks[((g-1)*{PARA_TOKENS}+1):(g*{PARA_TOKENS})], ' ') AS chunk
+  FROM t, unnest(range(1, CAST(ceil(len(toks) / {PARA_TOKENS}.0) AS BIGINT) + 1)) u(g)
+  WHERE len(toks) > 0
+),
+d AS (SELECT chunk FROM c GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2),
+per AS (
+  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         CAST(sum(CASE WHEN d.chunk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+  FROM c LEFT JOIN d ON c.chunk = d.chunk
+  GROUP BY c.doc_id
+)
+SELECT doc_id, n_chunks, n_dup,
+       floor(CAST(n_dup AS DOUBLE) / n_chunks * 1000000 + 0.5) / 1000000 AS dup_frac
+FROM per
+"""
+
+
+def q_bigram_lm(sf_dir: str):
+    """Bigram-LM perplexity filter (functions/textstats.py::
+    bigram_xent): per-doc cross-entropy under the corpus add-one
+    bigram model, kept = xent ≤ {BIGRAM_PPL_CUTOFF} — the next step
+    from the unigram filter toward CCNet's KenLM scoring, with the
+    same bounded-broadcast distributed shape."""
+    from ..functions.textstats import bigram_xent
+
+    ds = bigram_xent(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return ds.map_batches(
+        lambda b: pa.table({
+            "doc_id": b["doc_id"],
+            "xent": b["xent"],
+            "kept": pc.less_equal(b["xent"], BIGRAM_PPL_CUTOFF).cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+SQL_BIGRAM_LM = f"""
+WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents),
+uni AS (
+  SELECT term, count(*) AS c
+  FROM (SELECT unnest({TOK}) AS term FROM documents) GROUP BY term
+),
+vsz AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+umodel AS (SELECT term, c FROM uni ORDER BY c DESC, term LIMIT 4096),
+pos AS (
+  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+  FROM t, unnest(range(1, len(toks))) u(i)
+),
+bi AS (SELECT w1, w2, count(*) AS c FROM pos GROUP BY w1, w2),
+bmodel AS (SELECT w1, w2, c FROM bi ORDER BY c DESC, w1, w2 LIMIT 65536),
+s AS (
+  SELECT p.doc_id,
+         ln((CAST(coalesce(bm.c, 0) AS DOUBLE) + 1.0)
+            / (CAST(coalesce(um.c, 1) AS DOUBLE) + vsz.v)) AS lp
+  FROM pos p
+  LEFT JOIN bmodel bm ON p.w1 = bm.w1 AND p.w2 = bm.w2
+  LEFT JOIN umodel um ON p.w1 = um.term
+  CROSS JOIN vsz
+),
+x AS (
+  SELECT doc_id, floor(-avg(lp) * 1000000 + 0.5) / 1000000 AS xent
+  FROM s GROUP BY doc_id
+)
+SELECT doc_id, xent, CAST(xent <= {BIGRAM_PPL_CUTOFF} AS BIGINT) AS kept FROM x
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -5252,6 +5414,8 @@ def make_queries() -> dict:
         "fuzzy_match": q_fuzzy_match,
         "wildcard_match": q_wildcard_match,
         "phrase_slop": q_phrase_slop,
+        "paragraph_dedup": q_paragraph_dedup,
+        "bigram_lm": q_bigram_lm,
     }
 
 
@@ -5361,6 +5525,8 @@ def make_oracle_sql() -> dict:
         "fuzzy_match": _sql_fuzzy_match(),
         "wildcard_match": SQL_WILDCARD_MATCH,
         "phrase_slop": _sql_phrase_slop(),
+        "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
+        "bigram_lm": SQL_BIGRAM_LM,
     }
 
 

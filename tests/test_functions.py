@@ -1969,3 +1969,57 @@ def test_phrase_slop_and_fuzzy_vs_bruteforce(ray_session):
     got = q_fuzzy_match(SF)
     assert [(r.doc_id, r.score) for r in got.itertuples()] == top
     assert multi  # at least one query term expanded to >1 terms
+
+
+def test_bigram_xent_capped_model_and_short_docs(ray_session):
+    """bigram_xent vs a pure-Python reference with a CAPPED model
+    (uni_vocab/bi_vocab below the true vocabulary) so the OOV floors —
+    c(w1 w2)=0 outside the bigram model, c(w1)=1 outside the unigram
+    model — are actually exercised; docs with <2 tokens are dropped."""
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+
+    from lighthouse_ray.analysis import tokenize_text
+    from lighthouse_ray.functions.textstats import bigram_xent
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": [
+            "a b a b c",
+            "a b c d e",
+            "e d c b a",
+            "single",      # 1 token -> dropped
+            "",            # 0 tokens -> dropped
+            "a a a a a a",
+        ],
+    })
+    got = bigram_xent(
+        rd.from_pandas(df).repartition(3), uni_vocab=3, bi_vocab=4
+    ).to_pandas().set_index("doc_id")["xent"].to_dict()
+
+    toks = {d: tokenize_text(t) for d, t in zip(df.doc_id, df.text)}
+    uni: dict = {}
+    bi: dict = {}
+    for ts in toks.values():
+        for w in ts:
+            uni[w] = uni.get(w, 0) + 1
+        for w1, w2 in zip(ts, ts[1:]):
+            bi[(w1, w2)] = bi.get((w1, w2), 0) + 1
+    v = len(uni)
+    um = dict(sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))[:3])
+    bm = dict(sorted(bi.items(), key=lambda kv: (-kv[1], kv[0]))[:4])
+    want = {}
+    for d, ts in toks.items():
+        if len(ts) < 2:
+            continue
+        lps = [
+            math.log((bm.get((w1, w2), 0) + 1.0) / (um.get(w1, 1) + float(v)))
+            for w1, w2 in zip(ts, ts[1:])
+        ]
+        want[d] = math.floor(-sum(lps) / len(lps) * 1e6 + 0.5) / 1e6
+    assert got == want
+    assert 3 not in got and 4 not in got
+    # the caps bit: at least one bigram and one unigram fell out of model
+    assert len(bi) > 4 and len(uni) > 3
