@@ -409,6 +409,60 @@ def ngram_jaccard_pairs(ds, n: int = 3, min_inter: int = 5, text_col: str = "tex
     )
 
 
+def containment_pairs(ds, n: int = 3, threshold: float = 0.5,
+                      min_inter: int = 1, text_col: str = "text",
+                      id_col: str = "doc_id", max_df: int = 1000,
+                      num_parts: int = 32):
+    """Exact n-gram CONTAINMENT pairs — the asymmetric sibling of
+    :func:`ngram_jaccard_pairs` for near-SUPERSET detection: a doc
+    embedded verbatim in a much larger one scores low Jaccard (the
+    union is large) but containment inter/min(|A|,|B|) ≈ 1 (Broder
+    1997's containment coefficient).  Same two-exchange shape and
+    ``max_df`` hot-shingle guard; only the final per-pair score
+    differs.  SQL-expressible; oracle-checked in
+    pipelines/driver_queries.py (gate ``containment_dup``)."""
+    exploded = ds.map_batches(
+        lambda b: doc_shingles(b, text_col, id_col, n), batch_format="pyarrow"
+    )
+    st: dict = {}
+    partial = spill_exchange(
+        exploded, "sh", _shingle_pairs_reduce(max_df), num_parts=num_parts, stats=st
+    )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], type=pa.int64()),
+                    "b": pa.array([], type=pa.int64()),
+                    "inter": pa.array([], type=pa.int64()),
+                    "containment": pa.array([], type=pa.float64()),
+                }
+            )
+        g = t.group_by(["a", "b"], use_threads=False).aggregate(
+            [("inter", "sum"), ("na", "min"), ("nb", "min")]
+        )
+        inter = g["inter_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        na = g["na_min"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = g["nb_min"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cont = _round6_up(inter / np.minimum(na, nb))
+        keep = (inter >= min_inter) & (cont >= threshold)
+        ka = pa.array(keep)
+        return pa.table(
+            {
+                "a": g["a"].filter(ka),
+                "b": g["b"].filter(ka),
+                "inter": pa.array(inter[keep]),
+                "containment": pa.array(cont[keep]),
+            }
+        )
+
+    return spill_exchange(
+        partial, ["a", "b"], reduce_fn, num_parts=num_parts,
+        cleanup_after=[st["root"]],
+    )
+
+
 def _md5_low64_arr(col) -> np.ndarray:
     """Vectorized ``md5_number_lower``: low 8 digest bytes
     (little-endian) of md5 per row of an Arrow string array, hashing the

@@ -5312,6 +5312,132 @@ SELECT doc_id, xent, CAST(xent <= {BIGRAM_PPL_CUTOFF} AS BIGINT) AS kept FROM x
 
 
 # ---------------------------------------------------------------------------
+# round-3 batch: containment dedup, per-group top-hits
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_THR = 0.5
+CONTAINMENT_MIN_INTER = 3
+
+
+def q_containment_dup(sf_dir: str):
+    """Near-superset detection via n-gram CONTAINMENT (Broder 1997):
+    inter/min(|A|,|B|) ≥ {CONTAINMENT_THR} — the asymmetric dedup
+    signal Jaccard misses when a doc is embedded verbatim in a much
+    larger one (functions/dedup.py::containment_pairs; same
+    two-exchange shingle shape and hot-df guard as ngram_jaccard)."""
+    from ..functions.dedup import containment_pairs
+
+    return containment_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), n=3,
+        threshold=CONTAINMENT_THR, min_inter=CONTAINMENT_MIN_INTER,
+        max_df=NGRAM_MAX_DF,
+    )
+
+
+SQL_CONTAINMENT_DUP = f"""
+WITH {_sh_cte(NGRAM_MAX_DF)}
+SELECT p.a, p.b, p.inter,
+       floor(CAST(p.inter AS DOUBLE) / least(sa.nsh, sb.nsh) * 1000000 + 0.5)
+         / 1000000 AS containment
+FROM pairs p JOIN sizes sa ON p.a = sa.doc_id JOIN sizes sb ON p.b = sb.doc_id
+WHERE p.inter >= {CONTAINMENT_MIN_INTER}
+  AND floor(CAST(p.inter AS DOUBLE) / least(sa.nsh, sb.nsh) * 1000000 + 0.5)
+        / 1000000 >= {CONTAINMENT_THR}
+"""
+
+
+def q_group_topk_hits(sf_dir: str):
+    """ES `top_hits` sub-aggregation analog: the top-2 BM25 hits PER
+    LANG for the flagship query.  Per-batch combiner keeps each lang's
+    batch-local top-2 (a group's global top-2 is a subset of the union
+    of its batch top-2s), then ONE lang-keyed spill exchange takes the
+    vectorized run-length head-2 — the hit list never shuffles, the
+    exchange carries ≤ 2·|langs| rows per batch."""
+    from ..functions.dedup import _run_bounds
+    from ..functions.exchange import spill_exchange
+
+    terms = tokenize_text(BM25_QUERY)
+    _n_docs, avgdl, idf = _bm25_corpus_stats(sf_dir, terms)
+
+    empty = pa.table({
+        "lang": pa.array([], type=pa.string()),
+        "doc_id": pa.array([], type=pa.int64()),
+        "score": pa.array([], type=pa.float64()),
+    })
+
+    def combine(b: pa.Table) -> pa.Table:
+        matched, score, _p, _t, _n = _bm25_batch_scores(b, terms, idf, avgdl)
+        if not matched.any():
+            return empty
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)[matched]
+        langs = b["lang"].filter(pa.array(matched))
+        s6 = _round6(score[matched])
+        t = pa.table({"lang": langs, "doc_id": pa.array(ids), "score": pa.array(s6)})
+        t = t.sort_by([("lang", "ascending"), ("score", "descending"),
+                       ("doc_id", "ascending")]).combine_chunks()
+        starts, lens = _run_bounds(t["lang"].combine_chunks())
+        k = np.minimum(lens, 2)
+        take = np.concatenate([np.arange(s, s + kk) for s, kk in zip(starts, k)]) \
+            if len(starts) else np.zeros(0, dtype=np.int64)
+        return t.take(pa.array(take))
+
+    def head2(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("lang", "ascending"), ("score", "descending"),
+                       ("doc_id", "ascending")]).combine_chunks()
+        starts, lens = _run_bounds(t["lang"].combine_chunks())
+        k = np.minimum(lens, 2)
+        take = np.concatenate([np.arange(s, s + kk) for s, kk in zip(starts, k)])
+        return t.take(pa.array(take))
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"]).map_batches(
+        combine, batch_format="pyarrow"
+    )
+    return spill_exchange(ds, "lang", head2, num_parts=4)
+
+
+def _sql_group_topk_hits() -> str:
+    terms = tokenize_text(BM25_QUERY)
+    terms_sql = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOK}) AS term FROM documents
+),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl
+),
+qt(term) AS (VALUES {terms_sql}),
+tf AS (
+  SELECT t.doc_id, t.term, CAST(count(*) AS DOUBLE) AS tf
+  FROM toks t JOIN qt ON t.term = qt.term GROUP BY t.doc_id, t.term
+),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         floor(sum(
+           ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * ({K1} + 1)
+           / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))
+         ) * 1000000 + 0.5) / 1000000 AS score
+  FROM tf, stats
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  GROUP BY tf.doc_id
+),
+ranked AS (
+  SELECT d.lang, s.doc_id, s.score,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY s.score DESC, s.doc_id) AS rn
+  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+)
+SELECT lang, doc_id, score FROM ranked WHERE rn <= 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -5416,6 +5542,8 @@ def make_queries() -> dict:
         "phrase_slop": q_phrase_slop,
         "paragraph_dedup": q_paragraph_dedup,
         "bigram_lm": q_bigram_lm,
+        "containment_dup": q_containment_dup,
+        "group_topk_hits": q_group_topk_hits,
     }
 
 
@@ -5527,6 +5655,8 @@ def make_oracle_sql() -> dict:
         "phrase_slop": _sql_phrase_slop(),
         "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
         "bigram_lm": SQL_BIGRAM_LM,
+        "containment_dup": SQL_CONTAINMENT_DUP,
+        "group_topk_hits": _sql_group_topk_hits(),
     }
 
 
