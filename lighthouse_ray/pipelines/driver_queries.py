@@ -5438,6 +5438,151 @@ SELECT lang, doc_id, score FROM ranked WHERE rn <= 2
 
 
 # ---------------------------------------------------------------------------
+# round-3 batch: HyperLogLog distinct count (integer-exact indicator)
+# ---------------------------------------------------------------------------
+
+HLL_M = 1024          # 2^10 buckets (p=10)
+_HLL_POW2 = float(1 << 55)
+_HLL_ALPHA_NUM = 0.7213
+_HLL_ALPHA_DEN = 1.0 + 1.079 / 1024.0
+
+
+def q_hll_distinct(sf_dir: str):
+    """HyperLogLog per-lang distinct-term estimate (Flajolet et al.
+    2007) alongside the exact count — the classic cardinality sketch
+    as a DETERMINISTIC pipeline: hash = md5-low64 (the KMV gate's
+    convention, = DuckDB md5_number_lower), bucket = top 10 bits,
+    rho = leading zeros of the remaining 54 + 1.  The indicator sum
+    Σ 2^(−M_j) is carried SCALED BY 2^55 as an arbitrary-precision
+    INTEGER (HUGEINT in the oracle) — order-exact — and converted to
+    float exactly once, so the estimator is bit-reproducible at any
+    parallelism.  Shuffle volume: ≤ |langs|·m (bucket, max-rho) rows
+    per batch, never the token stream.  Linear-counting small-range
+    correction applied when raw ≤ 2.5m and empty buckets remain."""
+    from ray.data.aggregate import Max, Sum
+
+    from ..functions.dedup import _md5_low64_arr
+
+    pow2 = (np.uint64(1) << np.arange(55, dtype=np.uint64)).astype(np.uint64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        parents, _pos, terms, _n = flat_tokens(b["text"])
+        langs = pc.take(b["lang"].combine_chunks(), pa.array(parents))
+        t = pa.table({"lang": langs, "term": terms}).group_by(
+            ["lang", "term"]
+        ).aggregate([])
+        h = _md5_low64_arr(t["term"])
+        bucket = (h >> np.uint64(54)).astype(np.int64)
+        w = (h & np.uint64((1 << 54) - 1))
+        # bit_length(w) via a power-of-two table (0 for w == 0)
+        bl = np.searchsorted(pow2, w, side="right")
+        rho = (55 - bl).astype(np.int64)
+        g = pa.table({
+            "lang": t["lang"], "bucket": pa.array(bucket), "rho": pa.array(rho),
+        }).group_by(["lang", "bucket"]).aggregate([("rho", "max")])
+        return pa.table({
+            "lang": g["lang"], "bucket": g["bucket"],
+            "rho": g["rho_max"].cast(pa.int64()),
+        })
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    regs = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "bucket"])
+        .aggregate(Max("rho", alias_name="rho"))
+        .to_pandas()
+    )
+
+    # exact distinct per lang (vocab-bounded dedupe, then tiny count)
+    def uniq(b: pa.Table) -> pa.Table:
+        parents, _pos, terms, _n = flat_tokens(b["text"])
+        langs = pc.take(b["lang"].combine_chunks(), pa.array(parents))
+        return pa.table({"lang": langs, "term": terms}).group_by(
+            ["lang", "term"]
+        ).aggregate([])
+
+    from ray.data.aggregate import Count
+
+    def lang_counts(b: pa.Table) -> pa.Table:
+        g = pa.table({"lang": b["lang"]}).group_by("lang").aggregate(
+            [([], "count_all")]
+        )
+        return pa.table({"lang": g["lang"], "n": g["count_all"].cast(pa.int64())})
+
+    exact = (
+        ds.map_batches(uniq, batch_format="pyarrow")
+        .groupby(["lang", "term"])
+        .aggregate(Count())
+        .map_batches(lang_counts, batch_format="pyarrow")
+        .groupby("lang").aggregate(Sum("n", alias_name="n_exact"))
+        .to_pandas().set_index("lang")["n_exact"].to_dict()
+    )
+
+    out = []
+    for lang, grp in regs.groupby("lang"):
+        rhos = grp["rho"].to_numpy()
+        t_int = int(sum(1 << (55 - int(r)) for r in rhos))
+        v = HLL_M - len(rhos)
+        t_int += v * (1 << 55)
+        raw = (
+            _HLL_ALPHA_NUM / _HLL_ALPHA_DEN * 1024.0 * 1024.0 * _HLL_POW2
+            / float(t_int)
+        )
+        est = 1024.0 * math.log(1024.0 / v) if (raw <= 2.5 * HLL_M and v > 0) else raw
+        out.append((lang, int(exact[lang]), math.floor(est * 1e6 + 0.5) / 1e6))
+    out.sort()
+    return pd.DataFrame({
+        "lang": [r[0] for r in out],
+        "n_exact": np.array([r[1] for r in out], dtype=np.int64),
+        "hll_est": [r[2] for r in out],
+    })
+
+
+SQL_HLL_DISTINCT = f"""
+WITH lt AS (
+  SELECT DISTINCT lang, term
+  FROM (SELECT lang, unnest({TOK}) AS term FROM documents)
+),
+hv AS (SELECT lang, md5_number_lower(term) AS h FROM lt),
+r AS (
+  SELECT lang, CAST(h >> 54 AS BIGINT) AS bucket,
+         h & ((1::UBIGINT << 54) - 1) AS w
+  FROM hv
+),
+m AS (
+  SELECT lang, bucket,
+         max(CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END) AS rho
+  FROM r GROUP BY lang, bucket
+),
+t AS (
+  SELECT lang,
+         sum(1::HUGEINT << CAST(55 - rho AS INT)) AS t_touched,
+         CAST(count(*) AS BIGINT) AS ntouched
+  FROM m GROUP BY lang
+),
+e AS (
+  SELECT lang,
+         CAST(t_touched + ({HLL_M} - ntouched) * (1::HUGEINT << 55) AS DOUBLE) AS tt,
+         {HLL_M} - ntouched AS v
+  FROM t
+),
+est AS (
+  SELECT lang,
+         {_HLL_ALPHA_NUM} / (1.0 + 1.079 / 1024.0) * 1024.0 * 1024.0
+           * 36028797018963968.0 / tt AS raw,
+         v
+  FROM e
+),
+ex AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_exact FROM lt GROUP BY lang)
+SELECT est.lang, ex.n_exact,
+       floor(CASE WHEN est.raw <= 2560.0 AND est.v > 0
+                  THEN 1024.0 * ln(1024.0 / est.v) ELSE est.raw END
+             * 1000000 + 0.5) / 1000000 AS hll_est
+FROM est JOIN ex ON est.lang = ex.lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -5544,6 +5689,7 @@ def make_queries() -> dict:
         "bigram_lm": q_bigram_lm,
         "containment_dup": q_containment_dup,
         "group_topk_hits": q_group_topk_hits,
+        "hll_distinct": q_hll_distinct,
     }
 
 
@@ -5657,6 +5803,7 @@ def make_oracle_sql() -> dict:
         "bigram_lm": SQL_BIGRAM_LM,
         "containment_dup": SQL_CONTAINMENT_DUP,
         "group_topk_hits": _sql_group_topk_hits(),
+        "hll_distinct": SQL_HLL_DISTINCT,
     }
 
 

@@ -2023,3 +2023,45 @@ def test_bigram_xent_capped_model_and_short_docs(ray_session):
     assert 3 not in got and 4 not in got
     # the caps bit: at least one bigram and one unigram fell out of model
     assert len(bi) > 4 and len(uni) > 3
+
+
+def test_hll_distinct_raw_branch_vs_sql(ray_session):
+    """hll_distinct on a corpus with enough distinct terms that the RAW
+    HyperLogLog estimator fires (the sf corpora's tiny vocabulary always
+    takes the linear-counting branch): bit-identical vs the DuckDB
+    oracle, and within the ~±3.3% expected error for m=1024."""
+    import os
+    import tempfile
+
+    import duckdb
+    import pandas as pd
+
+    from lighthouse_ray.pipelines.driver_queries import (
+        SQL_HLL_DISTINCT, q_hll_distinct,
+    )
+
+    rng = np.random.RandomState(7)
+    texts = []
+    for d in range(40):
+        words = [f"w{rng.randint(0, 8000):05d}" for _ in range(200)]
+        texts.append(" ".join(words))
+    df = pd.DataFrame({
+        "doc_id": np.arange(40, dtype=np.int64),
+        "text": texts,
+        "lang": ["en"] * 40,
+        "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(os.path.join(d, "documents.parquet"))
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{os.path.join(d, 'documents.parquet')}')"
+        )
+        want = con.execute(SQL_HLL_DISTINCT).df()
+        got = q_hll_distinct(d)
+        assert list(got.lang) == list(want.lang)
+        assert list(got.n_exact) == list(want.n_exact)
+        assert list(got.hll_est) == list(want.hll_est)
+        n, est = int(got.n_exact[0]), float(got.hll_est[0])
+        assert n > 2560 * 1.5          # raw branch territory
+        assert abs(est - n) / n < 0.1  # sane estimate
