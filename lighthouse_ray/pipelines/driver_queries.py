@@ -4757,9 +4757,8 @@ def q_pivot_counts(sf_dir: str):
             np.int64
         )
         et = b["event_type"]
-        out = {"day": []}
         data: dict[str, np.ndarray] = {}
-        # group by day once, then masked bincount-style sums per type
+        # group by day once, then masked integer scatter-adds per type
         t = pa.table({"day": day}).group_by("day").aggregate([])
         days = t["day"]
         didx = pc.index_in(day, value_set=days).to_numpy(zero_copy_only=False)
@@ -4767,9 +4766,11 @@ def q_pivot_counts(sf_dir: str):
         for ty in PIVOT_TYPES:
             m = pc.equal(et, ty).to_numpy(zero_copy_only=False)
             data[f"n_{ty}"] = np.bincount(didx[m], minlength=nd).astype(np.int64)
-            data[f"c_{ty}"] = np.bincount(
-                didx[m], weights=cents[m].astype(np.float64), minlength=nd
-            ).astype(np.int64)
+            # int64 scatter-add: exact for any cent magnitude (no 2^53
+            # float-accumulation bound, unlike weighted bincount)
+            csum = np.zeros(nd, dtype=np.int64)
+            np.add.at(csum, didx[m], cents[m])
+            data[f"c_{ty}"] = csum
         out = {"day": days}
         out.update({k: pa.array(v) for k, v in data.items()})
         return pa.table(out)
