@@ -242,6 +242,82 @@ FROM scored ORDER BY scored.score DESC, doc_id LIMIT {limit} OFFSET {offset}
 """
 
 
+NESTED_QUERY = "spark window"
+NESTED_WINDOW = 16
+
+
+def q_nested_match(sf_dir: str):
+    """ES `nested` query (Q9, the last reference semantic): the
+    reference maps `value` as a true nested object
+    (app/es/index/claims.go:17-19) and autocomplete queries into it
+    (app/actions/auto_complete.go:69).  Nested docs here are the
+    deterministic 16-token-window sub-documents of `documents.text`;
+    the query is a nested bool.must of two terms — BOTH must occur in
+    the SAME sub-document (terms split across a parent's different
+    sub-docs do NOT match, the defining nested-vs-flattened
+    difference), each sub-doc is BM25-scored independently against
+    nested-corpus stats (chunk-level N/avgdl/df), and the parent takes
+    its best sub-doc's score (score_mode max).  Top-10 parents by
+    (score desc, doc_id asc).
+
+    Distributed shape: one summary-row-per-batch stats fold + one
+    scoring pass emitting ≤ k rows per batch; see query/nested.py."""
+    from ..query.nested import nested_match_topk
+
+    return nested_match_topk(
+        lambda: _read(sf_dir, "documents", ["doc_id", "text"]),
+        tokenize_text(NESTED_QUERY),
+        window=NESTED_WINDOW,
+        k=10,
+        mode="nested",
+    )
+
+
+def _sql_nested_match(query: str, window: int, limit: int = 10) -> str:
+    terms = tokenize_text(query)
+    terms_sql = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOK}) AS term, generate_subscripts({TOK}, 1) AS pos
+  FROM documents
+),
+ch AS (
+  SELECT doc_id, (pos - 1) // {window} AS chunk_id, term FROM toks
+),
+dl AS (SELECT doc_id, chunk_id, CAST(count(*) AS DOUBLE) AS dl
+       FROM ch GROUP BY doc_id, chunk_id),
+stats AS (
+  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM dl) AS n,
+         (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM dl) AS avgdl
+),
+qt(term) AS (VALUES {terms_sql}),
+tf AS (
+  SELECT ch.doc_id, ch.chunk_id, ch.term, CAST(count(*) AS DOUBLE) AS tf
+  FROM ch JOIN qt ON ch.term = qt.term GROUP BY ch.doc_id, ch.chunk_id, ch.term
+),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+chunk_score AS (
+  SELECT tf.doc_id, tf.chunk_id,
+         sum(
+           ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * ({K1} + 1)
+           / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))
+         ) AS score,
+         count(*) AS nmatched
+  FROM tf, stats
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id AND tf.chunk_id = dl.chunk_id
+  GROUP BY tf.doc_id, tf.chunk_id
+),
+parent AS (
+  SELECT doc_id, max(score) AS score FROM chunk_score
+  WHERE nmatched = {len(terms)} GROUP BY doc_id
+)
+SELECT doc_id, round(score, 6) AS score
+FROM parent ORDER BY parent.score DESC, doc_id LIMIT {limit}
+"""
+
+
 def _bm25_corpus_stats(sf_dir: str, terms: list[str]):
     """Bounded BM25 stats pass: n_docs, avgdl, and idf per query term.
     One map over `text` emitting a single partial row per batch
@@ -5594,6 +5670,7 @@ def make_queries() -> dict:
         "term_tf_total": q_term_tf_total,
         "autocomplete_prefix": q_autocomplete_prefix,
         "bm25_topk": q_bm25_topk,
+        "nested_match": q_nested_match,
         "collapse_topk": q_collapse_topk,
         "boosting_topk": q_boosting_topk,
         "lang_counts": q_lang_counts,
@@ -5701,6 +5778,7 @@ def make_oracle_sql() -> dict:
         "term_tf_total": SQL_TERM_TF_TOTAL,
         "autocomplete_prefix": SQL_AUTOCOMPLETE_PREFIX,
         "bm25_topk": _sql_bm25(BM25_QUERY),
+        "nested_match": _sql_nested_match(NESTED_QUERY, NESTED_WINDOW),
         "collapse_topk": _sql_collapse_topk(),
         "boosting_topk": _sql_boosting_topk(),
         "lang_counts": SQL_LANG_COUNTS,
