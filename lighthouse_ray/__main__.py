@@ -5,6 +5,7 @@
     python -m lighthouse_ray autocomplete --index <dir> -s "pref" [--size N]
     python -m lighthouse_ray status --index <dir>
     python -m lighthouse_ray serve  --index <dir> [--host H] [--port P] [--replicas N]
+    python -m lighthouse_ray sync   --source <parquet> --workdir <dir> [--cycles N] [--interval S]
 
 The CLI owns its Ray session (library code never calls ray.init).
 """
@@ -64,6 +65,17 @@ def main(argv: list[str] | None = None) -> int:
     st = sub.add_parser("status")
     st.add_argument("--index", required=True)
 
+    sy = sub.add_parser("sync", help="cron sync loop: pull changed source rows, "
+                                     "apply delta, compact per policy (cron.go:15-24)")
+    sy.add_argument("--source", required=True, help="parquet with corpus cols + id/modified_at/deleted")
+    sy.add_argument("--workdir", required=True)
+    sy.add_argument("--cycles", type=int, default=1)
+    sy.add_argument("--interval", type=float, default=900.0, help="seconds between ticks (cron default 15 min)")
+    sy.add_argument("--batch-size", type=int, default=1000)
+    sy.add_argument("--parts", type=int, default=32)
+    sy.add_argument("--shards", type=int, default=64)
+    sy.add_argument("--num-cpus", type=int, default=None)
+
     sv = sub.add_parser("serve", help="HTTP API server (/search /autocomplete /status /metrics)")
     sv.add_argument("--index", required=True)
     sv.add_argument("--host", default="127.0.0.1")
@@ -101,6 +113,26 @@ def main(argv: list[str] | None = None) -> int:
         finally:
             srv.stop()
             ray.shutdown()
+        return 0
+
+    if args.cmd == "sync":
+        _init_ray(args.num_cpus)
+        import ray
+
+        from .config import IndexConfig
+        from .state import SyncDaemon
+
+        cfg = IndexConfig(num_doc_parts=args.parts, num_term_shards=args.shards)
+        daemon = SyncDaemon(
+            args.workdir, args.source, cfg=cfg, batch_size=args.batch_size
+        )
+        results = daemon.run(
+            args.cycles,
+            interval_s=args.interval,
+            on_cycle=lambda i, r: print(json.dumps({"cycle": i, **r}), flush=True),
+        )
+        print(json.dumps({"cycles": len(results), "live": daemon.gens["live"]}))
+        ray.shutdown()
         return 0
 
     if args.cmd == "build":

@@ -2812,6 +2812,13 @@ def q_ann_ivf_topk(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 DECON_N, DECON_MOD = 4, 37
+# Hard cap on the broadcast benchmark shingle set (the "benchmark ≪
+# corpus" contract, now a checked invariant): ~50M strings is a few GB
+# of driver/object-store memory — far beyond any real eval suite.  Past
+# it the broadcast-probe design is the wrong tool; fail loudly and
+# point at the partitioned band-index probe path (incremental_neardup's
+# shape) instead of silently OOMing the driver.
+DECON_MAX_BENCH_SHINGLES = 50_000_000
 
 
 def q_decontaminate(sf_dir: str):
@@ -2840,6 +2847,16 @@ def q_decontaminate(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     bench_vals = ds.map_batches(bench_part, batch_format="pyarrow").to_pandas()["s"]
+    # checked invariant, not a comment: the collected per-batch-distinct
+    # partials bound the broadcast set from above
+    if len(bench_vals) > DECON_MAX_BENCH_SHINGLES:
+        raise ValueError(
+            f"benchmark shingle partials ({len(bench_vals)}) exceed "
+            f"DECON_MAX_BENCH_SHINGLES={DECON_MAX_BENCH_SHINGLES}: the eval set is "
+            "not small relative to the corpus — use a partitioned shingle-index "
+            "probe (see incremental_neardup / state.incremental) instead of the "
+            "broadcast path"
+        )
     bench_ref = ray.put(pa.array(sorted(set(bench_vals)), type=pa.string()))
 
     def flag(b: pa.Table) -> pa.Table:
