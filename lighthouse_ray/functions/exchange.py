@@ -113,7 +113,7 @@ class _SpillMap:
         # always emit >= 1 manifest row (part=-1 sentinel, filtered by the
         # coordinator): certain fused empty outputs surface as 0-column
         # blocks inside Ray and trigger schema-divergence warnings
-        rows_part, rows_file = [-1], [""]
+        rows_part, rows_file, rows_n = [-1], [""], [0]
         if self.digest_cols is not None:
             x = 0
             if batch.num_rows:
@@ -121,6 +121,7 @@ class _SpillMap:
                 x = int(np.bitwise_xor.reduce(splitmix64(h)))
             rows_part.append(-2)
             rows_file.append(f"{batch.num_rows}:{x:x}")
+            rows_n.append(0)
         if batch.num_rows:
             part = self._parts(batch)
             order = np.argsort(part, kind="stable")
@@ -149,10 +150,12 @@ class _SpillMap:
                 atomic_write_bytes(os.path.join(self.root, f"part={p}", fname), data)
                 rows_part.append(p)
                 rows_file.append(fname)
+                rows_n.append(sub.num_rows)
         return pa.table(
             {
                 "part": pa.array(rows_part, type=pa.int32()),
                 "file": pa.array(rows_file, type=pa.string()),
+                "rows": pa.array(rows_n, type=pa.int64()),
             }
         )
 
@@ -195,10 +198,12 @@ def spill_exchange(ds, key, reduce_fn, num_parts: int = 32, spill_root: str | No
     ).take_all()
     part_files: dict[int, list[str]] = {}
     dig_n, dig_x = 0, 0
+    spilled_rows = 0
     for r in manifest:
         p = int(r["part"])
         if p >= 0:  # skip the keep-schema sentinel rows
             part_files.setdefault(p, []).append(r["file"])
+            spilled_rows += int(r["rows"])
         elif p == -2:
             n_s, x_s = r["file"].split(":")
             dig_n += int(n_s)
@@ -207,6 +212,18 @@ def spill_exchange(ds, key, reduce_fn, num_parts: int = 32, spill_root: str | No
         if digest_cols is not None:
             stats["digest"] = (dig_n, dig_x)
         stats["root"] = root
+        stats["spilled_rows"] = spilled_rows
+    # exchange-volume accounting (driver-side, one JSON line per
+    # exchange): the scale-envelope conformance tests point this at a
+    # scratch file and assert shuffled-row growth stays sub-quadratic —
+    # the regression tripwire against a future all-pairs path.
+    acct = os.environ.get("LIGHTHOUSE_RAY_XCHG_ACCOUNTING")
+    if acct:
+        import json
+
+        with open(acct, "a") as f:
+            f.write(json.dumps({"root": root, "rows": spilled_rows,
+                                "parts": len(part_files)}) + "\n")
     parts = sorted(part_files)
     empty_result = None
     if not parts:
