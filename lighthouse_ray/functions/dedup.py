@@ -684,6 +684,14 @@ def exact_jaccard_for_pair_ds(ds, cand, n: int = 3,
     # once so the LSH reduce doesn't re-run — output-sized blocks in the
     # object store, never on the driver
     cand = cand.materialize()
+    if cand.count() == 0:
+        # no candidates (clean corpus): nothing to verify — skip the
+        # bloom/exchange machinery whose empty-union schema is undefined
+        import shutil
+
+        for r in cleanup_after or []:
+            shutil.rmtree(r, ignore_errors=True)
+        return rd.from_arrow(out_schema.empty_table())
 
     pair_m_bits = 1 << 25  # 4 MiB pair bloom; fp ~1e-5 at ~5e5 pairs
     pair_nbytes = pair_m_bits // 8
@@ -722,7 +730,7 @@ def exact_jaccard_for_pair_ds(ds, cand, n: int = 3,
     _PAIR_FETCH_CAP = 5_000_000
     sch = cand.schema()
     a_t = sch.types[sch.names.index("a")]
-    if pa.types.is_integer(a_t) and cand.count() <= _PAIR_FETCH_CAP:
+    if pa.types.is_integer(a_t) and 0 < cand.count() <= _PAIR_FETCH_CAP:
         pdf = cand.to_pandas()
         pa_v = pdf["a"].to_numpy(dtype=np.int64, copy=True)
         pb_v = pdf["b"].to_numpy(dtype=np.int64, copy=True)
@@ -2067,6 +2075,9 @@ def _star_round(edges, large: bool, num_parts: int, stats: dict | None = None,
         num_parts=num_parts,
         digest_cols=("u", "v") if digest else None,
         stats=stats,
+        # an edge-free graph reaches the fixed point with zero spills;
+        # the lazy map's schema is unknowable then, so declare it
+        empty_schema=pa.schema([("u", pa.int64()), ("v", pa.int64())]),
     )
 
 

@@ -162,7 +162,8 @@ class _SpillMap:
 
 def spill_exchange(ds, key, reduce_fn, num_parts: int = 32, spill_root: str | None = None,
                    digest_cols=None, stats: dict | None = None,
-                   cleanup_after: list[str] | None = None):
+                   cleanup_after: list[str] | None = None,
+                   empty_schema: pa.Schema | None = None):
     """Exchange ``ds`` by ``key`` and apply ``reduce_fn`` once per
     partition.
 
@@ -231,10 +232,19 @@ def spill_exchange(ds, key, reduce_fn, num_parts: int = 32, spill_root: str | No
         # table.  MUST happen BEFORE the cleanup below — ``ds.schema()``
         # re-executes (part of) the upstream lineage, which may read a
         # predecessor exchange's spill root listed in ``cleanup_after``.
-        empty_in = pa.schema(
-            [(n, t) for n, t in zip(ds.schema().names, ds.schema().types)]
-        ).empty_table()
-        empty_result = rd.from_arrow(reduce_fn(empty_in))
+        # ``empty_schema`` covers inputs whose lazy schema is unknowable
+        # when empty (e.g. a map over an already-empty Dataset).
+        if empty_schema is not None:
+            sch = empty_schema
+        else:
+            s = ds.schema()
+            if s is None:
+                raise ValueError(
+                    "spill_exchange: empty input with unknown schema — pass "
+                    "empty_schema so the reduce output schema can be derived"
+                )
+            sch = pa.schema([(n, t) for n, t in zip(s.names, s.types)])
+        empty_result = rd.from_arrow(reduce_fn(sch.empty_table()))
     if cleanup_after:
         import shutil
 
