@@ -72,6 +72,8 @@ def main(argv: list[str] | None = None) -> int:
     sy.add_argument("--cycles", type=int, default=1)
     sy.add_argument("--interval", type=float, default=900.0, help="seconds between ticks (cron default 15 min)")
     sy.add_argument("--batch-size", type=int, default=1000)
+    sy.add_argument("--blocklist", default=None,
+                    help='JSON {"doc_ids": [...], "channels": [...]} re-read each tick')
     sy.add_argument("--parts", type=int, default=32)
     sy.add_argument("--shards", type=int, default=64)
     sy.add_argument("--num-cpus", type=int, default=None)
@@ -124,7 +126,8 @@ def main(argv: list[str] | None = None) -> int:
 
         cfg = IndexConfig(num_doc_parts=args.parts, num_term_shards=args.shards)
         daemon = SyncDaemon(
-            args.workdir, args.source, cfg=cfg, batch_size=args.batch_size
+            args.workdir, args.source, cfg=cfg, batch_size=args.batch_size,
+            blocklist_path=args.blocklist,
         )
         results = daemon.run(
             args.cycles,

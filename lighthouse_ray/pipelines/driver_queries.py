@@ -273,7 +273,28 @@ def q_nested_match(sf_dir: str):
     )
 
 
-def _sql_nested_match(query: str, window: int, limit: int = 10) -> str:
+def q_nested_avg(sf_dir: str):
+    """ES nested `score_mode: avg` — the ES 6.x DEFAULT aggregation of
+    matching sub-document scores into the parent (the reference's
+    nested autocomplete queries take this default,
+    app/actions/auto_complete.go:69): same same-sub-doc bool.must as
+    `nested_match`, parent score = MEAN of its matching chunks' BM25
+    instead of max.  Rank order genuinely differs from max when one
+    parent has a single strong chunk and another has several medium
+    ones."""
+    from ..query.nested import nested_match_topk
+
+    return nested_match_topk(
+        lambda: _read(sf_dir, "documents", ["doc_id", "text"]),
+        tokenize_text(NESTED_QUERY),
+        window=NESTED_WINDOW,
+        k=10,
+        mode="nested",
+        score_mode="avg",
+    )
+
+
+def _sql_nested_match(query: str, window: int, limit: int = 10, score_mode: str = "max") -> str:
     terms = tokenize_text(query)
     terms_sql = ", ".join(f"('{t}')" for t in terms)
     return f"""
@@ -310,7 +331,7 @@ chunk_score AS (
   GROUP BY tf.doc_id, tf.chunk_id
 ),
 parent AS (
-  SELECT doc_id, max(score) AS score FROM chunk_score
+  SELECT doc_id, {score_mode}(score) AS score FROM chunk_score
   WHERE nmatched = {len(terms)} GROUP BY doc_id
 )
 SELECT doc_id, round(score, 6) AS score
@@ -5688,6 +5709,7 @@ def make_queries() -> dict:
         "autocomplete_prefix": q_autocomplete_prefix,
         "bm25_topk": q_bm25_topk,
         "nested_match": q_nested_match,
+        "nested_avg": q_nested_avg,
         "collapse_topk": q_collapse_topk,
         "boosting_topk": q_boosting_topk,
         "lang_counts": q_lang_counts,
@@ -5796,6 +5818,7 @@ def make_oracle_sql() -> dict:
         "autocomplete_prefix": SQL_AUTOCOMPLETE_PREFIX,
         "bm25_topk": _sql_bm25(BM25_QUERY),
         "nested_match": _sql_nested_match(NESTED_QUERY, NESTED_WINDOW),
+        "nested_avg": _sql_nested_match(NESTED_QUERY, NESTED_WINDOW, score_mode="avg"),
         "collapse_topk": _sql_collapse_topk(),
         "boosting_topk": _sql_boosting_topk(),
         "lang_counts": SQL_LANG_COUNTS,

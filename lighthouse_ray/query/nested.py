@@ -115,21 +115,27 @@ def nested_match_topk(
     window: int = 16,
     k: int = 10,
     mode: str = "nested",
+    score_mode: str = "max",
 ) -> pd.DataFrame:
     """Top-k parents for a nested ``bool.must`` over all ``terms``.
 
     ``ds_factory()`` must return a fresh Dataset of (doc_id, text) for
     each pass (Ray Datasets are single-consumption pipelines).
     ``mode="nested"``: all terms must match within one sub-document
-    (chunk); parent score = max matching-chunk BM25 (``score_mode:
-    max``).  ``mode="flattened"``: terms may match across different
+    (chunk).  ``mode="flattened"``: terms may match across different
     sub-documents of the parent (the non-nested ES mapping); a chunk
     contributes if it matches ≥1 term and its parent matches all.
     Both modes score chunks against the SAME nested-doc corpus stats,
     so score differences are purely the match-scope semantics.
+
+    ``score_mode`` aggregates the matching sub-documents' scores into
+    the parent score, mirroring ES's nested-query option: ``max``,
+    ``avg`` (the ES 6.x default) or ``sum``.
     """
     if mode not in ("nested", "flattened"):
         raise ValueError(f"unknown mode {mode!r}")
+    if score_mode not in ("max", "avg", "sum"):
+        raise ValueError(f"unknown score_mode {score_mode!r}")
     nterm = len(terms)
     _nc, avgdl, idf = nested_corpus_stats(ds_factory(), terms, window=window)
 
@@ -159,11 +165,19 @@ def nested_match_topk(
         q = np.flatnonzero(qual)
         if len(q) == 0:
             return empty
-        pscore = np.full(n, -np.inf)
-        np.maximum.at(pscore, cparent[q], score[q])
-        pm = np.flatnonzero(pscore > -np.inf)
+        if score_mode == "max":
+            pscore = np.full(n, -np.inf)
+            np.maximum.at(pscore, cparent[q], score[q])
+            pm = np.flatnonzero(pscore > -np.inf)
+            sc = pscore[pm]
+        else:
+            psum = np.zeros(n, dtype=np.float64)
+            pcnt = np.zeros(n, dtype=np.int64)
+            np.add.at(psum, cparent[q], score[q])
+            np.add.at(pcnt, cparent[q], 1)
+            pm = np.flatnonzero(pcnt > 0)
+            sc = psum[pm] / pcnt[pm] if score_mode == "avg" else psum[pm]
         doc_ids = b["doc_id"].to_numpy(zero_copy_only=False)[pm].astype(np.int64)
-        sc = pscore[pm]
         order = np.lexsort((doc_ids, -sc))[:k]
         return pa.table({"doc_id": pa.array(doc_ids[order]), "score": pa.array(sc[order])})
 

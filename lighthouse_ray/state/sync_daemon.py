@@ -135,9 +135,11 @@ class SyncDaemon:
         batch_size: int = 1000,
         compact_max_deltas: int | None = None,
         compact_max_delta_frac: float | None = None,
+        blocklist_path: str | None = None,
     ):
         self.workdir = workdir
         self.source_path = source_path
+        self.blocklist_path = blocklist_path
         self.cfg = cfg or IndexConfig()
         self.delta_cfg = delta_cfg
         self.batch_size = batch_size
@@ -173,6 +175,16 @@ class SyncDaemon:
         if not _has_base(self.index):
             res["compact_reason"] = "no base yet (nothing synced)"
             return res
+        # the reference cron runs the blocked-list job alongside the sync
+        # (cron.go:15-24; blocked.go): a JSON file {"doc_ids": [...],
+        # "channels": [...]} re-read each tick, applied as tombstones
+        # with channel expansion
+        res["blocked"] = 0
+        if self.blocklist_path and os.path.exists(self.blocklist_path):
+            bl = read_json(self.blocklist_path)
+            res["blocked"] = self.index.apply_blocklist(
+                claim_ids=bl.get("doc_ids"), channels=bl.get("channels")
+            )
         new_name = f"gen-{len(self.gens['history']) + 1:04d}"
         new_idx, reason = self.index.maybe_compact(
             os.path.join(self.workdir, new_name),

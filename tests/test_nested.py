@@ -91,6 +91,32 @@ def test_subdoc_scored_independently(ray_session):
     assert got == pytest.approx(round(expect, 6))
 
 
+def test_score_modes_rank_differently(ray_session):
+    import ray.data as rd
+
+    # doc 0: one matching chunk with DOUBLE tf (strong single sub-doc)
+    # doc 1: two matching chunks each with single tf (several mediums)
+    corpus = pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": pa.array([
+            "alpha beta alpha beta",                      # chunk0: tf=2 each
+            "alpha beta pad pad alpha beta pad pad",      # chunks 0,1: tf=1 each
+        ]),
+    })
+    fac = lambda: rd.from_arrow(corpus)
+    by = {
+        sm: nested_match_topk(fac, ["alpha", "beta"], window=W, k=10,
+                              mode="nested", score_mode=sm).set_index("doc_id")["score"]
+        for sm in ("max", "avg", "sum")
+    }
+    # max and avg: doc 0's strong chunk wins; sum rewards doc 1's two chunks
+    assert by["max"].loc[0] > by["max"].loc[1]
+    assert by["avg"].loc[0] > by["avg"].loc[1]
+    assert by["sum"].loc[1] > by["sum"].loc[0]
+    # avg == sum/count for doc 1 (2 matching chunks)
+    assert by["avg"].loc[1] == pytest.approx(round(by["sum"].loc[1] / 2, 6), abs=2e-6)
+
+
 def test_parallelism_invariant(ray_session):
     import ray.data as rd
 

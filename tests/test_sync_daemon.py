@@ -143,6 +143,28 @@ def test_sync_soak_kill_resume_compact(ray_session, tmp_path):
     assert final is not None
 
 
+def test_blocklist_job_runs_each_tick(ray_session, tmp_path):
+    """The cron tick also applies the blocklist (reference cron.go runs
+    the sync and blocked jobs together): channel expansion tombstones
+    every live doc of a blocked repo, idempotently across ticks."""
+    rows, _ = _source_rows()
+    src = str(tmp_path / "source.parquet")
+    _write_source(src, rows, upto_id=len(rows))
+    bl = tmp_path / "blocklist.json"
+    bl.write_text(json.dumps({"channels": ["org9/new"]}))
+    d = SyncDaemon(str(tmp_path / "w"), src, cfg=CFG, delta_cfg=CFG,
+                   batch_size=100, blocklist_path=str(bl))
+    r1 = d.cycle(now=5000)
+    assert r1["blocked"] == 2  # alphafile + betafile of the blocked repo
+    live = d.index.live_rows()
+    assert not (live["repo"] == "org9/new").any()
+    hits = d.index.search_topk("content", ["zebrastripe"], k=5)
+    # the blocked repo's alpha doc no longer serves; the upserted doc does
+    assert len(hits) >= 1
+    r2 = d.cycle(now=6000)
+    assert r2["blocked"] == 0  # idempotent: nothing live to block
+
+
 def test_sync_cli_smoke(ray_session, tmp_path):
     """The CLI entrypoint wires the same loop (no sleep at interval 0)."""
     from lighthouse_ray.__main__ import main
