@@ -3401,6 +3401,47 @@ def _sql_kmeans() -> str:
     return make_kmeans_sql(k=KM_K, iters=KM_ITERS)
 
 
+PQ_M, PQ_CODES, PQ_ITERS, PQ_QID, PQ_K = 4, 8, 2, 0, 10
+
+
+def q_pq_ann(sf_dir: str):
+    """Product-quantization ANN (Jégou et al. 2011) — the embedding
+    search path that scales to 100 TB: train m per-subspace codebooks
+    with the distributed lattice Lloyd loop, compress every vector to
+    m codes, answer the query by asymmetric-distance lookup (one m ×
+    n_codes integer inner-product table per query; each row costs m
+    table lookups, the raw matrix is never scanned).  All arithmetic is
+    exact int64 on the quantization lattice, so the result value-hashes
+    against the unrolled SQL mirror (functions/pq.py::make_pq_sql).
+    Query = the corpus row vec_id={PQ_QID}, quantized identically."""
+    from ..functions.clustering import _quantize
+    from ..functions.pq import pq_adc_topk, pq_fit
+
+    def emb():
+        return _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    books = pq_fit(emb(), m=PQ_M, n_codes=PQ_CODES, iters=PQ_ITERS)
+    qrow = (
+        emb()
+        .map_batches(
+            lambda b: b.filter(pc.equal(b["vec_id"], PQ_QID)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    query_q = _quantize(
+        np.asarray(qrow["embedding"].iloc[0], dtype=np.float64)[None, :], 1000, 1000
+    )[0]
+    return pq_adc_topk(emb(), books, query_q, k=PQ_K)
+
+
+def _sql_pq_ann() -> str:
+    from ..functions.pq import make_pq_sql
+
+    return make_pq_sql(m=PQ_M, n_codes=PQ_CODES, iters=PQ_ITERS, k=PQ_K,
+                       query_id=PQ_QID)
+
+
 _CUR_LANG_SQL = ", ".join(f"'{x}'" for x in CUR_LANGS)
 SQL_CURATION_FUNNEL = f"""
 WITH t AS (SELECT doc_id, lang, {TOK} AS toks, md5(text) AS h FROM documents),
@@ -5764,6 +5805,7 @@ def make_queries() -> dict:
         "train_shuffle": q_train_shuffle,
         "seq_pack": q_seq_pack,
         "kmeans_clusters": q_kmeans,
+        "pq_ann": q_pq_ann,
         "bloom_anti_join": q_bloom_anti_join,
         "kmv_distinct": q_kmv_distinct,
         "pii_scrub": q_pii_scrub,
@@ -5878,6 +5920,7 @@ def make_oracle_sql() -> dict:
         "train_shuffle": SQL_TRAIN_SHUFFLE,
         "seq_pack": SQL_SEQ_PACK,
         "kmeans_clusters": _sql_kmeans(),
+        "pq_ann": _sql_pq_ann(),
         "bloom_anti_join": SQL_BLOOM_ANTI_JOIN,
         "kmv_distinct": SQL_KMV_DISTINCT,
         "pii_scrub": _sql_pii_scrub(),
