@@ -130,7 +130,8 @@ def run_bench() -> dict:
         status: dict[str, str] = {}
         budget_s = float(os.environ.get("GRAFT_BENCH_BUDGET_S", "420"))
         sweep_t0 = time.time()
-        for name in ["bm25_topk", "nested_match", "term_df", "lineitem_agg", "exact_dedup",
+        for name in ["bm25_topk", "nested_match", "nested_avg", "pq_ann",
+                     "term_df", "lineitem_agg", "exact_dedup",
                      "ann_cosine_topk", "join_broadcast", "ngram_jaccard",
                      "dup_clusters", "minhash_lsh", "asof_join", "sessionize",
                      "window_agg", "range_join", "knn_graph", "shuffle_join",

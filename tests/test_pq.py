@@ -73,3 +73,38 @@ def test_adc_topk_parallelism_invariant(ray_session):
     b = pq_adc_topk(_emb_ds(8), books, qq, k=10)
     assert a["vec_id"].tolist() == b["vec_id"].tolist()
     assert a["score"].tolist() == b["score"].tolist()
+
+
+def test_ivfpq_full_probe_equals_flat_pq(ray_session):
+    """IVFPQ with nprobe == n_clusters must return EXACTLY the flat PQ
+    scan's ranking (PQ on raw vectors, not residuals — the invariant
+    that makes the composition testable)."""
+    from lighthouse_ray.functions.pq import ivfpq_index, ivfpq_topk
+
+    ids, mat = _emb_np()
+    idx = ivfpq_index(lambda: _emb_ds(4), n_clusters=4, m=4, n_codes=8)
+    q = mat[ids == 7][0]
+    qq = _quantize(q[None, :], 1000, 1000)[0]
+    flat = pq_adc_topk(_emb_ds(4), idx.books, qq, k=10)
+    full = ivfpq_topk(idx, q, k=10, nprobe=4)
+    assert flat["vec_id"].tolist() == full["vec_id"].tolist()
+    assert flat["score"].tolist() == full["score"].tolist()
+
+
+def test_ivfpq_probe_reads_subset(ray_session):
+    """nprobe < n_clusters returns a subset ranking (only probed
+    buckets) and every returned id lives in a probed bucket."""
+    import os
+
+    from lighthouse_ray.functions.pq import ivfpq_index, ivfpq_topk
+
+    ids, mat = _emb_np()
+    idx = ivfpq_index(lambda: _emb_ds(4), n_clusters=8, m=4, n_codes=8)
+    assert sum(len(v) for v in idx.bucket_files.values()) > 0
+    q = mat[ids == 7][0]
+    got = ivfpq_topk(idx, q, k=10, nprobe=2)
+    assert 0 < len(got) <= 10
+    # the flat scan at full probe must contain at least the probed top hit
+    full = ivfpq_topk(idx, q, k=500, nprobe=8)
+    assert got["vec_id"].iloc[0] in set(full["vec_id"])
+    assert os.path.isdir(idx.root)

@@ -106,7 +106,7 @@ def test_range_reader_scores_are_global(built):
 
 
 def test_hedged_straggler_parity_and_latency(built):
-    """One primary range replica is a synthetic 1.5 s straggler; with
+    """One primary range replica is a synthetic 3 s straggler; with
     hedging on, its standby answers instead — results stay bit-identical
     to the unpartitioned engine and the request finishes well under the
     straggler's delay."""
@@ -117,7 +117,7 @@ def test_hedged_straggler_parity_and_latency(built):
     idx, engine = built
     svc = ShardedSearchService(
         idx, num_partitions=3, hedge=True, hedge_min_s=0.02,
-        _debug_primary_delays=[0.0, 0.0, 1.5],
+        _debug_primary_delays=[0.0, 0.0, 3.0],
     )
     try:
         kw = dict(s="interesting and amazing facts", size=7)
@@ -130,6 +130,8 @@ def test_hedged_straggler_parity_and_latency(built):
         assert got.equals(want2)
         got1 = svc.search(**kw).reset_index(drop=True)
         assert got1.equals(want)
-        assert wall < 1.2, f"hedge did not mask the 1.5 s straggler (wall={wall:.2f}s)"
+        # strictly below the 3 s delay => only a hedged standby answer can
+        # get here; the 2 s headroom absorbs full-suite scheduler noise
+        assert wall < 2.0, f"hedge did not mask the 3 s straggler (wall={wall:.2f}s)"
     finally:
         svc.shutdown()
