@@ -2332,6 +2332,109 @@ def substring_dup_spans(ds, *, k: int, text_col: str = "text",
                           cleanup_after=[st1["root"]])
 
 
+def substring_scrub(ds_factory, *, k: int, text_col: str = "text",
+                    id_col: str = "doc_id", num_parts: int = 16):
+    """Apply the ExactSubstr spans: CUT every duplicated token range
+    out of each document (Lee et al. 2022 remove the duplicated bytes,
+    not the whole doc) and rebuild the text from the kept tokens in
+    order.  Output one row per doc: (doc_id, n_tokens, n_cut,
+    text_clean), text_clean the space-joined kept tokens ('' when the
+    whole doc was duplicated or empty).
+
+    ``ds_factory()`` must return a fresh (id, text) Dataset per pass
+    (one pass feeds the span computation, one carries the documents).
+    Scale shape: the span pipeline's two exchanges, plus ONE doc-keyed
+    exchange carrying tagged doc rows + span rows (spans are
+    duplication-sized); the reduce applies all of a doc's spans with a
+    vectorized coverage diff over the flat token stream — no per-doc
+    Python, no driver-side row data."""
+    import ray.data as rd
+
+    spans_ds = substring_dup_spans(ds_factory(), k=k, text_col=text_col,
+                                   id_col=id_col, num_parts=num_parts)
+    tagged_spans = spans_ds.map_batches(
+        lambda b: pa.table({
+            "id": b["doc_id"].cast(pa.int64()),
+            "s": b["s"].cast(pa.int64()),
+            "e": b["e"].cast(pa.int64()),
+            "text": pa.nulls(b.num_rows, type=pa.string()),
+        }),
+        batch_format="pyarrow",
+    )
+    tagged_docs = ds_factory().map_batches(
+        lambda b: pa.table({
+            "id": b[id_col].cast(pa.int64()),
+            "s": pa.array(np.full(b.num_rows, -1, dtype=np.int64)),
+            "e": pa.array(np.full(b.num_rows, -1, dtype=np.int64)),
+            "text": b[text_col],
+        }),
+        batch_format="pyarrow",
+    )
+
+    empty_out = pa.table({
+        id_col: pa.array([], type=pa.int64()),
+        "n_tokens": pa.array([], type=pa.int64()),
+        "n_cut": pa.array([], type=pa.int64()),
+        "text_clean": pa.array([], type=pa.string()),
+    })
+
+    def scrub(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_out
+        is_doc = pc.is_valid(t["text"])
+        docs = t.filter(is_doc)
+        sp = t.filter(pc.invert(is_doc))
+        if docs.num_rows == 0:
+            return empty_out
+        docs = docs.sort_by([("id", "ascending")]).combine_chunks()
+        ids_d = docs["id"].to_numpy(zero_copy_only=False)
+        parents, _pos, terms, n = flat_tokens(docs["text"])
+        counts = np.bincount(parents, minlength=n).astype(np.int64)
+        doc_start = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=doc_start[1:])
+        total = int(doc_start[-1])
+        cut = np.zeros(total + 1, dtype=np.int64)
+        if sp.num_rows:
+            sid = sp["id"].to_numpy(zero_copy_only=False)
+            row = np.searchsorted(ids_d, sid)
+            # spans whose doc landed in this partition (they always do —
+            # same routing key — but guard against stray ids)
+            ok = (row < len(ids_d)) & (ids_d[np.minimum(row, len(ids_d) - 1)] == sid)
+            row = row[ok]
+            s1 = sp["s"].to_numpy(zero_copy_only=False)[ok] - 1   # 0-based
+            e1 = sp["e"].to_numpy(zero_copy_only=False)[ok] - 1   # exclusive, 0-based
+            g0 = doc_start[row] + s1
+            g1 = np.minimum(doc_start[row] + e1, doc_start[row + 1])
+            np.add.at(cut, g0, 1)
+            np.add.at(cut, g1, -1)
+        covered = np.cumsum(cut[:-1]) > 0
+        keep = ~covered
+        if n and total:
+            # clip: a trailing empty doc's start == total would be an
+            # out-of-range reduceat index; its count is zeroed below
+            idx = np.minimum(doc_start[:-1], total - 1)
+            kept_counts = np.add.reduceat(keep.astype(np.int64), idx)
+            kept_counts[counts == 0] = 0  # reduceat artifact on empty docs
+        else:
+            kept_counts = np.zeros(n, dtype=np.int64)
+        kept_terms = (
+            terms.filter(pa.array(keep)) if total else pa.array([], type=pa.string())
+        )
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(kept_counts, out=offs[1:])
+        lists = pa.LargeListArray.from_arrays(pa.array(offs), kept_terms)
+        clean = pc.binary_join(lists, " ")
+        return pa.table({
+            id_col: pa.array(ids_d),
+            "n_tokens": pa.array(counts),
+            "n_cut": pa.array(counts - kept_counts),
+            "text_clean": clean,
+        })
+
+    return spill_exchange(tagged_docs.union(tagged_spans), "id", scrub,
+                          num_parts=num_parts)
+
+
 # ---------------------------------------------------------------------------
 # Boilerplate segment removal (CCNet / RefinedWeb line-level dedup)
 # ---------------------------------------------------------------------------

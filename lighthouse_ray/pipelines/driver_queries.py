@@ -3732,6 +3732,49 @@ FROM g GROUP BY doc_id, gid
 """
 
 
+def q_substring_scrub(sf_dir: str):
+    """ExactSubstr APPLIED (Lee et al. 2022 remove the duplicated
+    BYTES): cut every maximal duplicated {SUB_K}-gram span out of each
+    doc and rebuild the text from the kept tokens in order — the
+    companion of `dup_substr_spans` that produces the actual training
+    text (functions/dedup.py::substring_scrub; one extra doc-keyed
+    exchange carrying tagged doc + span rows, vectorized coverage-diff
+    reduce)."""
+    from ..functions.dedup import substring_scrub
+
+    return substring_scrub(
+        lambda: _read(sf_dir, "documents", ["doc_id", "text"]), k=SUB_K
+    )
+
+
+SQL_SUBSTRING_SCRUB = f"""
+WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents),
+i AS (SELECT doc_id, unnest(range(1, len(toks) - {SUB_K} + 2)) AS gs,
+             unnest(list_transform(range(1, len(toks) - {SUB_K} + 2),
+                    j -> array_to_string(toks[j:j + {SUB_K} - 1], ' '))) AS gram
+      FROM t),
+d AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM i)
+      GROUP BY gram HAVING count(*) >= 2),
+o AS (SELECT doc_id, gs FROM i WHERE gram IN (SELECT gram FROM d)),
+cut AS (SELECT DISTINCT doc_id, gs + off AS pos
+        FROM o, unnest(range(0, {SUB_K})) AS u(off)),
+tok AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS p
+        FROM t),
+clean AS (
+  SELECT tok.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(cut.pos) AS BIGINT) AS n_cut,
+         coalesce(string_agg(CASE WHEN cut.pos IS NULL THEN tok END,
+                             ' ' ORDER BY p), '') AS text_clean
+  FROM tok LEFT JOIN cut ON cut.doc_id = tok.doc_id AND cut.pos = tok.p
+  GROUP BY tok.doc_id)
+SELECT t.doc_id, coalesce(c.n_tokens, 0) AS n_tokens,
+       coalesce(c.n_cut, 0) AS n_cut,
+       coalesce(c.text_clean, '') AS text_clean
+FROM t LEFT JOIN clean c ON c.doc_id = t.doc_id
+"""
+
+
 PPL_VOCAB = 20   # binds at test scale so the OOV floor is exercised
 PPL_CUTOFF = 5.2
 
@@ -5817,6 +5860,7 @@ def make_queries() -> dict:
         "spell_suggest": q_spell_suggest,
         "substring_dup": q_substring_dup,
         "dup_substr_spans": q_dup_substr_spans,
+        "substring_scrub": q_substring_scrub,
         "perplexity_filter": q_perplexity_filter,
         "boilerplate_strip": q_boilerplate_strip,
         "semdedup": q_semdedup,
@@ -5932,6 +5976,7 @@ def make_oracle_sql() -> dict:
         "spell_suggest": SQL_SPELL_SUGGEST,
         "substring_dup": SQL_SUBSTRING_DUP,
         "dup_substr_spans": SQL_DUP_SUBSTR_SPANS,
+        "substring_scrub": SQL_SUBSTRING_SCRUB,
         "perplexity_filter": SQL_PERPLEXITY_FILTER,
         "boilerplate_strip": SQL_BOILERPLATE_STRIP,
         "semdedup": _sql_semdedup(),
