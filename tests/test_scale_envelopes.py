@@ -35,6 +35,7 @@ ENVELOPES = {
     "minhash_lsh": 20.0,
     "paragraph_dedup": 20.0,
     "substring_dup": 20.0,
+    "substring_scrub": 20.0,
     "incremental_neardup": 20.0,
     "ngram_jaccard": 60.0,
     "containment_dup": 60.0,
