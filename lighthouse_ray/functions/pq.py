@@ -381,9 +381,13 @@ def ivfpq_topk(index: IvfPqIndex, query_vec: np.ndarray, k: int = 10,
             pq_.read_table(os.path.join(index.root, f"bucket={int(bk)}", f))
             for f in files
         )
-        codes = np.stack(
-            [np.asarray(c, dtype=np.int64) for c in t["codes"].to_pylist()]
-        ) if t.num_rows else np.zeros((0, m), dtype=np.int64)
+        # fixed-width list column -> zero-copy flatten + reshape (no
+        # per-row Python)
+        arr = t["codes"].combine_chunks()
+        codes = (
+            arr.flatten().to_numpy(zero_copy_only=False).reshape(t.num_rows, m)
+            if t.num_rows else np.zeros((0, m), dtype=np.int64)
+        )
         ids_all.append(t[index.id_col].to_numpy(zero_copy_only=False).astype(np.int64))
         sc_all.append(lut[np.arange(m)[None, :], codes].sum(axis=1))
     if not ids_all:
