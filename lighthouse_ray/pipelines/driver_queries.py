@@ -4936,6 +4936,118 @@ FROM g
 
 
 PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+CM_W, CM_D = 4, 4   # CountMin geometry: w=4 forces collisions among the event types, so the min-over-depth estimate (and the overcount column) genuinely binds at test scale
+
+
+def q_countmin_counts(sf_dir: str):
+    """Count-Min sketch (Cormode & Muthukrishnan 2005): per-batch d×w
+    integer cell partials (bucket = first-32-md5-bits of salt‖key mod
+    w — the repo's standard SQL-mirrorable draw), folded by one tiny
+    groupby over ≤ d·w cells; estimates for the DECLARED query keys =
+    min over the d rows.  The sketch answers point queries for ANY key
+    in O(d) while shuffling d·w ints per batch regardless of key
+    cardinality — the complement of the exact Misra-Gries heavy-hitter
+    gate.  Output per queried key: exact count, CM estimate, and the
+    overcount (≥ 0 by construction — CountMin never undercounts);
+    all integers, hash-exact vs SQL."""
+    from ray.data.aggregate import Sum
+
+    salts = [f"cm{d}" for d in range(CM_D)]
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "kind": pa.array([], type=pa.string()),
+            "key": pa.array([], type=pa.string()),
+            "n": pa.array([], type=pa.int64()),
+        })
+        if b.num_rows == 0:
+            return empty
+        agg = (
+            pa.table({"k": b["event_type"]})
+            .group_by("k", use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        keys = agg["k"].combine_chunks()
+        cnt = agg["count_all"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kinds, out_keys, ns = [], [], []
+        for di, salt in enumerate(salts):
+            salted = pc.binary_join_element_wise(
+                pa.array([salt] * len(keys), type=pa.string()), keys, ""
+            )
+            buckets = _md5_u32_column(salted).astype(np.int64) % CM_W
+            cells = np.zeros(CM_W, dtype=np.int64)
+            np.add.at(cells, buckets, cnt)
+            for bk in np.flatnonzero(cells):
+                kinds.append("c")
+                out_keys.append(f"{di}:{bk}")
+                ns.append(int(cells[bk]))
+        for k, c in zip(keys.to_pylist(), cnt):
+            kinds.append("e")
+            out_keys.append(k)
+            ns.append(int(c))
+        return pa.table({
+            "kind": pa.array(kinds, type=pa.string()),
+            "key": pa.array(out_keys, type=pa.string()),
+            "n": pa.array(ns, type=pa.int64()),
+        })
+
+    agg = (
+        _read(sf_dir, "events", ["event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["kind", "key"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    cells = {r["key"]: int(r["n"]) for _, r in agg[agg["kind"] == "c"].iterrows()}
+    exact = {r["key"]: int(r["n"]) for _, r in agg[agg["kind"] == "e"].iterrows()}
+    rows = []
+    import hashlib as _hl
+
+    for k in sorted(PIVOT_TYPES):
+        est = min(
+            cells.get(
+                f"{di}:{int.from_bytes(_hl.md5(f'cm{di}{k}'.encode()).digest()[:4], 'big') % CM_W}",
+                0,
+            )
+            for di in range(CM_D)
+        )
+        ex = exact.get(k, 0)
+        rows.append((k, ex, est, est - ex))
+    return pd.DataFrame(rows, columns=["event_type", "exact", "est", "overcount"])
+
+
+def _sql_countmin() -> str:
+    keys_sql = ", ".join(f"('{k}')" for k in sorted(PIVOT_TYPES))
+    bucket = (
+        "CAST(concat('0x', substr(md5(concat('cm', CAST({di} AS VARCHAR), "
+        "{key})), 1, 8)) AS BIGINT) % " + str(CM_W)
+    )
+    return f"""
+WITH ds(di) AS (SELECT unnest(range(0, {CM_D}))),
+cells AS (
+  SELECT ds.di, {bucket.format(di='ds.di', key='event_type')} AS bucket,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events CROSS JOIN ds
+  GROUP BY ds.di, bucket
+),
+qk(event_type) AS (VALUES {keys_sql}),
+kb AS (
+  SELECT q.event_type, ds.di,
+         {bucket.format(di='ds.di', key='q.event_type')} AS bucket
+  FROM qk q CROSS JOIN ds
+),
+est AS (
+  SELECT kb.event_type, min(coalesce(c.n, 0)) AS est
+  FROM kb LEFT JOIN cells c ON c.di = kb.di AND c.bucket = kb.bucket
+  GROUP BY kb.event_type
+),
+ex AS (SELECT event_type, CAST(count(*) AS BIGINT) AS exact
+       FROM events GROUP BY event_type)
+SELECT q.event_type, coalesce(ex.exact, 0) AS exact, est.est AS est,
+       est.est - coalesce(ex.exact, 0) AS overcount
+FROM qk q JOIN est USING (event_type) LEFT JOIN ex USING (event_type)
+ORDER BY q.event_type
+"""
 
 
 def q_pivot_counts(sf_dir: str):
@@ -5844,6 +5956,7 @@ def make_queries() -> dict:
         "repetition_stats": q_repetition_stats,
         "curation_funnel": q_curation_funnel,
         "heavy_hitters": q_heavy_hitters,
+        "countmin_counts": q_countmin_counts,
         "model_score": q_model_score,
         "train_shuffle": q_train_shuffle,
         "seq_pack": q_seq_pack,
@@ -5960,6 +6073,7 @@ def make_oracle_sql() -> dict:
         "repetition_stats": SQL_REPETITION_STATS,
         "curation_funnel": SQL_CURATION_FUNNEL,
         "heavy_hitters": SQL_HEAVY_HITTERS,
+        "countmin_counts": _sql_countmin(),
         "model_score": SQL_MODEL_SCORE,
         "train_shuffle": SQL_TRAIN_SHUFFLE,
         "seq_pack": SQL_SEQ_PACK,
