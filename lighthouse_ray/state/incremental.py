@@ -238,6 +238,52 @@ class IncrementalIndex:
         )
         return df, cursor
 
+    def delete_by_query(self, field: str, terms: list[str]) -> int:
+        """ES ``_delete_by_query`` analog: tombstone EVERY live doc
+        whose ``field`` contains ALL ``terms`` (bool.must semantics —
+        the predicate, not a top-k).  Matching runs straight off the
+        posting lists (ordinal intersection per live segment, no
+        scoring, no text re-read); the matched logical keys become
+        tombstones exactly like a blocklist hit.  Returns the number
+        of tombstones written."""
+        import numpy as np
+
+        nd = len(self.state["deltas"])
+        tombs: list[dict] = []
+        for rdr, mask in zip(self.readers(), self.live_map()):
+            ords: np.ndarray | None = None
+            for t in terms:
+                tp = rdr.lookup(field, t)
+                if tp is None:
+                    ords = np.array([], dtype=np.int64)
+                    break
+                cur = np.asarray(tp.ordinals, dtype=np.int64)
+                ords = cur if ords is None else np.intersect1d(ords, cur)
+                if len(ords) == 0:
+                    break
+            if ords is None or len(ords) == 0:
+                continue
+            ords = ords[mask[ords]]  # live only
+            if len(ords) == 0:
+                continue
+            meta = rdr.docmeta()
+            for r, p_ in zip(meta["repo"].to_numpy()[ords], meta["path"].to_numpy()[ords]):
+                tombs.append({"repo": r, "path": p_, "after_delta": nd})
+        # dedup logical keys matched in several segments (newest-wins
+        # shadowing means only one occurrence is live, but be exact)
+        seen: set[tuple] = set()
+        uniq = []
+        for t in tombs:
+            k = (t["repo"], t["path"])
+            if k not in seen:
+                seen.add(k)
+                uniq.append(t)
+        self.state["tombstones"].extend(uniq)
+        self._save()
+        self._readers = None
+        self._live_map = None
+        return len(uniq)
+
     # -- blocklists (J4, app/jobs/blocked/blocked.go) ------------------------
 
     def apply_blocklist(

@@ -309,3 +309,35 @@ def test_compaction_policy_triggers(ray_session, tmp_path_factory):
     # compacted index serves exactly the delta-live docs
     hits = out.search_topk("content", ["fresh"], k=30)
     assert len(hits) == delta_live > 0
+
+
+def test_delete_by_query(ray_session, tmp_path):
+    """ES _delete_by_query analog: every live doc matching a bool.must
+    posting-list predicate is tombstoned; shadowed and non-matching
+    docs are untouched; idempotent on re-run."""
+    import ray.data as rd
+
+    root = str(tmp_path / "root")
+    ii = IncrementalIndex(root, CFG)
+    ii.build_base(rd.from_arrow(gen_corpus(120)), CFG)
+    new = {
+        "repo": "org9/new", "path": "src/q/qfile.py", "commit": "a" * 40,
+        "lang": "python",
+        "content": "def qmarker(): return 'zanzibar quorum token'",
+    }
+    new2 = dict(new, path="src/q/other.py",
+                content="zanzibar alone without the other word")
+    ii.apply_delta(rd.from_arrow(pa.table(
+        {k: pa.array([new[k], new2[k]], type=pa.string())
+         for k in ("repo", "path", "commit", "lang", "content")})))
+    assert len(ii.search_topk("content", ["zanzibar"], k=5)) == 2
+
+    # bool.must of both terms: only qfile matches
+    n = ii.delete_by_query("content", ["zanzibar", "quorum"])
+    assert n == 1
+    hits = ii.search_topk("content", ["zanzibar"], k=5)
+    assert hits["path"].tolist() == ["src/q/other.py"]
+    # idempotent: the matched doc is no longer live
+    assert ii.delete_by_query("content", ["zanzibar", "quorum"]) == 0
+    # absent term matches nothing
+    assert ii.delete_by_query("content", ["nonexistenttermxyz"]) == 0
