@@ -348,6 +348,33 @@ class IncrementalIndex:
             f"{n_deltas} deltas / {delta_live} delta-live docs within policy"
         )
 
+    def compact_policy(
+        self,
+        max_deltas: int | None = None,
+        max_delta_frac: float | None = None,
+    ) -> tuple[str | None, str]:
+        """Two-tier policy: returns (None | 'minor' | 'major', reason).
+        Stats drift (delta live docs vs base — the per-segment df/avgdl
+        approximation becoming user-visible) needs a MAJOR compaction;
+        a long delta chain alone only needs the delta-chain-sized MINOR
+        fold."""
+        max_deltas = self.COMPACT_MAX_DELTAS if max_deltas is None else max_deltas
+        max_delta_frac = (
+            self.COMPACT_MAX_DELTA_FRAC if max_delta_frac is None else max_delta_frac
+        )
+        masks = self.live_map()
+        n_deltas = len(masks) - 1
+        base_live = int(masks[0].sum()) if masks else 0
+        delta_live = sum(int(m.sum()) for m in masks[1:])
+        if base_live and delta_live > max_delta_frac * base_live:
+            return "major", (
+                f"delta live docs {delta_live} > {max_delta_frac:.0%} of base "
+                f"{base_live} (stats drift)"
+            )
+        if n_deltas >= max_deltas:
+            return "minor", f"delta count {n_deltas} >= cap {max_deltas}"
+        return None, f"{n_deltas} deltas / {delta_live} delta-live docs within policy"
+
     def maybe_compact(
         self,
         new_root: str,
@@ -363,6 +390,90 @@ class IncrementalIndex:
             return None, reason
         return self.compact(new_root, cfg), reason
 
+    def _live_meta(self, segments: slice = slice(None)) -> pd.DataFrame:
+        """Live doc metadata + payload pointers for the given segment
+        range (driver-side, metadata-sized)."""
+        rows = []
+        for rdr, mask in list(zip(self.readers(), self.live_map()))[segments]:
+            meta = rdr.docmeta()
+            sub = meta.loc[
+                mask, ["repo", "path", "commit", "lang", "payload_file", "payload_row"]
+            ].copy()
+            sub["payload_dir"] = os.path.join(rdr.index_dir, "payload")
+            rows.append(sub)
+        if not rows:
+            return pd.DataFrame(columns=["repo", "path", "commit", "lang",
+                                         "payload_file", "payload_row", "payload_dir"])
+        return pd.concat(rows, ignore_index=True).sort_values(
+            ["payload_dir", "payload_file", "payload_row"], kind="stable"
+        )
+
+    def minor_compact(self, cfg: IndexConfig | None = None,
+                      drop_old: bool = False) -> dict:
+        """LSM-style minor compaction: fold the whole delta CHAIN into
+        ONE merged delta without touching the base — the maintenance
+        move a 100 TB index actually performs between full (major)
+        compactions, whose cost is delta-chain-sized, not corpus-sized.
+
+        Semantics-preserving by construction:
+        - the merged delta holds exactly the delta-chain winners that
+          are live now (they shadow base occurrences naturally);
+        - keys whose base occurrence is dead and NOT shadowed by a live
+          delta winner get one tombstone (``after_delta: 1`` — kills
+          the base, cannot touch the merged delta which lacks them);
+        - dead keys that never existed in base simply vanish with the
+          chain.
+
+        ``live_rows()`` (and therefore every query and a later major
+        compaction) is IDENTICAL before and after — asserted in tests.
+        Old delta dirs are left on disk for in-flight readers unless
+        ``drop_old``; returns {"merged_docs", "tombstones", "dropped"}.
+        """
+        import shutil
+
+        import ray.data as rd
+
+        readers = self.readers()
+        masks = self.live_map()
+        old_deltas = list(self.state["deltas"])
+        # live delta winners -> the merged delta's rows
+        live_delta = self._live_meta(slice(1, None))
+        # base keys dead AND not shadowed by a live delta winner
+        base_meta = readers[0].docmeta()
+        dead_mask = ~masks[0]
+        live_keys = set(zip(live_delta["repo"], live_delta["path"]))
+        dead_keys = []
+        for r, p_ in zip(base_meta["repo"].to_numpy()[dead_mask],
+                         base_meta["path"].to_numpy()[dead_mask]):
+            if (r, p_) not in live_keys:
+                dead_keys.append((str(r), str(p_)))
+        dead_keys = list(dict.fromkeys(dead_keys))  # dedup, order-stable
+
+        gen = sum(1 for d in old_deltas if d.startswith("deltas/minor-"))
+        new_deltas: list[str] = []
+        if len(live_delta):
+            name = f"deltas/minor-{gen:04d}"
+            src = rd.from_arrow(pa.Table.from_pandas(live_delta, preserve_index=False))
+            from ..build import build_index
+
+            build_index(self._fetch_content(src),
+                        os.path.join(self.root, name), cfg or self.cfg)
+            new_deltas = [name]
+        # after_delta == the new chain length: kills base (and the
+        # merged delta, which by construction lacks these keys) while a
+        # FUTURE delta (seg > len) can still resurrect the key
+        tombs = [{"repo": r, "path": p_, "after_delta": len(new_deltas)}
+                 for r, p_ in dead_keys]
+        self.state = {"deltas": new_deltas, "tombstones": tombs}
+        self._save()
+        self._readers = None
+        self._live_map = None
+        if drop_old:
+            for d in old_deltas:
+                shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+        return {"merged_docs": int(len(live_delta)), "tombstones": len(tombs),
+                "dropped": len(old_deltas)}
+
     def compact(self, new_root: str, cfg: IndexConfig | None = None) -> "IncrementalIndex":
         """Rebuild one canonical index from the merged live rows.
 
@@ -377,18 +488,18 @@ class IncrementalIndex:
         # so a file is read once per batch it appears in.  The old path
         # did one driver-side parquet read PER DOCUMENT (an 878k-doc
         # compaction would issue 878k reads).
-        rows = []
-        for rdr, mask in zip(self.readers(), self.live_map()):
-            meta = rdr.docmeta()
-            sub = meta.loc[
-                mask, ["repo", "path", "commit", "lang", "payload_file", "payload_row"]
-            ].copy()
-            sub["payload_dir"] = os.path.join(rdr.index_dir, "payload")
-            rows.append(sub)
-        live = pd.concat(rows, ignore_index=True).sort_values(
-            ["payload_dir", "payload_file", "payload_row"], kind="stable"
-        )
+        live = self._live_meta()
         src = rd.from_arrow(pa.Table.from_pandas(live, preserve_index=False))
+        tbl = self._fetch_content(src)
+        out = IncrementalIndex(new_root, cfg or self.cfg)
+        out.build_base(tbl, cfg or self.cfg)
+        return out
+
+    @staticmethod
+    def _fetch_content(src):
+        """Map a (metadata + payload pointer) Dataset to the corpus
+        schema: content fetched inside the map tasks, one parquet read
+        per (payload file, batch)."""
 
         def fetch(b: pa.Table) -> pa.Table:
             import pyarrow.parquet as _pq
@@ -420,7 +531,4 @@ class IncrementalIndex:
                 "lang": b["lang"], "content": content,
             })
 
-        tbl = src.map_batches(fetch, batch_format="pyarrow")
-        out = IncrementalIndex(new_root, cfg or self.cfg)
-        out.build_base(tbl, cfg or self.cfg)
-        return out
+        return src.map_batches(fetch, batch_format="pyarrow")

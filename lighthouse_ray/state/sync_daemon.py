@@ -185,22 +185,30 @@ class SyncDaemon:
             res["blocked"] = self.index.apply_blocklist(
                 claim_ids=bl.get("doc_ids"), channels=bl.get("channels")
             )
-        new_name = f"gen-{len(self.gens['history']) + 1:04d}"
-        new_idx, reason = self.index.maybe_compact(
-            os.path.join(self.workdir, new_name),
-            self.cfg,
+        kind, reason = self.index.compact_policy(
             max_deltas=self.compact_max_deltas,
             max_delta_frac=self.compact_max_delta_frac,
         )
         res["compact_reason"] = reason
-        if new_idx is not None:
+        if kind == "minor":
+            # delta-chain-sized fold in place: no generation swap, the
+            # base is untouched (the LSM minor compaction)
+            info = self.index.minor_compact(self.delta_cfg or self.cfg,
+                                            drop_old=True)
+            res["compacted"] = "minor"
+            res["compact_info"] = info
+        elif kind == "major":
+            new_name = f"gen-{len(self.gens['history']) + 1:04d}"
+            new_idx = self.index.compact(
+                os.path.join(self.workdir, new_name), self.cfg
+            )
             # swap the live pointer (atomic rename inside) — the alias
             # flip; old generation stays on disk for in-flight readers
             self.gens["history"].append(self.gens["live"])
             self.gens["live"] = new_name
             atomic_write_json(self.gen_path, self.gens)
             self.index = new_idx
-            res["compacted"] = True
+            res["compacted"] = "major"
         return res
 
     # -- the loop -----------------------------------------------------------

@@ -341,3 +341,108 @@ def test_delete_by_query(ray_session, tmp_path):
     assert ii.delete_by_query("content", ["zanzibar", "quorum"]) == 0
     # absent term matches nothing
     assert ii.delete_by_query("content", ["nonexistenttermxyz"]) == 0
+
+
+def _live_commit(repo, path, salt=0):
+    """A commit id whose synthesized bid_state is NOT delete-routed
+    (build/docs.py routes h64 % 20 in {18, 19} as Spent/Expired)."""
+    import hashlib
+
+    for i in range(1000):
+        c = f"{salt:x}{i:x}".rjust(40, "0")[:40]
+        did = hashlib.sha1(f"{repo}\0{path}".encode() + b"\0" + c.encode()).hexdigest()
+        if int(did[:16], 16) % 20 not in (18, 19):
+            return c
+    raise AssertionError("no live commit found")
+
+
+def test_minor_compact_preserves_live_view(ray_session, tmp_path):
+    """LSM minor compaction: the delta chain folds into one merged
+    delta + base-killing tombstones; the live logical view, search
+    results, resurrection semantics and a later MAJOR compaction are
+    all unchanged."""
+    import json as _json
+
+    import ray.data as rd
+
+    def corpus_tbl(rows):
+        return pa.table({k: pa.array([r[k] for r in rows], type=pa.string())
+                         for k in ("repo", "path", "commit", "lang", "content")})
+
+    root = str(tmp_path / "root")
+    ii = IncrementalIndex(root, CFG)
+    base = gen_corpus(120).to_pylist()
+    ii.build_base(rd.from_arrow(gen_corpus(120)), CFG)
+
+    upsert = dict(base[3], commit=_live_commit(base[3]["repo"], base[3]["path"]),
+                  content="minorc zebrastripe v2")
+    newdoc = {"repo": "org9/new", "path": "src/m/minorfile.py",
+              "commit": _live_commit("org9/new", "src/m/minorfile.py"),
+              "lang": "python",
+              "content": "def minor_marker(): return 'quixotic'"}
+    ii.apply_delta(rd.from_arrow(corpus_tbl([upsert, newdoc])))
+    # delta 2: delete a base doc and the new doc
+    ii.apply_delta(None, tombstone_keys=[
+        (base[7]["repo"], base[7]["path"]), (newdoc["repo"], newdoc["path"])])
+    # delta 3: resurrect the new doc with fresh content
+    reborn = dict(newdoc, commit=_live_commit(newdoc["repo"], newdoc["path"], salt=7),
+                  content="reborn quixotic minor marker")
+    ii.apply_delta(rd.from_arrow(corpus_tbl([reborn])))
+
+    def snapshot(x):
+        lr = x.live_rows().sort_values(["repo", "path"]).reset_index(drop=True)
+        return lr[["repo", "path", "commit", "content_sha256"]]
+
+    before_rows = snapshot(ii)
+    before_hits = ii.search_topk("content", ["quixotic"], k=5)
+    before_z = ii.search_topk("content", ["zebrastripe"], k=5)
+
+    info = ii.minor_compact(CFG)
+    assert len(ii.state["deltas"]) == 1
+    assert info["merged_docs"] == 2  # the upsert + the reborn doc
+    assert info["dropped"] == 2      # two delta dirs folded (delta 2 was tombstone-only)
+
+    assert snapshot(ii).equals(before_rows)
+    after_hits = ii.search_topk("content", ["quixotic"], k=5)
+    assert after_hits["doc_id"].tolist() == before_hits["doc_id"].tolist()
+    assert ii.search_topk("content", ["zebrastripe"], k=5)["doc_id"].tolist() \
+        == before_z["doc_id"].tolist()
+
+    # resurrection still works after the fold (seg > after_delta)
+    again = dict(base[7], commit=_live_commit(base[7]["repo"], base[7]["path"], salt=3),
+                 content="resurrected after minor fold")
+    ii.apply_delta(rd.from_arrow(corpus_tbl([again])))
+    lr = ii.live_rows()
+    assert ((lr["repo"] == base[7]["repo"]) & (lr["path"] == base[7]["path"])).sum() == 1
+
+    # a later MAJOR compaction over the minor-compacted chain carries
+    # exactly the live logical rows
+    rows_now = ii.live_rows()
+    comp = ii.compact(str(tmp_path / "major"), CFG)
+    assert comp is not None
+    man = _json.load(open(os.path.join(str(tmp_path / "major"), "base", "manifest.json")))
+    assert len(rows_now) == sum(
+        int(v) for v in man["stages"]["docstore"]["part_rows"].values())
+
+
+def test_minor_compact_without_merged_delta(ray_session, tmp_path):
+    """Tombstone-only chain: the fold produces NO merged delta; the
+    tombstones carry after_delta=0 so the very next delta (seg 1) can
+    still resurrect the key."""
+    import ray.data as rd
+
+    root = str(tmp_path / "root")
+    ii = IncrementalIndex(root, CFG)
+    base = gen_corpus(60).to_pylist()
+    ii.build_base(rd.from_arrow(gen_corpus(60)), CFG)
+    ii.apply_delta(None, tombstone_keys=[(base[7]["repo"], base[7]["path"])])
+    info = ii.minor_compact(CFG)
+    assert ii.state["deltas"] == [] and info["merged_docs"] == 0
+    assert all(t["after_delta"] == 0 for t in ii.state["tombstones"])
+    again = dict(base[7], commit=_live_commit(base[7]["repo"], base[7]["path"], salt=5),
+                 content="back again after fold")
+    ii.apply_delta(rd.from_arrow(pa.table(
+        {k: pa.array([again[k]], type=pa.string())
+         for k in ("repo", "path", "commit", "lang", "content")})))
+    lr = ii.live_rows()
+    assert ((lr["repo"] == base[7]["repo"]) & (lr["path"] == base[7]["path"])).sum() == 1

@@ -110,16 +110,26 @@ def test_sync_soak_kill_resume_compact(ray_session, tmp_path):
     r2 = d2.cycle(now=2500)
     assert r2["upserts"] == 3 and r2["deletes"] == 1
 
-    # -- cycle 3: wave 3; 4th delta trips the compaction policy ------------
+    # -- cycle 3: wave 3; 4th delta trips the MINOR compaction policy ------
     _write_source(src, rows, upto_id=nbase + 5)
     r3 = d2.cycle(now=3500)
-    assert r3["compacted"], r3["compact_reason"]
+    assert r3["compacted"] == "minor", r3["compact_reason"]
+    # the fold stays in place: no generation swap, chain length <= 1
     gens = json.load(open(os.path.join(work, "generations.json")))
-    assert gens["live"] == "gen-0001" and gens["history"] == ["gen-0000"]
+    assert gens["live"] == "gen-0000" and gens["history"] == []
+    assert len(d2.index.state["deltas"]) <= 1
 
     # -- no-change cycle is a no-op -----------------------------------------
     r4 = d2.cycle(now=4000)
     assert r4 == {**r4, "batches": 0, "upserts": 0, "deletes": 0, "compacted": False}
+
+    # -- stats drift trips the MAJOR compaction (generation swap) ----------
+    d2b = SyncDaemon(work, src, cfg=CFG, delta_cfg=CFG, batch_size=25,
+                     compact_max_deltas=10**9, compact_max_delta_frac=1e-9)
+    r5 = d2b.cycle(now=4500)
+    assert r5["compacted"] == "major", r5["compact_reason"]
+    gens = json.load(open(os.path.join(work, "generations.json")))
+    assert gens["live"] == "gen-0001" and gens["history"] == ["gen-0000"]
 
     # -- a brand-new daemon resumes cleanly from disk and serves ------------
     d3 = SyncDaemon(work, src, cfg=CFG, delta_cfg=CFG, batch_size=25)
