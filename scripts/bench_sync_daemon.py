@@ -115,7 +115,16 @@ def main() -> dict:
     results["query_p50_ms_delta_chain"] = p50(daemon2.index)
     results["n_deltas"] = len(daemon2.index.state["deltas"])
 
-    # ---- forced compaction ----------------------------------------------
+    # ---- minor compaction: fold the 6-delta chain in place ---------------
+    t0 = time.time()
+    minfo = daemon2.index.minor_compact(delta_cfg)
+    results["minor_compact_sec"] = round(time.time() - t0, 1)
+    results["minor_merged_docs"] = minfo["merged_docs"]
+    results["minor_tombstones"] = minfo["tombstones"]
+    daemon2.index.search_topk("content", ["warm"], k=1)
+    results["query_p50_ms_after_minor"] = p50(daemon2.index)
+
+    # ---- forced MAJOR compaction -----------------------------------------
     t0 = time.time()
     compacted = daemon2.index.compact(work + "/compacted", cfg)
     results["compact_sec"] = round(time.time() - t0, 1)

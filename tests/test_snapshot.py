@@ -3,6 +3,7 @@
 import json
 import os
 
+import pyarrow as pa
 import pytest
 
 from lighthouse_ray.config import IndexConfig
@@ -109,3 +110,36 @@ def test_restore_refuses_to_overwrite(built):
     snapshot_index(idx, snap)
     with pytest.raises(SnapshotError, match="already contains an index"):
         restore_index(snap, idx)
+
+
+def test_snapshot_restore_incremental_root(ray_session, tmp_path):
+    """The snapshot API covers an INCREMENTAL index root (base + delta
+    chain + sync.json) wholesale: restore yields an IncrementalIndex
+    with the identical live view and search results."""
+    import ray.data as rd
+
+    from lighthouse_ray.corpus import gen_corpus
+    from lighthouse_ray.state import IncrementalIndex
+    from lighthouse_ray.state.snapshot import restore_index, snapshot_index
+
+    cfg = IndexConfig(num_doc_parts=4, num_term_shards=8, salt_range=64,
+                      df_sample_mod=10)
+    root = str(tmp_path / "root")
+    ii = IncrementalIndex(root, cfg)
+    ii.build_base(rd.from_arrow(gen_corpus(80)), cfg)
+    new = {"repo": "org9/new", "path": "src/s/snapfile.py", "commit": "a" * 40,
+           "lang": "python", "content": "def snap_marker(): return 'permafrost'"}
+    ii.apply_delta(rd.from_arrow(pa.table(
+        {k: pa.array([new[k]], type=pa.string())
+         for k in ("repo", "path", "commit", "lang", "content")})))
+    want = ii.search_topk("content", ["permafrost"], k=5)
+
+    snap = str(tmp_path / "snap")
+    snapshot_index(root, snap)
+    restored = str(tmp_path / "restored")
+    restore_index(snap, restored)
+    jj = IncrementalIndex(restored, cfg)
+    got = jj.search_topk("content", ["permafrost"], k=5)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert len(jj.state["deltas"]) == 1
+    assert jj.live_rows().shape == ii.live_rows().shape
