@@ -2065,3 +2065,38 @@ def test_hll_distinct_raw_branch_vs_sql(ray_session):
         n, est = int(got.n_exact[0]), float(got.hll_est[0])
         assert n > 2560 * 1.5          # raw branch territory
         assert abs(est - n) / n < 0.1  # sane estimate
+
+
+def test_spill_exchange_ignores_orphan_files(ray_session, tmp_path):
+    """Failed-attempt spill files are invisible: the reduce reads ONLY
+    manifest-listed files, so an orphan parquet dropped into a part
+    directory (a crashed task's leftover) cannot change results —
+    the Spark-style shuffle-output-registration contract."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from lighthouse_ray.functions.exchange import spill_exchange
+
+    t = pa.table({"k": pa.array([1, 2, 1, 3], type=pa.int64()),
+                  "v": pa.array([10, 20, 30, 40], type=pa.int64())})
+
+    def reduce_fn(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"k": pa.array([], type=pa.int64()),
+                             "s": pa.array([], type=pa.int64())})
+        g = part.group_by("k").aggregate([("v", "sum")])
+        return pa.table({"k": g["k"], "s": g["v_sum"]})
+
+    root = str(tmp_path / "xroot")
+    # seed an orphan BEFORE the run in a directory the exchange will use
+    os.makedirs(os.path.join(root, "part=0"), exist_ok=True)
+    orphan = pa.table({"k": pa.array([1], type=pa.int64()),
+                       "v": pa.array([10 ** 6], type=pa.int64())})
+    pq.write_table(orphan, os.path.join(root, "part=0", "deadbeef-orphan.parquet"))
+
+    out = spill_exchange(rd.from_arrow(t), "k", reduce_fn, num_parts=2,
+                         spill_root=root).to_pandas().sort_values("k")
+    assert dict(zip(out["k"], out["s"])) == {1: 40, 2: 20, 3: 40}

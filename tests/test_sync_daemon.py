@@ -190,3 +190,30 @@ def test_sync_cli_smoke(ray_session, tmp_path):
     assert rc == 0
     gens = json.load(open(str(tmp_path / "w" / "generations.json")))
     assert gens["live"].startswith("gen-")
+
+
+def test_readers_survive_generation_swap(ray_session, tmp_path):
+    """Serving continuity: an engine opened against the OLD generation
+    keeps serving after a major compaction swaps the live pointer (old
+    generation dirs stay on disk — the alias-flip contract)."""
+    rows, _ = _source_rows()
+    src = str(tmp_path / "source.parquet")
+    _write_source(src, rows, upto_id=len(rows))
+    d = SyncDaemon(str(tmp_path / "w"), src, cfg=CFG, delta_cfg=CFG,
+                   batch_size=40, compact_max_deltas=10**9,
+                   compact_max_delta_frac=1e9)
+    d.cycle(now=5000)
+    old_index = d.index  # "in-flight reader" pinned to the old generation
+    before = old_index.search_topk("content", ["zebrastripe"], k=5)
+
+    d2 = SyncDaemon(str(tmp_path / "w"), src, cfg=CFG, delta_cfg=CFG,
+                    batch_size=40, compact_max_deltas=10**9,
+                    compact_max_delta_frac=1e-9)
+    r = d2.cycle(now=6000)
+    assert r["compacted"] == "major"
+    # the pinned old-generation index still serves identical results
+    after_old = old_index.search_topk("content", ["zebrastripe"], k=5)
+    assert after_old["doc_id"].tolist() == before["doc_id"].tolist()
+    # and the new generation serves the same logical answer
+    after_new = d2.index.search_topk("content", ["zebrastripe"], k=5)
+    assert set(after_new["doc_id"]) == set(before["doc_id"])
