@@ -470,3 +470,114 @@ def rolling_user_agg(ds, window: int = 3, key_col: str = "user_id",
         ds.map_batches(pre, batch_format="pyarrow"), "k", reduce_fn,
         num_parts=num_parts,
     )
+
+
+def late_window_agg(ds, *, lateness_us: int, bucket_size: int = 4096,
+                    num_parts: int = 16):
+    """Event-time tumbling-day windows with a WATERMARK and allowed
+    lateness — the streaming semantic Ray Data has no operator for,
+    made deterministic for batch verification: processing order is the
+    ``arrival`` column (a real stream's ingestion sequence; tie-break
+    ``event_id``), the watermark at each event is the running max
+    event-time over everything that arrived before-or-at it, and an
+    event is DROPPED-late iff ``ts < watermark − lateness`` (the Flink
+    allowed-lateness rule).  Output per day window: kept count, exact
+    kept cent-sum (as DOUBLE/100 for SQL comparability) and the
+    dropped-late count — the per-window late-data audit.
+
+    Distributed shape (a distributed PREFIX-MAX, not a sort): pass A
+    computes per-``arrival//bucket_size``-bucket max-ts partials (one
+    tiny groupby); the driver prefix-maxes the bucket array (bucket-
+    count-sized) and broadcasts it; pass B is ONE exchange keyed by
+    bucket whose reduce sorts only ITS bucket by (arrival, event_id),
+    runs a local cumulative max seeded by the previous buckets'
+    prefix, and emits per-window partials — ≤ |windows| rows per
+    partition.  No global sort anywhere."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def bucket_of(arr: np.ndarray) -> np.ndarray:
+        return arr // bucket_size
+
+    def partial_max(b: pa.Table) -> pa.Table:
+        empty = pa.table({"bucket": pa.array([], type=pa.int64()),
+                          "mx": pa.array([], type=pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        arr = b["arrival"].to_numpy(zero_copy_only=False)
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        bk = bucket_of(arr)
+        order = np.argsort(bk, kind="stable")
+        bks, tss = bk[order], ts[order]
+        starts = np.flatnonzero(np.diff(bks, prepend=bks[0] - 1))
+        mx = np.maximum.reduceat(tss, starts)
+        return pa.table({"bucket": pa.array(bks[starts]), "mx": pa.array(mx)})
+
+    parts = (
+        ds.map_batches(partial_max, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(ray.data.aggregate.Max("mx", alias_name="mx"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    buckets = parts["bucket"].to_numpy(np.int64)
+    # dense prefix: prefix[i] = max ts over all buckets < buckets[i]
+    mx = parts["mx"].to_numpy(np.int64)
+    run = np.maximum.accumulate(mx)
+    prefix_of = {int(b): int(run[i - 1]) if i else np.iinfo(np.int64).min
+                 for i, b in enumerate(buckets)}
+    pref = ray.put(prefix_of)
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "window": pa.array([], type=pa.timestamp("us")),
+            "n_kept": pa.array([], type=pa.int64()),
+            "kept_cents": pa.array([], type=pa.int64()),
+            "n_late": pa.array([], type=pa.int64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        import ray as _r
+
+        pr = _r.get(pref)
+        arr = t["arrival"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = np.round(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        bk = bucket_of(arr)
+        order = np.lexsort((eid, arr, bk))  # bucket-major, then stream order
+        bk_s, ts_s = bk[order], ts[order]
+        starts = np.flatnonzero(np.diff(bk_s, prepend=bk_s[0] - 1))
+        # seeded cumulative max per bucket run (runs per partition are few)
+        ends = np.append(starts[1:], len(ts_s))
+        wm = np.empty_like(ts_s)
+        for s, e in zip(starts, ends):
+            seed = pr.get(int(bk_s[s]), np.iinfo(np.int64).min)
+            run_ = np.maximum.accumulate(ts_s[s:e])
+            wm[s:e] = np.maximum(run_, seed)
+        late = ts_s < wm - lateness_us
+        day_us = 86_400_000_000
+        win = (ts_s // day_us) * day_us
+        keys, inv = np.unique(win, return_inverse=True)
+        n_late = np.bincount(inv, weights=late.astype(np.int64)).astype(np.int64)
+        n_kept = np.bincount(inv, weights=(~late).astype(np.int64)).astype(np.int64)
+        kc = np.zeros(len(keys), dtype=np.int64)
+        np.add.at(kc, inv[~late], cents[order][~late])
+        return pa.table({
+            "window": pa.array(keys, type=pa.int64()).cast(pa.timestamp("us")),
+            "n_kept": pa.array(n_kept),
+            "kept_cents": pa.array(kc),
+            "n_late": pa.array(n_late),
+        })
+
+    agg = spill_exchange(ds, lambda b: bucket_of(
+        b["arrival"].to_numpy(zero_copy_only=False)).astype(np.uint64),
+        reduce_fn, num_parts=num_parts)
+    return (
+        agg.groupby("window")
+        .aggregate(Sum("n_kept", alias_name="n_kept"),
+                   Sum("kept_cents", alias_name="kept_cents"),
+                   Sum("n_late", alias_name="n_late"))
+    )

@@ -1645,6 +1645,80 @@ FROM events GROUP BY 1, 2
 """
 
 
+LATE_JITTER_HOURS = 240  # arrival displacement range: 0..239 whole hours (10 days)
+LATE_DAYS = 5            # allowed lateness
+
+
+def q_late_window_agg(sf_dir: str):
+    """Watermark + allowed-lateness windowed aggregate (the Flink-style
+    streaming semantic, deterministic for batch verification): events
+    process in ARRIVAL order, the watermark is the running max
+    event-time over everything arrived so far, and an event whose ts
+    lags the watermark by more than {LATE_DAYS} days is dropped-late —
+    per day window: kept count, kept sum, dropped-late count.
+
+    The synthetic events table arrives in event-time order (no natural
+    disorder), so the gate derives a deterministic arrival sequence
+    ``epoch_us(ts) + (md5_32(event_id) % 240) hours`` — scale-free
+    disorder (up to 10 days of displacement at any sf), a declared
+    stand-in for the ingestion sequence a real stream carries natively.
+    Distributed shape: a distributed PREFIX-MAX (per-bucket max
+    partials → driver prefix over the tiny bucket array → one
+    bucket-keyed exchange with seeded local cummax), no global sort
+    (functions/windows.py::late_window_agg)."""
+    from ..functions.windows import late_window_agg
+
+    def derive(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].combine_chunks() if isinstance(b["event_id"], pa.ChunkedArray) else b["event_id"]
+        h = _md5_u32_column(pc.cast(ids, pa.string())).astype(np.int64)
+        ts_us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        arrival = ts_us + (h % LATE_JITTER_HOURS) * 3_600_000_000
+        return b.append_column("arrival", pa.array(arrival, type=pa.int64()))
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "value"]).map_batches(
+        derive, batch_format="pyarrow"
+    )
+    # arrival is epoch-us: one bucket = 1 hour, so the driver's prefix
+    # array is stream-duration-sized (hours), independent of row count
+    agg = late_window_agg(ds, lateness_us=LATE_DAYS * 86_400_000_000,
+                          bucket_size=3_600_000_000)
+    return agg.map_batches(
+        lambda b: pa.table({
+            "window": b["window"],
+            "n_kept": b["n_kept"],
+            "sum_kept": pc.divide(b["kept_cents"].cast(pa.float64()), 100.0),
+            "n_late": b["n_late"],
+        }),
+        batch_format="pyarrow",
+    )
+
+
+SQL_LATE_WINDOW_AGG = f"""
+WITH a AS (
+  SELECT event_id, ts, value,
+         epoch_us(ts) + (CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                              AS BIGINT) % {LATE_JITTER_HOURS}) * 3600000000 AS arrival
+  FROM events
+),
+r AS (
+  SELECT *, max(ts) OVER (ORDER BY arrival, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wm
+  FROM a
+),
+f AS (
+  SELECT date_trunc('day', ts) AS window,
+         CASE WHEN ts < wm - INTERVAL '{LATE_DAYS} days' THEN 1 ELSE 0 END AS late,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM r
+)
+SELECT "window",
+       CAST(sum(1 - late) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN late = 0 THEN cents ELSE 0 END) AS DOUBLE) / 100.0 AS sum_kept,
+       CAST(sum(late) AS BIGINT) AS n_late
+FROM f GROUP BY 1
+"""
+
+
 def q_asof_join(sf_dir: str):
     """As-of join (custom range operator): for every click event, the
     value of the same user's most recent purchase at purchase.ts <=
@@ -5925,6 +5999,7 @@ def make_queries() -> dict:
         "json_props": q_json_props,
         "percentiles": q_percentiles,
         "window_agg": q_window_agg,
+        "late_window_agg": q_late_window_agg,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "sessionize": q_sessionize,
@@ -6037,6 +6112,7 @@ def make_oracle_sql() -> dict:
         "json_props": SQL_JSON_PROPS,
         "percentiles": SQL_PERCENTILES,
         "window_agg": SQL_WINDOW_AGG,
+        "late_window_agg": SQL_LATE_WINDOW_AGG,
         "asof_join": SQL_ASOF_JOIN,
         "range_join": SQL_RANGE_JOIN,
         "sessionize": SQL_SESSIONIZE,

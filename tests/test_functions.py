@@ -2100,3 +2100,31 @@ def test_spill_exchange_ignores_orphan_files(ray_session, tmp_path):
     out = spill_exchange(rd.from_arrow(t), "k", reduce_fn, num_parts=2,
                          spill_root=root).to_pandas().sort_values("k")
     assert dict(zip(out["k"], out["s"])) == {1: 40, 2: 20, 3: 40}
+
+
+def test_late_window_agg_watermark_semantics(ray_session):
+    """Hand-computed watermark/lateness: processing in arrival order,
+    wm = running max event-time, dropped iff ts < wm - lateness."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lighthouse_ray.functions.windows import late_window_agg
+
+    D = 86_400_000_000  # one day in us
+    # arrival order: e0 (day 10) -> e1 (day 3, lag 7d: LATE) ->
+    # e2 (day 8, lag 2d: kept) -> e3 (day 12) -> e4 (day 9, lag 3d: kept)
+    t = pa.table({
+        "event_id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+        "ts": pa.array(np.array([10, 3, 8, 12, 9], dtype=np.int64) * D).cast(
+            pa.timestamp("us")),
+        "value": pa.array([1.0, 1.0, 1.0, 1.0, 1.0]),
+        "arrival": pa.array([100, 200, 300, 400, 500], type=pa.int64()),
+    })
+    out = late_window_agg(rd.from_arrow(t).repartition(3),
+                          lateness_us=5 * D, bucket_size=150).to_pandas()
+    total_late = int(out["n_late"].sum())
+    total_kept = int(out["n_kept"].sum())
+    assert (total_late, total_kept) == (1, 4)
+    day3 = out[out["window"] == pa.scalar(3 * D, type=pa.timestamp("us")).as_py()]
+    assert int(day3["n_late"].iloc[0]) == 1 and int(day3["n_kept"].iloc[0]) == 0
