@@ -145,7 +145,8 @@ def run_bench() -> dict:
                      "substring_dup",
                      "regex_search", "incremental_neardup", "mix_weights",
                      "search_after", "synonym_match", "rescore_phrase",
-                     "date_histogram", "significant_terms",
+                     "date_histogram", "significant_terms", "late_window_agg",
+                     "countmin_counts", "substring_scrub",
                      "importance_sample", "vocab_prune", "graph_pagerank",
                      "triangle_count", "rolling_window", "approx_percentiles",
                      "token_entropy", "rollup_counts", "weighted_sample",
