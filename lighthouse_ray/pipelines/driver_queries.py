@@ -4549,6 +4549,111 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 # single-pass histogram-quantile sketch configuration: a declared value
 # domain + fixed bin grid makes the sketch a deterministic function of
 # the data MULTISET (layout-independent), with bounded state B rows/group
+RANGE_EDGES = (0, 1000, 2500, 5000, 7500)  # declared bucket edges, cents
+
+
+def q_range_agg(sf_dir: str):
+    """ES `range` aggregation with DECLARED bucket edges: per
+    [from, to) value bucket, event count and exact cent sum.  Values
+    compare as integer cents so the bucket assignment is exact at any
+    float boundary; one masked per-batch partial row per bucket,
+    distributed Sum fold — the same declared-output-schema contract as
+    pivot_counts."""
+    from ray.data.aggregate import Sum
+
+    edges = list(RANGE_EDGES) + [None]
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.round(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        cols = {}
+        for i, lo in enumerate(RANGE_EDGES):
+            hi = edges[i + 1]
+            m = (cents >= lo) if hi is None else ((cents >= lo) & (cents < hi))
+            cols[f"n_{i}"] = pa.array([np.int64(m.sum())])
+            cols[f"c_{i}"] = pa.array([np.int64(cents[m].sum())])
+        return pa.table(cols)
+
+    names = [f"{p}_{i}" for i in range(len(RANGE_EDGES)) for p in ("n", "c")]
+    agg = (
+        _read(sf_dir, "events", ["value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .aggregate(*[Sum(c, alias_name=c) for c in names])
+    )
+    return pd.DataFrame({
+        "bucket_from": pd.Series([e / 100.0 for e in RANGE_EDGES], dtype=np.float64),
+        "n": pd.Series([int(agg[f"n_{i}"]) for i in range(len(RANGE_EDGES))],
+                       dtype=np.int64),
+        "sum_value": pd.Series(
+            [int(agg[f"c_{i}"]) / 100.0 for i in range(len(RANGE_EDGES))],
+            dtype=np.float64),
+    })
+
+
+def _sql_range_agg() -> str:
+    rows = []
+    edges = list(RANGE_EDGES) + [None]
+    for i, lo in enumerate(RANGE_EDGES):
+        hi = edges[i + 1]
+        cond = f"cents >= {lo}" + ("" if hi is None else f" AND cents < {hi}")
+        rows.append(
+            f"SELECT {lo / 100.0} AS bucket_from,"
+            f" CAST(count(*) AS BIGINT) AS n,"
+            f" CAST(coalesce(sum(cents), 0) AS DOUBLE) / 100.0 AS sum_value"
+            f" FROM c WHERE {cond}"
+        )
+    return (
+        "WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events)\n"
+        + "\nUNION ALL\n".join(rows)
+    )
+
+
+PR_VALUES = (40, 80, 120, 200)  # declared probe values (token counts)
+
+
+def q_percentile_ranks(sf_dir: str):
+    """ES `percentile_ranks` aggregation (the inverse of percentiles):
+    for each DECLARED probe value, the percentage of documents whose
+    token count is <= it.  One summary row per batch (a count per
+    probe + total), distributed Sum fold — integer-exact, the rank
+    fractions computed once on the driver from exact counts."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        parents, _pos, _terms, n = flat_tokens(b["text"])
+        x = np.bincount(parents, minlength=n).astype(np.int64)
+        cols = {"n": pa.array([np.int64(n)])}
+        for v in PR_VALUES:
+            cols[f"le_{v}"] = pa.array([np.int64((x <= v).sum())])
+        return pa.table(cols)
+
+    names = ["n"] + [f"le_{v}" for v in PR_VALUES]
+    agg = (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .aggregate(*[Sum(c, alias_name=c) for c in names])
+    )
+    n = float(agg["n"])
+    return pd.DataFrame({
+        "probe": pd.Series(PR_VALUES, dtype=np.int64),
+        "rank_pct": _round6(np.array(
+            [100.0 * agg[f"le_{v}"] / n for v in PR_VALUES]
+        )),
+    })
+
+
+SQL_PERCENTILE_RANKS = f"""
+WITH x AS (SELECT CAST(len({TOK}) AS BIGINT) AS nt FROM documents),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM x),
+p(probe) AS (VALUES {", ".join(f"({v})" for v in PR_VALUES)})
+SELECT CAST(p.probe AS BIGINT) AS probe,
+       round(100.0 * (SELECT count(*) FROM x WHERE x.nt <= p.probe) / n.n, 6)
+         AS rank_pct
+FROM p, n
+"""
+
+
 PCTL_LO, PCTL_HI, PCTL_BINS = 0.0, 500.0, 1000
 PCTL_W = (PCTL_HI - PCTL_LO) / PCTL_BINS
 PCTL_QS = (0.5, 0.9, 0.99)
@@ -6064,6 +6169,8 @@ def make_queries() -> dict:
         "triangle_count": q_triangle_count,
         "rolling_window": q_rolling_window,
         "approx_percentiles": q_approx_percentiles,
+        "percentile_ranks": q_percentile_ranks,
+        "range_agg": q_range_agg,
         "token_entropy": q_token_entropy,
         "rollup_counts": q_rollup_counts,
         "weighted_sample": q_weighted_sample,
@@ -6184,6 +6291,8 @@ def make_oracle_sql() -> dict:
         "triangle_count": SQL_TRIANGLE_COUNT,
         "rolling_window": SQL_ROLLING_WINDOW,
         "approx_percentiles": SQL_APPROX_PERCENTILES,
+        "percentile_ranks": SQL_PERCENTILE_RANKS,
+        "range_agg": _sql_range_agg(),
         "token_entropy": SQL_TOKEN_ENTROPY,
         "rollup_counts": SQL_ROLLUP_COUNTS,
         "weighted_sample": SQL_WEIGHTED_SAMPLE,
