@@ -4549,6 +4549,67 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 # single-pass histogram-quantile sketch configuration: a declared value
 # domain + fixed bin grid makes the sketch a deterministic function of
 # the data MULTISET (layout-independent), with bounded state B rows/group
+COMPOSITE_SIZE = 6
+COMPOSITE_AFTER = ("en", None)  # after-key: strictly past every 'en' bucket
+
+
+def q_composite_agg(sf_dir: str):
+    """ES `composite` aggregation — the scalable paged iteration over
+    grouped buckets (the agg ES offers when `terms` buckets don't fit
+    one response): buckets keyed (lang, source) in key order, one page
+    of {COMPOSITE_SIZE} starting strictly after the declared after-key.
+    Distributed shape: per-batch (lang, source, n) partials + one tiny
+    groupby fold (bucket-count-sized, never rows), page cut on the
+    driver — the after-key makes consecutive pages resumable without
+    any server-side state, exactly the composite contract."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"lang": b["lang"], "source": b["source"]})
+            .group_by(["lang", "source"], use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        return pa.table({
+            "lang": g["lang"], "source": g["source"],
+            "n": g["count_all"].cast(pa.int64()),
+        })
+
+    agg = (
+        _read(sf_dir, "documents", ["lang", "source"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["lang", "source"], kind="stable")
+        .reset_index(drop=True)
+    )
+    a_lang, a_src = COMPOSITE_AFTER
+    if a_src is None:
+        keep = agg["lang"] > a_lang
+    else:
+        keep = (agg["lang"] > a_lang) | (
+            (agg["lang"] == a_lang) & (agg["source"] > a_src)
+        )
+    page = agg[keep].head(COMPOSITE_SIZE).reset_index(drop=True)
+    page["n"] = page["n"].astype(np.int64)
+    return page
+
+
+def _sql_composite_agg() -> str:
+    a_lang, a_src = COMPOSITE_AFTER
+    cond = (
+        f"lang > '{a_lang}'" if a_src is None
+        else f"(lang > '{a_lang}' OR (lang = '{a_lang}' AND source > '{a_src}'))"
+    )
+    return f"""
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+FROM documents GROUP BY lang, source
+HAVING {cond}
+ORDER BY lang, source LIMIT {COMPOSITE_SIZE}
+"""
+
+
 RANGE_EDGES = (0, 1000, 2500, 5000, 7500)  # declared bucket edges, cents
 
 
@@ -6171,6 +6232,7 @@ def make_queries() -> dict:
         "approx_percentiles": q_approx_percentiles,
         "percentile_ranks": q_percentile_ranks,
         "range_agg": q_range_agg,
+        "composite_agg": q_composite_agg,
         "token_entropy": q_token_entropy,
         "rollup_counts": q_rollup_counts,
         "weighted_sample": q_weighted_sample,
@@ -6293,6 +6355,7 @@ def make_oracle_sql() -> dict:
         "approx_percentiles": SQL_APPROX_PERCENTILES,
         "percentile_ranks": SQL_PERCENTILE_RANKS,
         "range_agg": _sql_range_agg(),
+        "composite_agg": _sql_composite_agg(),
         "token_entropy": SQL_TOKEN_ENTROPY,
         "rollup_counts": SQL_ROLLUP_COUNTS,
         "weighted_sample": SQL_WEIGHTED_SAMPLE,
