@@ -45,9 +45,47 @@ class IncrementalIndex:
         self.state = read_json(self.sync_path) if os.path.exists(self.sync_path) else {
             "deltas": [],
             "tombstones": [],
+            # monotone dir-name counters: delta/minor dir names must NEVER
+            # be derived from the current chain (after a minor fold the
+            # chain shrinks and length-derived names would reuse — and
+            # rmtree — folded-away dirs still on disk for pinned readers,
+            # or worse, the LIVE merged delta itself)
+            "next_delta": 0,
+            "next_minor": 0,
         }
         self._readers: list[IndexReader] | None = None
         self._live_map: list[np.ndarray] | None = None
+
+    def _next_seq(self, kind: str, prefix: str) -> int:
+        """Monotone dir-name sequence for ``deltas/{prefix}-NNNN``.
+
+        Reads the persisted counter; legacy sync.json files (written
+        before the counter existed) fall back to scanning the deltas dir
+        on disk for the max existing ``{prefix}-NNNN`` + 1 — dirs left
+        behind by ``drop_old=False`` folds count, so a resurrected name
+        can never clobber a folded-away dir a pinned reader still holds."""
+        if kind in self.state:
+            return int(self.state[kind])
+        top = os.path.join(self.root, "deltas")
+        mx = -1
+        if os.path.isdir(top):
+            for d in os.listdir(top):
+                if d.startswith(prefix + "-"):
+                    try:
+                        mx = max(mx, int(d.split("-")[-1]))
+                    except ValueError:
+                        pass
+        return mx + 1
+
+    def _check_build_target(self, rel: str) -> None:
+        """Refuse to build into a directory the current state references
+        (belt-and-braces against any future name-derivation bug: building
+        rmtrees the target's subdirs, which would corrupt a live segment)."""
+        if rel in self.state["deltas"]:
+            raise RuntimeError(
+                f"refusing to build into live delta dir {rel!r} "
+                f"(referenced by current sync state)"
+            )
 
     # -- building -----------------------------------------------------------
 
@@ -76,9 +114,12 @@ class IncrementalIndex:
         parameters always follow the base config."""
         from ..build import build_index
 
-        n = len(self.state["deltas"])
-        delta_dir = os.path.join(self.root, "deltas", f"delta-{n:04d}")
+        n = len(self.state["deltas"])  # chain position (after_delta semantics)
+        seq = self._next_seq("next_delta", "delta")  # dir name: monotone, never reused
+        rel = f"deltas/delta-{seq:04d}"
+        delta_dir = os.path.join(self.root, rel)
         if source is not None:
+            self._check_build_target(rel)
             if cfg is None:
                 dcfg = self.cfg
             else:
@@ -86,7 +127,8 @@ class IncrementalIndex:
 
                 dcfg = replace(cfg, k1=self.cfg.k1, b=self.cfg.b)
             build_index(source, delta_dir, dcfg)
-            self.state["deltas"].append(f"deltas/delta-{n:04d}")
+            self.state["deltas"].append(rel)
+            self.state["next_delta"] = seq + 1
         for repo, path in tombstone_keys or []:
             self.state["tombstones"].append({"repo": repo, "path": path, "after_delta": n})
         self._save()
@@ -449,22 +491,45 @@ class IncrementalIndex:
                 dead_keys.append((str(r), str(p_)))
         dead_keys = list(dict.fromkeys(dead_keys))  # dedup, order-stable
 
-        gen = sum(1 for d in old_deltas if d.startswith("deltas/minor-"))
+        # monotone minor generation (persisted counter / disk-scan fallback):
+        # counting minors in the CURRENT chain is wrong — after a fold the
+        # chain holds <=1 minor, so the 3rd fold would recompute gen=1 and
+        # build into deltas/minor-0001, the LIVE merged delta it is reading
+        # payload from (build rmtrees the target's subdirs mid-read)
+        gen = self._next_seq("next_minor", "minor")
         new_deltas: list[str] = []
         if len(live_delta):
             name = f"deltas/minor-{gen:04d}"
+            self._check_build_target(name)
             src = rd.from_arrow(pa.Table.from_pandas(live_delta, preserve_index=False))
             from ..build import build_index
 
+            if cfg is None:
+                mcfg = self.cfg
+            else:
+                # BM25 parameters always follow the base config (same
+                # contract as apply_delta): a delta_cfg with different
+                # k1/b must not silently rescore already-applied deltas
+                from dataclasses import replace
+
+                mcfg = replace(cfg, k1=self.cfg.k1, b=self.cfg.b)
             build_index(self._fetch_content(src),
-                        os.path.join(self.root, name), cfg or self.cfg)
+                        os.path.join(self.root, name), mcfg)
             new_deltas = [name]
         # after_delta == the new chain length: kills base (and the
         # merged delta, which by construction lacks these keys) while a
         # FUTURE delta (seg > len) can still resurrect the key
         tombs = [{"repo": r, "path": p_, "after_delta": len(new_deltas)}
                  for r, p_ in dead_keys]
-        self.state = {"deltas": new_deltas, "tombstones": tombs}
+        self.state = {
+            "deltas": new_deltas,
+            "tombstones": tombs,
+            # carry the monotone counters forward: folded-away delta names
+            # must never be reused (drop_old=False leaves them on disk for
+            # pinned readers), and the next fold needs gen+1
+            "next_delta": self._next_seq("next_delta", "delta"),
+            "next_minor": gen + 1,
+        }
         self._save()
         self._readers = None
         self._live_map = None

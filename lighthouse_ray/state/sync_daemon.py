@@ -78,7 +78,7 @@ def sync_once(
     flt = (pc.field("modified_at") >= watermark) & (pc.field("id") > cursor)
     ds = rd.read_parquet(source_path, filter=flt).sort("id")
 
-    n_batches = n_upserts = n_deletes = 0
+    n_batches = n_upserts = n_deletes = n_skipped_deletes = 0
     have_base = _has_base(index)
     for b in ds.iter_batches(batch_size=batch_size, batch_format="pyarrow"):
         if b.num_rows == 0:
@@ -95,6 +95,15 @@ def sync_once(
             have_base = True
             if tomb_keys:
                 index.apply_delta(None, tombstone_keys=tomb_keys)
+        elif not have_base:
+            # tombstone-only batch before any base exists: the keys were
+            # never indexed, so recording tombstones is a no-op for
+            # correctness but would leave sync.json pointing at a missing
+            # base dir, breaking readers()/live_map() until the first
+            # upsert arrives — skip (the cursor still advances below, and
+            # re-deleting an unindexed key is idempotent by contract)
+            n_skipped_deletes += len(tomb_keys)
+            tomb_keys = []
         else:
             index.apply_delta(
                 rd.from_arrow(ups) if ups.num_rows else None,
@@ -109,7 +118,8 @@ def sync_once(
         if fail_after_batches is not None and n_batches >= fail_after_batches:
             raise SyncKilled(f"injected kill after batch {n_batches}")
     state.complete()
-    return {"batches": n_batches, "upserts": n_upserts, "deletes": n_deletes}
+    return {"batches": n_batches, "upserts": n_upserts, "deletes": n_deletes,
+            "skipped_unindexed_deletes": n_skipped_deletes}
 
 
 class SyncDaemon:

@@ -69,9 +69,11 @@ def main() -> int:
     sqls = entrymod.oracle_sql()
     only = {s for s in os.environ.get("ONLY", "").split(",") if s}
     failures = []
+    n_checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_checked += 1
         t0 = time.time()
         try:
             got = canon(to_pandas(fn(sf_dir)))
@@ -104,7 +106,11 @@ def main() -> int:
             print(f"FAIL {name}: {'; '.join(status)}")
         else:
             print(f"PASS {name}: rows={len(got)} [{time.time()-t0:.1f}s]")
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} pass")
+    # count only the gates actually executed: under ONLY= a filtered run
+    # must report n_checked/n_checked, never the full-registry size
+    # (VERDICT r4 nit 1 — CI evidence must not overstate coverage)
+    suffix = f" (of {len(qs)} registered; ONLY filter active)" if only else ""
+    print(f"\n{n_checked - len(failures)}/{n_checked} pass{suffix}")
     ray.shutdown()
     return 1 if failures else 0
 

@@ -446,3 +446,110 @@ def test_minor_compact_without_merged_delta(ray_session, tmp_path):
          for k in ("repo", "path", "commit", "lang", "content")})))
     lr = ii.live_rows()
     assert ((lr["repo"] == base[7]["repo"]) & (lr["path"] == base[7]["path"])).sum() == 1
+
+
+def test_repeated_minor_folds_monotone_dirs(ray_session, tmp_path):
+    """ADVICE r4 (high): minor-generation must be MONOTONE, not derived
+    from the current chain.  Three folds with fresh deltas between them:
+    the old code computed gen=1 for every fold after the first (a folded
+    chain holds <=1 minor entry), so fold 3 built into deltas/minor-0001
+    — the LIVE merged delta — rmtree'ing its subdirs mid-read and
+    corrupting the index.  Assert distinct dirs, live view preserved."""
+    import ray.data as rd
+
+    def corpus_tbl(rows):
+        return pa.table({k: pa.array([r[k] for r in rows], type=pa.string())
+                         for k in ("repo", "path", "commit", "lang", "content")})
+
+    root = str(tmp_path / "root")
+    ii = IncrementalIndex(root, CFG)
+    base = gen_corpus(60).to_pylist()
+    ii.build_base(rd.from_arrow(gen_corpus(60)), CFG)
+
+    minor_dirs = []
+    for fold in range(3):
+        doc = {"repo": "orgF/fold", "path": f"src/f/fold{fold}.py",
+               "commit": _live_commit("orgF/fold", f"src/f/fold{fold}.py"),
+               "lang": "python",
+               "content": f"def fold_marker_{fold}(): return 'foldglyph{fold}'"}
+        ii.apply_delta(rd.from_arrow(corpus_tbl([doc])))
+        before = ii.live_rows().sort_values(["repo", "path"]).reset_index(drop=True)
+        ii.minor_compact(CFG, drop_old=True)
+        after = ii.live_rows().sort_values(["repo", "path"]).reset_index(drop=True)
+        assert after[["repo", "path", "commit"]].equals(before[["repo", "path", "commit"]])
+        assert len(ii.state["deltas"]) == 1
+        minor_dirs.append(ii.state["deltas"][0])
+        # every fold's query path still works on genuinely-decoded postings
+        hits = ii.search_topk("content", [f"foldglyph{fold}"], k=5)
+        assert len(hits) == 1
+
+    assert minor_dirs == ["deltas/minor-0000", "deltas/minor-0001", "deltas/minor-0002"]
+    assert len(set(minor_dirs)) == 3
+
+
+def test_delta_names_not_reused_after_fold(ray_session, tmp_path):
+    """ADVICE r4 (medium): after a drop_old=False fold, the next
+    apply_delta must NOT reuse a folded-away dir name (those dirs are
+    contractually left on disk for pinned in-flight readers)."""
+    import ray.data as rd
+
+    def corpus_tbl(rows):
+        return pa.table({k: pa.array([r[k] for r in rows], type=pa.string())
+                         for k in ("repo", "path", "commit", "lang", "content")})
+
+    root = str(tmp_path / "root")
+    ii = IncrementalIndex(root, CFG)
+    ii.build_base(rd.from_arrow(gen_corpus(60)), CFG)
+    docs = []
+    for i in range(2):
+        d = {"repo": "orgR/reuse", "path": f"src/r/r{i}.py",
+             "commit": _live_commit("orgR/reuse", f"src/r/r{i}.py"),
+             "lang": "python", "content": f"def r{i}(): return 'reuseglyph{i}'"}
+        docs.append(d)
+        ii.apply_delta(rd.from_arrow(corpus_tbl([d])))
+    old_dirs = list(ii.state["deltas"])
+    assert old_dirs == ["deltas/delta-0000", "deltas/delta-0001"]
+    import json as _json
+    old_manifests = {
+        d: _json.load(open(os.path.join(root, d, "manifest.json")))
+        for d in old_dirs
+    }
+    ii.minor_compact(CFG, drop_old=False)  # old dirs stay for pinned readers
+    d3 = {"repo": "orgR/reuse", "path": "src/r/r2.py",
+          "commit": _live_commit("orgR/reuse", "src/r/r2.py"),
+          "lang": "python", "content": "def r2(): return 'reuseglyph2'"}
+    ii.apply_delta(rd.from_arrow(corpus_tbl([d3])))
+    new_dir = ii.state["deltas"][-1]
+    assert new_dir not in old_dirs          # monotone: delta-0002, not delta-0001
+    assert new_dir == "deltas/delta-0002"
+    # the folded-away dirs are byte-untouched (pinned readers keep working)
+    for d, man in old_manifests.items():
+        assert _json.load(open(os.path.join(root, d, "manifest.json"))) == man
+        from lighthouse_ray.index import IndexReader
+        r = IndexReader(os.path.join(root, d))
+        assert len(r.docmeta()) >= 1
+
+
+def test_minor_compact_pins_bm25_params(ray_session, tmp_path):
+    """ADVICE r4 (low): the merged delta's BM25 params must follow the
+    BASE config even when the caller passes a divergent delta cfg (same
+    contract apply_delta already honors)."""
+    import json as _json
+    from dataclasses import replace
+
+    import ray.data as rd
+
+    root = str(tmp_path / "root")
+    ii = IncrementalIndex(root, CFG)
+    base = gen_corpus(40).to_pylist()
+    ii.build_base(rd.from_arrow(gen_corpus(40)), CFG)
+    doc = {"repo": "orgP/pin", "path": "src/p/pin.py",
+           "commit": _live_commit("orgP/pin", "src/p/pin.py"),
+           "lang": "python", "content": "def pin(): return 'pinglyph'"}
+    ii.apply_delta(rd.from_arrow(pa.table(
+        {k: pa.array([doc[k]], type=pa.string())
+         for k in ("repo", "path", "commit", "lang", "content")})))
+    weird = replace(CFG, k1=9.9, b=0.01)
+    ii.minor_compact(weird)
+    man = _json.load(open(os.path.join(root, ii.state["deltas"][0], "manifest.json")))
+    assert man["config"]["k1"] == CFG.k1 and man["config"]["b"] == CFG.b

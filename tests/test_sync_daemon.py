@@ -217,3 +217,44 @@ def test_readers_survive_generation_swap(ray_session, tmp_path):
     # and the new generation serves the same logical answer
     after_new = d2.index.search_topk("content", ["zebrastripe"], k=5)
     assert set(after_new["doc_id"]) == set(before["doc_id"])
+
+
+def test_tombstone_only_first_batch(ray_session, tmp_path):
+    """ADVICE r4 (low): if the very first rows ever synced are all
+    deletes (no base yet), the tick must not leave sync.json pointing at
+    a missing base dir — the tombstones are no-ops (the keys were never
+    indexed) and the cursor still advances; the next wave's upserts
+    build the base normally and readers work."""
+    rows = []
+    raw = gen_corpus(30).to_pylist()
+    seen = set()
+    base = []
+    for r in raw:
+        k = (r["repo"], r["path"])
+        if k not in seen:
+            seen.add(k)
+            base.append(r)
+    # wave 1: two delete-only versions for keys that never existed
+    rows.append({**base[0], "id": 1, "modified_at": 1000, "deleted": True})
+    rows.append({**base[1], "id": 2, "modified_at": 1000, "deleted": True})
+    # wave 2: real upserts
+    for i, r in enumerate(base[:10]):
+        rows.append({**r, "id": 10 + i, "modified_at": 2000, "deleted": False})
+
+    src = str(tmp_path / "source.parquet")
+    work = str(tmp_path / "work")
+
+    _write_source(src, rows, upto_id=2)
+    d = SyncDaemon(work, src, cfg=CFG, delta_cfg=CFG, batch_size=25)
+    res1 = d.cycle(now=1500)
+    assert res1["deletes"] == 0 and res1["upserts"] == 0  # skipped, no base
+    st = json.load(open(os.path.join(work, "sync_state.json")))
+    assert st["last_id"] == 0 and st["last_sync_time"] == 1500  # tick completed
+
+    _write_source(src, rows, upto_id=19)
+    res2 = d.cycle(now=2500)
+    assert res2["upserts"] == 10
+    live = d.index.live_rows()
+    assert len(live) == 10
+    hits = d.index.search_topk("content", ["import"], k=5)
+    assert len(hits) > 0
