@@ -1,13 +1,25 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal column handling: opaque binary payloads + typed metadata.
 
 Image/audio/video payloads are carried as ``large_binary`` columns with
-typed metadata alongside.  The decode/feature-extract kernels are
-actor-pool ``map_batches`` stages whose Ray-side plumbing (schema,
-batch sizing, actor signature, output layout) is real and tested; the
-actual codec calls are stubbed — the image/audio libraries are not in
-this container — behind an import-try that falls back to a
-deterministic fake (dimensions derived from the payload bytes), or
-raises ``NotImplementedError`` in strict mode.
+typed metadata alongside.  The decode stage is a REAL decoder built
+from the public container specs — no external imaging library needed:
+
+- **PNG**  (RFC 2083 / W3C spec): signature + IHDR parse for
+  width/height/bit-depth/color-type, and a full zlib decompression of
+  the concatenated IDAT stream with a length check against
+  ``height x (1 + channels x width)`` — i.e. the pixel payload is
+  genuinely decoded, not just sniffed.
+- **BMP**  (BITMAPINFOHEADER): biWidth / biHeight / biBitCount.
+- **GIF**  (87a/89a): logical screen descriptor.
+- **JPEG** (ISO/IEC 10918-1): marker walk to the first SOF0/1/2
+  frame header for precision / height / width / component count.
+
+If Pillow is importable it is preferred (it covers more formats); in
+this container it is not, and the struct decoder above is the real
+path.  ``strict=True`` (production posture) raises only on payloads no
+decoder understands; with ``strict=False`` such payloads degrade to a
+deterministic pseudo-dimension fake so plumbing tests can run on
+arbitrary bytes.
 
 Batch-size note: binary payloads are large — size ``batch_size`` so
 ``batch_size x concurrency x payload`` fits the worker heap (the
@@ -17,7 +29,10 @@ default 64 here assumes ~MB-scale payloads).
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 
+import numpy as np
 import pyarrow as pa
 
 MEDIA_META_SCHEMA = pa.schema(
@@ -26,89 +41,241 @@ MEDIA_META_SCHEMA = pa.schema(
         ("n_bytes", pa.int64()),
         ("width", pa.int32()),
         ("height", pa.int32()),
+        ("channels", pa.int32()),
         ("format", pa.string()),
     ]
 )
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG color type -> samples per pixel (spec §6.1)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
-# minimal valid 1x1 GIF used to probe whether a real decoder works at
-# all (probing with b"" would raise UnidentifiedImageError even when
-# PIL is installed and wrongly conclude no decoder exists)
+
+def decode_png(payload: bytes, verify_pixels: bool = True) -> tuple[int, int, int]:
+    """Parse IHDR and (optionally) fully decompress the IDAT stream,
+    checking the raw scanline byte count — a true decode of the pixel
+    payload, not a header sniff.  Returns (width, height, channels)."""
+    if payload[:8] != _PNG_SIG or payload[12:16] != b"IHDR":
+        raise ValueError("not a PNG")
+    w, h = struct.unpack(">II", payload[16:24])
+    bit_depth, color_type = payload[24], payload[25]
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"bad PNG color type {color_type}")
+    channels = _PNG_CHANNELS[color_type]
+    if verify_pixels:
+        # walk chunks, concatenate IDAT, decompress, check scanline bytes
+        idat = bytearray()
+        pos = 8
+        while pos + 8 <= len(payload):
+            (clen,) = struct.unpack(">I", payload[pos : pos + 4])
+            ctype = payload[pos + 4 : pos + 8]
+            if ctype == b"IDAT":
+                idat += payload[pos + 8 : pos + 8 + clen]
+            if ctype == b"IEND":
+                break
+            pos += 12 + clen  # len + type + data + crc
+        raw = zlib.decompress(bytes(idat))
+        bytes_per_px = max(1, (bit_depth * channels) // 8)
+        expect = h * (1 + bytes_per_px * w)
+        if len(raw) != expect:
+            raise ValueError(f"PNG pixel payload {len(raw)} != expected {expect}")
+    return int(w), int(h), channels
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, int]:
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    w, h = struct.unpack("<ii", payload[18:26])
+    (bpp,) = struct.unpack("<H", payload[28:30])
+    return int(w), abs(int(h)), max(1, bpp // 8)
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, int]:
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h = struct.unpack("<HH", payload[6:10])
+    return int(w), int(h), 1  # palette-indexed
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, int]:
+    """Marker walk to the first SOF0/1/2 frame header."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = payload[pos + 1]
+        if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+            h, w = struct.unpack(">HH", payload[pos + 5 : pos + 9])
+            ncomp = payload[pos + 9]
+            return int(w), int(h), int(ncomp)
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        pos += 2 + seglen
+    raise ValueError("JPEG SOF marker not found")
+
+
+def decode_image(payload: bytes, verify_pixels: bool = True) -> tuple[int, int, int, str]:
+    """Real struct decode: (width, height, channels, format).
+    Raises ValueError for payloads that are none of PNG/BMP/GIF/JPEG."""
+    if payload[:8] == _PNG_SIG:
+        return (*decode_png(payload, verify_pixels=verify_pixels), "png")
+    if payload[:2] == b"BM":
+        return (*decode_bmp(payload), "bmp")
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return (*decode_gif(payload), "gif")
+    if payload[:2] == b"\xff\xd8":
+        return (*decode_jpeg(payload), "jpeg")
+    raise ValueError("unrecognized image container")
+
+
+# -- deterministic synthesis of REAL images ------------------------------
+
+def _pixel_bytes(n: int, seed: int) -> np.ndarray:
+    """Deterministic pseudo-pixels (no RNG state): an affine sequence
+    mod 256, full 0..255 range."""
+    a = (seed % 251) + 1
+    return ((np.arange(n, dtype=np.int64) * a + seed) % 256).astype(np.uint8)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def synth_png(width: int, height: int, channels: int = 3, seed: int = 0) -> bytes:
+    """A genuinely valid PNG (decodable by any conformant reader):
+    8-bit RGB (channels=3) or RGBA (channels=4), filter-0 scanlines,
+    zlib level 0 (stored deflate) so the byte size is a CLOSED FORM —
+    the oracle mirrors it in SQL:
+
+        raw  = height * (1 + channels*width)
+        zlen = 2 + 5*ceil(raw/65535) + raw + 4
+        size = 8 + 25 + (12 + zlen) + 12
+    """
+    color_type = {3: 2, 4: 6}[channels]
+    raw = np.zeros((height, 1 + channels * width), dtype=np.uint8)
+    raw[:, 1:] = _pixel_bytes(height * channels * width, seed).reshape(height, -1)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    idat = zlib.compress(raw.tobytes(), 0)  # stored blocks: size is closed-form
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def synth_bmp(width: int, height: int, seed: int = 0) -> bytes:
+    """A genuinely valid 24-bit BMP; rows padded to 4 bytes, so
+    ``size = 54 + height * ((3*width + 3) // 4 * 4)`` (SQL-mirrorable)."""
+    stride = (3 * width + 3) // 4 * 4
+    img_size = height * stride
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + img_size, 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = np.zeros((height, stride), dtype=np.uint8)
+    rows[:, : 3 * width] = _pixel_bytes(height * 3 * width, seed).reshape(height, -1)
+    return header + rows.tobytes()
+
+
+# minimal valid 1x1 GIF used to probe whether Pillow works at all
+# (probing with b"" would raise UnidentifiedImageError even when PIL is
+# installed and wrongly conclude no decoder exists)
 _PROBE_IMAGE = (
     b"GIF89a\x01\x00\x01\x00\x80\x00\x00\x00\x00\x00\xff\xff\xff!\xf9\x04"
     b"\x00\x00\x00\x00\x00,\x00\x00\x00\x00\x01\x00\x01\x00\x00\x02\x02D\x01\x00;"
 )
 
 
-def _try_real_decode(payload: bytes):
+def _try_pillow(payload: bytes):
     try:  # pragma: no cover - PIL absent in this container
         import io
 
         from PIL import Image  # type: ignore
 
         img = Image.open(io.BytesIO(payload))
-        return img.width, img.height, img.format or "unknown"
+        return img.width, img.height, len(img.getbands()), (img.format or "unknown").lower()
     except Exception:
-        # ImportError (no decoder) and decode errors on corrupt payloads
-        # both fall through to the strict/fake path in the caller
         return None
 
 
-def fake_decode_dims(payload: bytes) -> tuple[int, int, str]:
-    """Deterministic stand-in for image decode: pseudo-dimensions from
-    the payload length (mirrorable in SQL for the plumbing oracle)."""
+def fake_decode_dims(payload: bytes) -> tuple[int, int, int, str]:
+    """Deterministic stand-in for payloads NO decoder understands
+    (arbitrary bytes in plumbing tests with strict=False): pseudo
+    dimensions from the payload length."""
     n = len(payload)
-    return 64 + n % 1856, 64 + (n * 7) % 1856, "fake"
+    return 64 + n % 1856, 64 + (n * 7) % 1856, 3, "fake"
 
 
 class ImageMetaStage:
-    """Actor-pool stage: binary payload -> typed media metadata.
+    """Actor-pool stage: binary payload -> typed media metadata via a
+    REAL decode (struct parser above; Pillow preferred when importable).
 
-    ``strict=True`` raises NotImplementedError when no real decoder is
-    importable (production posture); default falls back to the
-    deterministic fake so the distributed plumbing stays testable.
+    ``strict=True`` (the default production posture) raises ValueError
+    on payloads no decoder understands; ``strict=False`` degrades those
+    to the deterministic fake so plumbing tests can run arbitrary bytes.
     """
 
-    def __init__(self, payload_col: str = "payload", id_col: str = "media_id", strict: bool = False):
+    def __init__(self, payload_col: str = "payload", id_col: str = "media_id",
+                 strict: bool = True, verify_pixels: bool = True):
         self.payload_col = payload_col
         self.id_col = id_col
         self.strict = strict
-        self.have_real = _try_real_decode(_PROBE_IMAGE) is not None
+        self.verify_pixels = verify_pixels
+        self.have_pillow = _try_pillow(_PROBE_IMAGE) is not None
+
+    def _decode(self, p: bytes) -> tuple[int, int, int, str]:
+        if self.have_pillow:
+            res = _try_pillow(p)
+            if res is not None:
+                return res
+        try:
+            return decode_image(p, verify_pixels=self.verify_pixels)
+        except (ValueError, zlib.error, struct.error, IndexError):
+            if self.strict:
+                raise
+            return fake_decode_dims(p)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch[self.payload_col].to_pylist()
         ids = batch[self.id_col].to_pylist()
-        w, h, fmt = [], [], []
+        w, h, ch, fmt = [], [], [], []
         for p in payloads:
-            res = _try_real_decode(p) if self.have_real else None
-            if res is None:
-                if self.strict:
-                    raise NotImplementedError(
-                        "no image decoder available in this environment; "
-                        "install Pillow or run with strict=False"
-                    )
-                res = fake_decode_dims(p)
-            w.append(res[0])
-            h.append(res[1])
-            fmt.append(res[2])
+            a, b, c, f = self._decode(p)
+            w.append(a)
+            h.append(b)
+            ch.append(c)
+            fmt.append(f)
         return pa.table(
             {
                 "media_id": pa.array([str(i) for i in ids], type=pa.string()),
                 "n_bytes": pa.array([len(p) for p in payloads], type=pa.int64()),
                 "width": pa.array(w, type=pa.int32()),
                 "height": pa.array(h, type=pa.int32()),
+                "channels": pa.array(ch, type=pa.int32()),
                 "format": pa.array(fmt, type=pa.string()),
             }
         )
 
 
 def extract_media_meta(ds, payload_col: str = "payload", id_col: str = "media_id",
-                       concurrency=(1, 4), batch_size: int = 64):
-    """The actor-pool plumbing: small batches (payloads are big), state
-    (decoder handles) built once per actor."""
+                       concurrency=(1, 4), batch_size: int = 64,
+                       strict: bool = True, verify_pixels: bool = True):
+    """The actor-pool decode stage: small batches (payloads are big),
+    state (decoder availability probe) built once per actor."""
     return ds.map_batches(
         ImageMetaStage,
-        fn_constructor_kwargs={"payload_col": payload_col, "id_col": id_col},
+        fn_constructor_kwargs={"payload_col": payload_col, "id_col": id_col,
+                               "strict": strict, "verify_pixels": verify_pixels},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -117,7 +284,8 @@ def extract_media_meta(ds, payload_col: str = "payload", id_col: str = "media_id
 
 def frame_sample_stub(payload: bytes, every_n: int = 30) -> list[bytes]:
     """Video frame-sampling stub: deterministic pseudo-frames (hashes of
-    byte stripes) standing in for decoded frames."""
+    byte stripes) standing in for decoded frames — video codecs are the
+    one modality with no from-scratch path in this container."""
     n = max(1, len(payload) // (1 << 16))
     return [
         hashlib.blake2b(payload[i :: every_n] or b"\0", digest_size=16).digest()

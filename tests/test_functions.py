@@ -294,24 +294,43 @@ def test_lang_id_deterministic(ray_session):
 
 
 def test_multimodal_stage(ray_session):
+    """Distributed decode over genuinely valid synthesized images
+    (strict mode — a decoder failure fails the stage), plus the
+    non-strict degrade path for unrecognizable bytes."""
     import ray.data as rd
 
-    from lighthouse_ray.functions.multimodal import ImageMetaStage, extract_media_meta
+    from lighthouse_ray.functions.multimodal import (
+        ImageMetaStage,
+        extract_media_meta,
+        synth_bmp,
+        synth_png,
+    )
 
     t = pa.table(
         {
-            "media_id": pa.array(["a", "b"], type=pa.string()),
-            "payload": pa.array([b"\x89PNG123456", b"xx"], type=pa.large_binary()),
+            "media_id": pa.array(["a", "b", "c"], type=pa.string()),
+            "payload": pa.array(
+                [synth_png(17, 9, 3, seed=1), synth_png(5, 40, 4, seed=2),
+                 synth_bmp(13, 7, seed=3)],
+                type=pa.large_binary(),
+            ),
         }
     )
-    out = extract_media_meta(rd.from_arrow(t)).to_pandas().sort_values("media_id")
-    assert out["n_bytes"].tolist() == [10, 2]
-    assert (out["width"] >= 64).all() and (out["format"] == "fake").all()
+    out = extract_media_meta(rd.from_arrow(t), strict=True).to_pandas() \
+        .sort_values("media_id")
+    assert out["width"].tolist() == [17, 5, 13]
+    assert out["height"].tolist() == [9, 40, 7]
+    assert out["channels"].tolist() == [3, 4, 3]
+    assert out["format"].tolist() == ["png", "png", "bmp"]
 
-    stage = ImageMetaStage(strict=True)
-    if not stage.have_real:
-        with pytest.raises(NotImplementedError):
-            stage(t)
+    junk = pa.table({
+        "media_id": pa.array(["x"], type=pa.string()),
+        "payload": pa.array([b"not an image"], type=pa.large_binary()),
+    })
+    with pytest.raises(ValueError):
+        ImageMetaStage(strict=True)(junk)
+    soft = ImageMetaStage(strict=False)(junk)
+    assert soft["format"].to_pylist() == ["fake"]
 
 
 def test_connected_components_vs_bfs(ray_session):
