@@ -65,7 +65,8 @@ def brute_force_topk(ds, query_vecs: np.ndarray, k: int = 10,
 
 
 def knn_graph(ds, k: int = 3, id_col: str = "vec_id", vec_col: str = "embedding",
-              block_rows: int = 4096, num_parts: int = 16):
+              block_rows: int = 4096, num_parts: int = 16, mode: str = "exact",
+              **srp_kwargs):
     """k-NN graph over the embedding column: for EVERY vector, its top-k
     cosine neighbors (self excluded) — the building block for
     embedding-cluster dedup and semantic dedup sampling.
@@ -78,7 +79,16 @@ def knn_graph(ds, k: int = 3, id_col: str = "vec_id", vec_col: str = "embedding"
     run-length head-k.  Ranking uses cosine ROUNDED to 6 decimals with
     an id tie-break, so results are layout-independent and exactly
     SQL-mirrorable.  Memory per task is 2 blocks; shuffled volume is
-    N x num_blocks x k rows, not N^2."""
+    N x num_blocks x k rows, not N^2.
+
+    COMPUTE is quadratic in blocks (exact all-pairs); ``mode="srp"``
+    dispatches to :func:`knn_graph_srp` — the sub-quadratic scale path
+    (SCALE.md's named fix) for thresholded neighbor graphs."""
+    if mode == "srp":
+        return knn_graph_srp(ds, k=k, id_col=id_col, vec_col=vec_col,
+                             num_parts=num_parts, **srp_kwargs)
+    if mode != "exact":
+        raise ValueError(f"unknown knn_graph mode {mode!r}")
     import os
     import uuid
 
@@ -190,6 +200,173 @@ def knn_graph(ds, k: int = 3, id_col: str = "vec_id", vec_col: str = "embedding"
         )
 
     return spill_exchange(partial, "a", topk_reduce, num_parts=num_parts)
+
+
+def knn_graph_srp(ds, k: int = 3, tau: float = 0.4, id_col: str = "vec_id",
+                  vec_col: str = "embedding", num_planes: int = 48,
+                  bands: int = 24, num_parts: int = 32, seed: int = 1234):
+    """Approximate THRESHOLDED k-NN graph via SRP bucket pruning — the
+    sub-quadratic scale path SCALE.md names for :func:`knn_graph`'s
+    documented block-pair quadratic.
+
+    Semantics: for every vector, its top-``k`` cosine neighbors among
+    those with ``round(cos, 6) >= tau`` (self excluded) — the SemDeDup /
+    near-dup neighborhood graph.  Thresholding is what MAKES pruning
+    possible: below-τ pairs need never be generated, so candidate work
+    is Σ_buckets |bucket|² per band instead of N² — with r planes/band
+    buckets shrink 2^r-fold, and a pair at angle θ collides in a band
+    with probability (1-θ/π)^r; over b bands the miss probability is
+    (1-(1-θ/π)^r)^b (Charikar'02).  Defaults (r=2, b=24) give miss
+    ≤ 5e-6 at cos 0.4 — recall exactly 1 with the fixed seed on both sf
+    corpora (verified at sf0.01 and sf0.1), so the exact SQL definition
+    is the gate's oracle.  At 100 TB raise planes-per-band with log2(N)
+    (and τ with the use-case): bucket granularity tracks cluster size
+    and candidate volume stays ~N x cluster x bands — the envelope test
+    asserts this sub-quadratic growth on clustered data.
+
+    Fully distributed: normalized vectors ride the band exchange,
+    in-bucket cosine is one matmul per bucket run, per-vector partials
+    (≤ k rows per vector per band) flow through a second exchange that
+    dedups (a, b) and head-ks per vector.  No driver pass, no N² rows.
+    """
+    import ray.data as rd
+
+    from .dedup import _run_bounds, _srp_planes
+    from .exchange import combine_hashes, spill_exchange
+
+    r = num_planes // bands
+    out_schema = pa.schema([("vec_id", pa.int64()), ("nn_id", pa.int64()),
+                            ("cos", pa.float64())])
+    empty = pa.table({"a": pa.array([], type=pa.int64()),
+                      "b": pa.array([], type=pa.int64()),
+                      "cos": pa.array([], type=pa.float64())})
+
+    def explode(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"band": pa.array([], type=pa.int32()),
+                             "key": pa.array([], type=pa.uint64()),
+                             "id": pa.array([], type=pa.int64()),
+                             "vec": pa.array([], type=pa.list_(pa.float64()))})
+        m = _to_matrix(batch, vec_col)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        planes = _srp_planes(m.shape[1], num_planes, seed=seed)
+        bits = (m @ planes.T) > 0
+        n = len(m)
+        keys = np.zeros((n, bands), dtype=np.uint64)
+        for bnd in range(bands):
+            for j in range(r):
+                keys[:, bnd] |= bits[:, bnd * r + j].astype(np.uint64) << np.uint64(j)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        rep = np.repeat(np.arange(n), bands)
+        return pa.table({
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+            "key": pa.array(keys.reshape(-1)),
+            "id": pa.array(ids[rep]),
+            "vec": pa.ListArray.from_arrays(
+                pa.array(np.arange(n * bands + 1, dtype=np.int32) * m.shape[1]),
+                pa.array(m[rep].reshape(-1)),
+            ),
+        })
+
+    def bucket_topk(t: pa.Table) -> pa.Table:
+        """Per (band, key) run: in-bucket cosine matmul, keep round6 >= tau,
+        emit each vector's PARTIAL top-k within the bucket."""
+        if t.num_rows == 0:
+            return empty
+        kh = combine_hashes(
+            t["band"].to_numpy(zero_copy_only=False).astype(np.uint64),
+            t["key"].to_numpy(zero_copy_only=False).astype(np.uint64),
+        )
+        order = np.lexsort((t["id"].to_numpy(zero_copy_only=False), kh))
+        t = t.take(pa.array(order)).combine_chunks()
+        starts, lens = _run_bounds(pa.array(kh[order]))
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        mat = np.asarray(t["vec"].combine_chunks().flatten()).reshape(t.num_rows, -1)
+        outs = []
+        for s, ln in zip(starts[lens >= 2], lens[lens >= 2]):
+            sub_ids = ids[s : s + ln]
+            sub = mat[s : s + ln]
+            cos = np.round(sub @ sub.T, 6)
+            # self and same-id duplicates excluded; below-τ pruned
+            cos[sub_ids[:, None] == sub_ids[None, :]] = -np.inf
+            cos[cos < tau] = -np.inf
+            kk = min(k, ln - 1)
+            if kk <= 0:
+                continue
+            ordr = np.lexsort((np.broadcast_to(sub_ids, (ln, ln)), -cos), axis=1)[:, :kk]
+            rows = np.repeat(np.arange(ln), kk)
+            cols = ordr.reshape(-1)
+            sel = np.isfinite(cos[rows, cols])
+            if sel.any():
+                outs.append(pa.table({
+                    "a": pa.array(sub_ids[rows[sel]]),
+                    "b": pa.array(sub_ids[cols[sel]]),
+                    "cos": pa.array(cos[rows[sel], cols[sel]]),
+                }))
+        return pa.concat_tables(outs) if outs else empty
+
+    def topk_reduce(t: pa.Table) -> pa.Table:
+        """Dedup (a, b) found in several bands, then head-k per a."""
+        if t.num_rows == 0:
+            return pa.table({"vec_id": empty["a"], "nn_id": empty["b"],
+                             "cos": empty["cos"]})
+        g = t.group_by(["a", "b"], use_threads=False).aggregate([("cos", "min")])
+        a = g["a"].to_numpy(zero_copy_only=False)
+        b = g["b"].to_numpy(zero_copy_only=False)
+        c = g["cos_min"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, -c, a))
+        a, b, c = a[order], b[order], c[order]
+        starts, lens = _run_bounds(pa.array(a))
+        kk = np.minimum(lens, k)
+        cum = np.zeros(len(kk), dtype=np.int64)
+        np.cumsum(kk[:-1], out=cum[1:])
+        idx = np.repeat(starts, kk) + (
+            np.arange(int(kk.sum()), dtype=np.int64) - np.repeat(cum, kk))
+        return pa.table({"vec_id": pa.array(a[idx]), "nn_id": pa.array(b[idx]),
+                         "cos": pa.array(c[idx])})
+
+    st: dict = {}
+    partial = spill_exchange(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["band", "key"], bucket_topk, num_parts=num_parts, stats=st,
+    )
+    return spill_exchange(partial, "a", topk_reduce, num_parts=num_parts,
+                          cleanup_after=[st["root"]],
+                          empty_schema=out_schema)
+
+
+def srp_candidate_volume(ds, vec_col: str = "embedding",
+                         num_planes: int = 48, bands: int = 24,
+                         seed: int = 1234) -> int:
+    """Accounting for the envelope test: Σ over (band, bucket) of
+    |bucket|·(|bucket|-1)/2 — the exact number of candidate cosine pairs
+    :func:`knn_graph_srp` evaluates.  Computed as a tiny distributed
+    aggregate (per-batch bucket counts → one |buckets|-sized groupby);
+    compare with the exact path's N·(N-1)/2 to measure the prune."""
+    from .dedup import _srp_planes
+
+    r = num_planes // bands
+
+    def counts(batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch, vec_col)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        planes = _srp_planes(m.shape[1], num_planes, seed=seed)
+        bits = (m @ planes.T) > 0
+        n = len(m)
+        keys = np.zeros((n, bands), dtype=np.uint64)
+        for bnd in range(bands):
+            for j in range(r):
+                keys[:, bnd] |= bits[:, bnd * r + j].astype(np.uint64) << np.uint64(j)
+            keys[:, bnd] |= np.uint64(bnd) << np.uint64(56)
+        u, c = np.unique(keys.reshape(-1), return_counts=True)
+        return pa.table({"key": pa.array(u), "n": pa.array(c.astype(np.int64))})
+
+    agg = (
+        ds.map_batches(counts, batch_format="pyarrow")
+        .groupby("key").sum("n").to_pandas()
+    )
+    n = agg["sum(n)"].to_numpy()
+    return int((n * (n - 1) // 2).sum())
 
 
 class IvfIndex:

@@ -2689,6 +2689,35 @@ QUALIFY row_number() OVER (
   PARTITION BY x.vec_id ORDER BY round({_COS}, 6) DESC, y.vec_id) <= 3
 """
 
+KNN_SRP_TAU = 0.4
+
+
+def q_knn_graph_srp(sf_dir: str):
+    """SRP-pruned THRESHOLDED k-NN graph (VERDICT r4 item 2 — the
+    sub-quadratic fix SCALE.md names for knn_graph's block-pair
+    quadratic): per vector, top-3 neighbors among round6(cos) >= 0.4.
+    Candidates come only from shared SRP band buckets; with 24 bands of
+    2 planes and the fixed seed the per-pair miss probability at
+    cos 0.4 is ≤ 5e-6 and recall is exactly 1 on both sf corpora
+    (verified sf0.01 + sf0.1), so the exact SQL definition is the
+    oracle.  Sub-quadratic candidate growth on clustered data is
+    asserted by tests/test_scale_envelopes.py."""
+    from ..functions.similarity import knn_graph
+
+    return knn_graph(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        k=3, mode="srp", tau=KNN_SRP_TAU, num_planes=48, bands=24,
+    )
+
+
+SQL_KNN_GRAPH_SRP = f"""
+SELECT x.vec_id AS vec_id, y.vec_id AS nn_id, round({_COS}, 6) AS cos
+FROM embeddings x JOIN embeddings y ON y.vec_id != x.vec_id
+WHERE round({_COS}, 6) >= {KNN_SRP_TAU}
+QUALIFY row_number() OVER (
+  PARTITION BY x.vec_id ORDER BY round({_COS}, 6) DESC, y.vec_id) <= 3
+"""
+
 LSH_COS_THRESHOLD = 0.45
 
 
@@ -6228,6 +6257,7 @@ def make_queries() -> dict:
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_lsh_near_dup": q_embedding_lsh_near_dup,
         "knn_graph": q_knn_graph,
+        "knn_graph_srp": q_knn_graph_srp,
         "multimodal_meta": q_multimodal_meta,
         "minhash_lsh": q_minhash_lsh,
         "incremental_neardup": q_incremental_neardup,
@@ -6346,6 +6376,7 @@ def make_oracle_sql() -> dict:
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
         "embedding_lsh_near_dup": SQL_EMBEDDING_LSH_NEAR_DUP,
         "knn_graph": SQL_KNN_GRAPH,
+        "knn_graph_srp": SQL_KNN_GRAPH_SRP,
         "multimodal_meta": SQL_MULTIMODAL_META,
         # minhash: LSH candidates + exact verification == exact SQL;
         # simhash: pigeonhole recall is exactly 1 == exact SQL;

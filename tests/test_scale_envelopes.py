@@ -42,6 +42,7 @@ ENVELOPES = {
     "winnow_dedup": 60.0,
     "dup_clusters": 60.0,
     "dedup_keep": 60.0,
+    "knn_graph_srp": 20.0,   # N x bands exchange rows + <=k x bands partials
 }
 
 
@@ -76,3 +77,55 @@ def test_exchange_volume_grows_sub_quadratically(ray_session, op):
         f"(bound {bound}x; quadratic would be ~100x) — "
         f"{small} -> {large} shuffled rows"
     )
+
+
+def _clustered_vecs(n: int, cluster: int = 12, dim: int = 32, seed: int = 7):
+    """Planted high-cosine clusters + per-vector jitter: every vector's
+    true >=tau neighbors are its cluster mates."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    n_clusters = n // cluster
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    base = np.repeat(centers, cluster, axis=0)[:n]
+    vecs = base + 0.12 * rng.standard_normal((n, dim))
+    return vecs
+
+
+@pytest.mark.scale_envelope
+def test_knn_srp_candidate_volume_subquadratic(ray_session):
+    """VERDICT r4 item 2 ('envelope test asserting sub-quadratic
+    block-pair growth'): on clustered data, with planes-per-band scaled
+    ~log2(N), the candidate-pair volume knn_graph_srp evaluates grows
+    FAR slower than the exact path's N^2/2 — a 4x input must not grow
+    candidates 16x (quadratic); bound 6x."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lighthouse_ray.functions.similarity import srp_candidate_volume
+
+    def ds_of(vecs):
+        t = pa.table({
+            "vec_id": pa.array(np.arange(len(vecs), dtype=np.int64)),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.reshape(-1)), vecs.shape[1]),
+        })
+        return rd.from_arrow(t)
+
+    n = 1200
+    small = srp_candidate_volume(ds_of(_clustered_vecs(n)),
+                                 num_planes=144, bands=24)      # r=6
+    large = srp_candidate_volume(ds_of(_clustered_vecs(4 * n)),
+                                 num_planes=192, bands=24)      # r=8
+    assert small > 0
+    factor = large / small
+    assert factor <= 6.0, (
+        f"SRP candidate volume grew {factor:.1f}x for a 4x input "
+        f"(quadratic would be 16x) — {small} -> {large} pairs"
+    )
+    # and the prune is real: candidates are a small fraction of N^2/2
+    exact_pairs = (4 * n) * (4 * n - 1) / 2
+    assert large < 0.25 * exact_pairs, (
+        f"no real prune: {large} candidates vs {exact_pairs:.0f} exact pairs")
