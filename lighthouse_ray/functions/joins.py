@@ -31,6 +31,62 @@ def _null_column(n: int, typ: pa.DataType) -> pa.Array:
     return pa.nulls(n, type=typ)
 
 
+def bloom_or_tree(parts, cols: list[str], nbytes_by_col: dict[str, int],
+                  fanin: int = 8) -> list:
+    """Distributed OR tree-reduce of per-batch packed bitmaps (VERDICT
+    r4 item 5): ``parts`` is a Dataset with one ``binary`` column per
+    name in ``cols`` — one packed-bitmap row per input batch.  Returns
+    one ObjectRef per column holding the OR'd ``np.uint8`` array.
+
+    The driver holds only ObjectRefs: leaf tasks OR the Arrow blocks
+    where they live, interior tasks OR ``fanin`` children, and the root
+    splits per column — at many batches the old driver-serial loop
+    (one m/8-byte blob pulled per batch) becomes a log-depth tree whose
+    bytes never touch the driver.  The final refs plug directly into
+    the probe stages' ``ray.get`` (same contract as ``ray.put``)."""
+    import ray
+
+    sizes = [int(nbytes_by_col[c]) for c in cols]
+
+    @ray.remote
+    def _or(*items):
+        acc = [np.zeros(s, dtype=np.uint8) for s in sizes]
+        for it in items:
+            if isinstance(it, list):  # interior node: child accumulators
+                for a, x in zip(acc, it):
+                    a |= x
+            else:  # leaf: an Arrow block of packed-bitmap rows
+                if it.num_rows == 0 or cols[0] not in it.schema.names:
+                    continue  # empty blocks may carry a stale schema
+                for a, c in zip(acc, cols):
+                    for blob in it[c].to_pylist():
+                        a |= np.frombuffer(blob, dtype=np.uint8)
+        return acc
+
+    refs = [br for bundle in parts.iter_internal_ref_bundles()
+            for br in bundle.block_refs]
+    if not refs:
+        refs = [_or.remote()]  # all-zero filters
+    else:
+        # leaf pass always runs (a lone block must still be folded from
+        # bitmap ROWS into an accumulator before the interior contract)
+        refs = [_or.remote(*refs[i:i + fanin]) for i in range(0, len(refs), fanin)]
+    while len(refs) > 1:
+        refs = [_or.remote(*refs[i:i + fanin]) for i in range(0, len(refs), fanin)]
+    if len(cols) == 1:
+        @ray.remote
+        def _first(acc):
+            return acc[0]
+
+        return [_first.remote(refs[0])]
+
+    @ray.remote(num_returns=len(cols))
+    def _split(acc):
+        return tuple(acc)
+
+    return list(_split.remote(refs[0]))
+
+
 def shuffle_join(left, right, key: str, lcols: list[str], rcols: list[str],
                  how: str = "inner", num_parts: int = 32,
                  hot_keys=None, salt: int = 8,
@@ -287,11 +343,11 @@ def bloom_anti_join(big, keys, key: str, cols: list[str],
             np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
         return pa.table({"bits": pa.array([bits.tobytes()], type=pa.binary())})
 
-    parts = keys.map_batches(build, batch_format="pyarrow").take_all()
-    bits = np.zeros(nbytes, dtype=np.uint8)
-    for r in parts:
-        bits |= np.frombuffer(r["bits"], dtype=np.uint8)
-    bref = ray.put(bits)
+    # distributed OR tree-reduce: bitmap bytes never touch the driver
+    (bref,) = bloom_or_tree(
+        keys.map_batches(build, batch_format="pyarrow"),
+        ["bits"], {"bits": nbytes},
+    )
 
     out_cols = [key, *cols]
 

@@ -2147,3 +2147,38 @@ def test_late_window_agg_watermark_semantics(ray_session):
     assert (total_late, total_kept) == (1, 4)
     day3 = out[out["window"] == pa.scalar(3 * D, type=pa.timestamp("us")).as_py()]
     assert int(day3["n_late"].iloc[0]) == 1 and int(day3["n_kept"].iloc[0]) == 0
+
+
+def test_bloom_or_tree_equals_serial_or(ray_session):
+    """Distributed OR tree-reduce == driver-serial OR, across enough
+    blocks to force interior tree levels; driver sees only refs."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from lighthouse_ray.functions.joins import bloom_or_tree
+
+    nbytes, pbytes = 256, 64
+    rng = np.random.RandomState(5)
+    rows_a = [rng.randint(0, 256, nbytes).astype(np.uint8) for _ in range(40)]
+    rows_b = [rng.randint(0, 256, pbytes).astype(np.uint8) for _ in range(40)]
+    t = pa.table({
+        "bits": pa.array([r.tobytes() for r in rows_a], type=pa.binary()),
+        "pbits": pa.array([r.tobytes() for r in rows_b], type=pa.binary()),
+    })
+    ds = rd.from_arrow(t).repartition(17)  # many blocks -> tree depth > 1
+    bref, pbref = bloom_or_tree(ds, ["bits", "pbits"],
+                                {"bits": nbytes, "pbits": pbytes}, fanin=3)
+    want_a = np.zeros(nbytes, dtype=np.uint8)
+    want_b = np.zeros(pbytes, dtype=np.uint8)
+    for r in rows_a:
+        want_a |= r
+    for r in rows_b:
+        want_b |= r
+    assert np.array_equal(ray.get(bref), want_a)
+    assert np.array_equal(ray.get(pbref), want_b)
+
+    # single-column + empty-input paths
+    (zref,) = bloom_or_tree(rd.from_arrow(t.select(["bits"]).slice(0, 0)),
+                            ["bits"], {"bits": nbytes})
+    assert not ray.get(zref).any()
