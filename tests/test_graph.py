@@ -146,3 +146,66 @@ def test_rolling_user_agg_vs_pandas(ray_session):
     np.testing.assert_array_equal(out["event_id"], ref["event_id"])
     np.testing.assert_allclose(out["running_total"], ref["running_total"], rtol=0, atol=0)
     np.testing.assert_allclose(out["rolling_mean"], ref["rolling_mean"], rtol=1e-15)
+
+
+def test_triangle_degree_relabel_bounds_hub_wedges(ray_session):
+    """VERDICT r4 item 6: a hot LOW-ID hub (star graph + a few leaf
+    edges) generates deg^2/2 wedges under raw id ordering but ~zero
+    under the degree relabel — both counts exact, wedge volume bounded."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lighthouse_ray.functions.graph import triangle_count
+
+    n_leaves = 120
+    # hub id 0 -> leaves 1..n; plus a ring edge between consecutive
+    # leaves, giving exactly n_leaves triangles (hub, i, i+1) incl wrap
+    src = [0] * n_leaves + list(range(1, n_leaves + 1))
+    dst = list(range(1, n_leaves + 1)) + \
+        [i % n_leaves + 1 for i in range(1, n_leaves + 1)]
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array(src, type=pa.int64()),
+        "dst": pa.array(dst, type=pa.int64()),
+    }))
+
+    st_id, st_deg = {}, {}
+    n_id = triangle_count(edges, degree_relabel=False, stats=st_id)
+    n_deg = triangle_count(edges, degree_relabel=True, stats=st_deg)
+    assert n_id == n_deg == n_leaves  # exactness unchanged
+    # raw id order: hub (id 0) pairs all n_leaves higher neighbors
+    assert st_id["wedge_rows"] >= n_leaves * (n_leaves - 1) // 2
+    # degree order: hub ranks highest -> zero hub wedges; leaves have
+    # deg 3, so per-center wedges <= C(3,2)=3 -> total <= 3*(n+1)
+    assert st_deg["wedge_rows"] <= 3 * (n_leaves + 1)
+
+
+def test_triangle_relabel_parity_random_graph(ray_session):
+    """Both orderings agree with a brute-force count on a random graph
+    with duplicate/reversed/self-loop edges thrown in."""
+    import itertools
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lighthouse_ray.functions.graph import triangle_count
+
+    rng = np.random.RandomState(17)
+    m = 260
+    src = rng.randint(0, 40, m)
+    dst = rng.randint(0, 40, m)
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array(src, type=pa.int64()),
+        "dst": pa.array(dst, type=pa.int64()),
+    }))
+    adj = set()
+    for s, d in zip(src, dst):
+        if s != d:
+            adj.add((min(s, d), max(s, d)))
+    want = sum(
+        1 for a, b, c in itertools.combinations(sorted({v for e in adj for v in e}), 3)
+        if (a, b) in adj and (b, c) in adj and (a, c) in adj
+    )
+    assert triangle_count(edges, degree_relabel=True) == want
+    assert triangle_count(edges, degree_relabel=False) == want
