@@ -258,6 +258,7 @@ class IndexReader:
         for f in fields if fields is not None else FIELDS:
             self.doclens(f)
             self._fuzzy_scan_state(f)
+            self._trigram_index(f)
         self.docmeta()
 
     def _fuzzy_scan_state(self, field: str):
@@ -298,19 +299,85 @@ class IndexReader:
                 charmask[lens == 0] = np.uint64(0)
             else:
                 charmask = np.zeros(nd, dtype=np.uint64)
-            packed = (d, lens, offs, data, charmask)
+            # length buckets (VERDICT r4 item 7): candidates must satisfy
+            # |len - n| <= maxd, so a stable length-sort turns the O(V)
+            # per-term length scan into two searchsorteds + a slice
+            len_order = np.argsort(lens, kind="stable").astype(np.int64)
+            len_sorted = lens[len_order]
+            # charmask pre-gathered into length order: the per-query
+            # bucket reads a contiguous slice instead of a bucket-sized
+            # random gather
+            charmask_by_len = charmask[len_order]
+            packed = (d, lens, offs, data, charmask, len_order, len_sorted,
+                      charmask_by_len)
             self._dictionary[key] = packed
         return packed
 
-    def fuzzy_candidates(self, field: str, term: str, maxd: int) -> list[str]:
+    def _trigram_index(self, field: str):
+        """(tri_keys_sorted, tri_term_ids) — the q-gram prefilter sidecar
+        (VERDICT r4 item 7), built once per field, O(vocabulary bytes).
+
+        Each trigram of each term becomes one (packed-3-byte key, term
+        id) row, sorted by key; a query gathers its own trigrams' runs
+        and keeps terms sharing >= max(n, len_c) - 2 - 3*maxd grams —
+        the classic q-gram count bound (q=3): one edit destroys at most
+        q grams, so the bound is a true lower bound and the prefilter
+        can never drop a real match.  Only consulted when the bound is
+        >= 1 (long-enough query terms); short terms use the length
+        bucket + charmask path alone."""
+        if self._dictionary is None:
+            self._dictionary = {}
+        key = ("__tri__", field)
+        packed = self._dictionary.get(key)
+        if packed is None:
+            _d, lens, offs, data, *_ = self._fuzzy_scan_state(field)
+            nd = len(lens)
+            n_tris = np.maximum(lens.astype(np.int64) - 2, 0)
+            total = int(n_tris.sum())
+            if total == 0:
+                packed = (np.array([], dtype=np.uint32), np.array([], dtype=np.int32))
+            else:
+                term_of_tri = np.repeat(np.arange(nd, dtype=np.int64), n_tris)
+                cum = np.concatenate([[0], np.cumsum(n_tris)])
+                pos = np.arange(total, dtype=np.int64) - np.repeat(cum[:-1], n_tris)
+                p0 = offs[:-1][term_of_tri] + pos
+                keys = (
+                    (data[p0].astype(np.uint32) << 16)
+                    | (data[p0 + 1].astype(np.uint32) << 8)
+                    | data[p0 + 2]
+                )
+                order = np.argsort(keys, kind="stable")
+                packed = (keys[order], term_of_tri[order].astype(np.int32))
+            self._dictionary[key] = packed
+        return packed
+
+    def fuzzy_candidates(self, field: str, term: str, maxd: int,
+                         _prefilter: str = "bucket") -> list[str]:
         """Dictionary terms within edit distance ``maxd`` of ``term``, in
         dictionary (sorted) order — vectorized banded Levenshtein DP over
         a padded codepoint matrix of the prefilter survivors (no Python
-        loop over the vocabulary)."""
-        d, lens, offs, data, charmask = self._fuzzy_scan_state(field)
+        loop over the vocabulary).
+
+        Prefilter chain, each step a provable no-false-negative bound
+        (VERDICT r4 item 7 — per-term cost no longer O(V)):
+        1. LENGTH BUCKET: |len - n| <= maxd via two searchsorteds on the
+           length-sorted order (touches only the matching-length slice);
+        2. CHARMASK: >= 1 edit per character class present in only one
+           side — evaluated on the bucket only;
+        3. TRIGRAM COUNT (adaptive): shared q-grams >= max(n, len_c) -
+           2 - 3*maxd via the trigram sidecar — consulted only when the
+           q-gram bound is >= 1 AND the gather is cheaper than the DP
+           it prunes (query-trigram run length vs survivors x n ops;
+           on vocabularies where charmask already cuts to a few k rows
+           the gather would cost more than the DP it saves).
+
+        ``_prefilter="scan"`` keeps the pre-r5 full-vocabulary boolean
+        scan (benchmark baseline / conformance reference only)."""
+        d, lens, offs, data, charmask, len_order, len_sorted, cm_by_len = \
+            self._fuzzy_scan_state(field)
         if len(d) == 0:
             return []
-        sel = np.abs(lens - len(term)) <= maxd
+        n0 = len(term)
         # cheap lower bound: each distinct character class present in one
         # string but not the other costs >= 1 edit -> popcount of the
         # symmetric charmask difference (per side) must stay <= maxd
@@ -318,13 +385,52 @@ class IndexReader:
         qmask = np.uint64(
             np.bitwise_or.reduce(np.uint64(1) << (qcodes.astype(np.uint64) % np.uint64(64)))
         ) if len(qcodes) else np.uint64(0)
-        diff_a = charmask & ~qmask
-        diff_b = ~charmask & qmask
+        if _prefilter == "scan":
+            cand_idx = np.flatnonzero(np.abs(lens - n0) <= maxd)
+            if len(cand_idx) == 0:
+                return []
+            cm = charmask[cand_idx]
+        else:
+            lo = np.searchsorted(len_sorted, n0 - maxd, side="left")
+            hi = np.searchsorted(len_sorted, n0 + maxd, side="right")
+            if hi <= lo:
+                return []
+            cm = cm_by_len[lo:hi]  # contiguous slice, no gather
+        diff_a = cm & ~qmask
+        diff_b = ~cm & qmask
         lb = np.maximum(_popcount64(diff_a), _popcount64(diff_b))
-        sel &= lb <= maxd
-        cand_idx = np.flatnonzero(sel)
+        keep = lb <= maxd
+        if _prefilter == "scan":
+            cand_idx = np.sort(cand_idx[keep])
+        else:
+            # gather original dictionary positions for SURVIVORS only
+            cand_idx = np.sort(len_order[lo:hi][keep])
         if len(cand_idx) == 0:
             return []
+        if _prefilter != "scan" and n0 - 2 - 3 * maxd >= 1:
+            tri_keys, tri_terms = self._trigram_index(field)
+            if len(tri_keys):
+                tb = np.frombuffer(term.encode("utf-8"), dtype=np.uint8)
+                qk = ((tb[:-2].astype(np.uint32) << 16)
+                      | (tb[1:-1].astype(np.uint32) << 8) | tb[2:])
+                los = np.searchsorted(tri_keys, qk, side="left")
+                his = np.searchsorted(tri_keys, qk, side="right")
+                runlen = int((his - los).sum())
+                # adaptive: gather+count costs ~runlen; the DP it could
+                # prune costs ~survivors x n0 band ops — skip when the
+                # gather is the more expensive side
+                if runlen < 2 * len(cand_idx) * n0:
+                    hit = np.concatenate(
+                        [tri_terms[l:h] for l, h in zip(los, his)]
+                    ) if len(qk) else np.array([], dtype=np.int32)
+                    ids, cnts = (np.unique(hit, return_counts=True)
+                                 if len(hit) else (np.array([], dtype=np.int64),
+                                                   np.array([], dtype=np.int64)))
+                    need = np.maximum(n0, lens[ids]) - 2 - 3 * maxd
+                    qual = ids[cnts >= need]
+                    cand_idx = np.intersect1d(cand_idx, qual, assume_unique=False)
+                    if len(cand_idx) == 0:
+                        return []
         n = len(term)
         # the length filter above guarantees every candidate is at most
         # n+maxd chars, so the DP never needs columns past that width;

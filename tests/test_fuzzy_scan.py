@@ -34,6 +34,11 @@ class _FakeReader:
 
         return IndexReader._fuzzy_scan_state(self, field)
 
+    def _trigram_index(self, field):
+        from lighthouse_ray.index.reader import IndexReader
+
+        return IndexReader._trigram_index(self, field)
+
     def fuzzy_candidates(self, field, term, maxd):
         from lighthouse_ray.index.reader import IndexReader
 
@@ -81,3 +86,48 @@ def test_fuzzy_empty_term_and_tiny_vocab():
     assert r.fuzzy_candidates("content", "", 1) == ["a"]
     assert r.fuzzy_candidates("content", "", 2) == ["a", "ab"]
     assert r.fuzzy_candidates("content", "zzzz", 0) == []
+
+
+def test_fuzzy_trigram_prefilter_conformance():
+    """Long query terms route through the trigram q-gram prefilter
+    (n - 2 - 3*maxd >= 1); results must still equal brute force exactly
+    — the q-gram count bound is a true lower bound."""
+    rng = random.Random(21)
+    vocab = set()
+    base_terms = ["tokenizerstage", "spillexchange", "minorcompaction",
+                  "fuzzycandidates", "triangularmatrix"]
+    for b in base_terms:
+        vocab.add(b)
+        for _ in range(200):
+            s = list(b)
+            for _ in range(rng.randint(1, 3)):
+                op = rng.randrange(3)
+                p = rng.randrange(len(s))
+                if op == 0:
+                    s[p] = rng.choice(ALPHA)
+                elif op == 1 and len(s) > 4:
+                    del s[p]
+                else:
+                    s.insert(p, rng.choice(ALPHA))
+            vocab.add("".join(s))
+    # unrelated noise terms of similar lengths
+    for _ in range(3000):
+        vocab.add("".join(rng.choice(ALPHA) for _ in range(rng.randint(10, 18))))
+    r = _FakeReader(sorted(vocab))
+    d = r.field_dictionary("content")
+    for q in base_terms + ["tokenizrestage", "spilexchange", "fuzzycandidatez"]:
+        for maxd in (1, 2):
+            assert len(q) - 2 - 3 * maxd >= 1  # trigram path active
+            got = r.fuzzy_candidates("content", q, maxd)
+            want = [t for t in d if _lev(q, t) <= maxd]
+            assert got == want, (q, maxd)
+
+
+def test_fuzzy_trigram_repeated_grams_safe():
+    """Repeated query trigrams must not over-prune (the searchsorted
+    count OVERcounts shared grams, which is the safe direction)."""
+    vocab = ["aaaaaaaaaaa", "aaaaaaaaaab", "aaaaabaaaaa", "bbbbbbbbbbb"]
+    r = _FakeReader(vocab)
+    got = r.fuzzy_candidates("content", "aaaaaaaaaaa", 2)
+    want = [t for t in sorted(set(vocab)) if _lev("aaaaaaaaaaa", t) <= 2]
+    assert got == want
