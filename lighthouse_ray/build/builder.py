@@ -82,7 +82,7 @@ def build_index(
     os.makedirs(index_dir, exist_ok=True)
     manifest = _load_manifest(index_dir) if resume else {"stages": {}}
     if not resume:
-        for sub in ("docstore", "docmeta", "postings", "segments", "doclens", "dict", "payload", "payload_dfsample", "ordmap", "ordmap_spill"):
+        for sub in ("docstore", "docmeta", "postings", "segments", "doclens", "dict", "payload", "payload_dfsample", "ordmap", "ordmap_spill", "deleted_keys"):
             shutil.rmtree(os.path.join(index_dir, sub), ignore_errors=True)
     # a resume with a different LAYOUT config would mix incompatible
     # partitioning/encoding decisions into one index — refuse loudly.

@@ -279,10 +279,25 @@ def make_finalize_part(index_dir: str, cfg: IndexConfig):
             is_last[-1] = True
             np.logical_or(rc[1:] != rc[:-1], pcs[1:] != pcs[:-1], out=is_last[:-1])
             t = t.filter(pa.array(is_last))
-        # delete routing: Spent(2) / Expired(3) are not indexed
+        # delete routing: Spent(2) / Expired(3) are not indexed.  The
+        # routed WINNER keys are persisted as a `deleted_keys/` sidecar
+        # (delta-sized): an incremental apply reads it to tombstone the
+        # base occurrence — without it, a Spent newest version would
+        # silently leave the STALE older doc live in the delta'd index
+        # while a full rebuild over the same rows drops the key
+        # (full-vs-incremental divergence, caught by the lifecycle bench).
         if cfg.route_deletes:
             live = pc.less(t["bid_state"], 2)
             n_deleted = t.num_rows - int(pc.sum(live).as_py() or 0)
+            if n_deleted:
+                dead = t.filter(pc.invert(live)).select(["repo", "path"])
+                dsink = pa.BufferOutputStream()
+                pq.write_table(dead, dsink, compression="zstd")
+                atomic_write_bytes(
+                    os.path.join(index_dir, "deleted_keys",
+                                 f"part-{part:05d}.parquet"),
+                    dsink.getvalue().to_pybytes(),
+                )
             t = t.filter(live)
         else:
             n_deleted = 0

@@ -129,6 +129,20 @@ class IncrementalIndex:
             build_index(source, delta_dir, dcfg)
             self.state["deltas"].append(rel)
             self.state["next_delta"] = seq + 1
+            # delete-routed winners (Spent/Expired newest version, the
+            # chainquery bid_state delete): the build dropped them from
+            # the delta — tombstone the key so the base occurrence dies
+            # too, exactly like a full rebuild over the same rows
+            # (deleted_keys/ sidecar written by make_finalize_part)
+            dk_dir = os.path.join(delta_dir, "deleted_keys")
+            if os.path.isdir(dk_dir):
+                import pyarrow.dataset as _pads
+
+                dk = _pads.dataset(dk_dir).to_table(columns=["repo", "path"])
+                for repo, path in zip(dk["repo"].to_pylist(),
+                                      dk["path"].to_pylist()):
+                    self.state["tombstones"].append(
+                        {"repo": repo, "path": path, "after_delta": n})
         for repo, path in tombstone_keys or []:
             self.state["tombstones"].append({"repo": repo, "path": path, "after_delta": n})
         self._save()

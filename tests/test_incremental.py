@@ -553,3 +553,56 @@ def test_minor_compact_pins_bm25_params(ray_session, tmp_path):
     ii.minor_compact(weird)
     man = _json.load(open(os.path.join(root, ii.state["deltas"][0], "manifest.json")))
     assert man["config"]["k1"] == CFG.k1 and man["config"]["b"] == CFG.b
+
+
+def _spent_commit(repo, path, salt=0):
+    """A commit whose synthesized bid_state routes to Spent/Expired
+    (h64 % 20 in {18, 19}) — the chainquery delete-by-bid-state case."""
+    import hashlib
+
+    for i in range(30000):
+        # "f"-prefixed so the commit is lexicographically NEWER than any
+        # sha1 commit (LWW picks it as the winner)
+        c = "f" * 32 + f"{salt:04x}{i:04x}"
+        did = hashlib.sha1(f"{repo}\0{path}".encode() + b"\0" + c.encode()).hexdigest()
+        if int(did[:16], 16) % 20 in (18, 19):
+            return c
+    raise AssertionError("no spent commit found")
+
+
+def test_delete_routed_delta_tombstones_base(ray_session, tmp_path):
+    """A delta whose NEWEST version of a key is delete-routed
+    (Spent/Expired bid_state) must kill the base occurrence — exactly
+    like a full rebuild over the same logical rows.  Before r5 the
+    routed winner was silently dropped from the delta and the STALE
+    base doc stayed live (full-vs-incremental divergence found by the
+    lifecycle bench)."""
+    import ray.data as rd
+
+    def corpus_tbl(rows):
+        return pa.table({k: pa.array([r[k] for r in rows], type=pa.string())
+                         for k in ("repo", "path", "commit", "lang", "content")})
+
+    root = str(tmp_path / "root")
+    ii = IncrementalIndex(root, CFG)
+    base = gen_corpus(80).to_pylist()
+    ii.build_base(rd.from_arrow(gen_corpus(80)), CFG)
+    live0 = ii.live_rows()
+    victim = None
+    for r in base:
+        if ((live0["repo"] == r["repo"]) & (live0["path"] == r["path"])).any():
+            victim = r
+            break
+    assert victim is not None
+    spent = _spent_commit(victim["repo"], victim["path"])
+    assert spent > victim["commit"]  # LWW picks the spent version
+    row = dict(victim, commit=spent, content="spent version, should die")
+    ii.apply_delta(rd.from_arrow(corpus_tbl([row])))
+    lr = ii.live_rows()
+    assert not ((lr["repo"] == victim["repo"]) & (lr["path"] == victim["path"])).any()
+    # resurrection by a later live version still works (seg > after_delta)
+    again = dict(victim, commit=_live_commit(victim["repo"], victim["path"], salt=9),
+                 content="alive again after spent")
+    ii.apply_delta(rd.from_arrow(corpus_tbl([again])))
+    lr2 = ii.live_rows()
+    assert ((lr2["repo"] == victim["repo"]) & (lr2["path"] == victim["path"])).sum() == 1
