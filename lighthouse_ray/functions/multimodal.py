@@ -282,6 +282,120 @@ def extract_media_meta(ds, payload_col: str = "payload", id_col: str = "media_id
     )
 
 
+# -- audio: WAV/RIFF (real decode, public spec) --------------------------
+
+AUDIO_META_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("n_bytes", pa.int64()),
+        ("channels", pa.int32()),
+        ("sample_rate", pa.int32()),
+        ("bits_per_sample", pa.int32()),
+        ("n_frames", pa.int64()),
+        ("duration_ms", pa.int64()),
+    ]
+)
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Real RIFF/WAVE parse (public spec): walk chunks to fmt
+    (channels / sample rate / bits) and data (frame count); PCM only.
+    Raises ValueError on anything that is not a well-formed WAV."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos, fmt, data_len = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if cid == b"fmt ":
+            if len(payload) < pos + 24:
+                raise ValueError("truncated WAV fmt chunk")
+            audio_fmt, ch, sr = struct.unpack("<HHI", payload[pos + 8 : pos + 16])
+            (bits,) = struct.unpack("<H", payload[pos + 22 : pos + 24])
+            if audio_fmt != 1:
+                raise ValueError(f"non-PCM WAV (format {audio_fmt})")
+            fmt = (ch, sr, bits)
+        elif cid == b"data":
+            data_len = clen
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data_len is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    ch, sr, bits = fmt
+    frame_bytes = max(1, ch * bits // 8)
+    n_frames = data_len // frame_bytes
+    return {
+        "channels": ch, "sample_rate": sr, "bits_per_sample": bits,
+        "n_frames": n_frames, "duration_ms": n_frames * 1000 // max(sr, 1),
+    }
+
+
+def synth_wav(n_frames: int, channels: int = 1, sample_rate: int = 16000,
+              bits: int = 16, seed: int = 0) -> bytes:
+    """A genuinely valid PCM WAV with deterministic samples; byte size
+    is the closed form ``44 + n_frames * channels * bits/8`` (+1 pad if
+    the data chunk is odd — never with 16-bit) — SQL-mirrorable."""
+    frame_bytes = channels * bits // 8
+    data = _pixel_bytes(n_frames * frame_bytes, seed).tobytes()
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, sample_rate,
+                                sample_rate * frame_bytes, frame_bytes, bits)
+        + b"data" + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+class AudioMetaStage:
+    """Actor-pool stage: WAV payload -> typed audio metadata via the
+    real RIFF parse; strict by default (a malformed payload raises)."""
+
+    def __init__(self, payload_col: str = "payload", id_col: str = "media_id",
+                 strict: bool = True):
+        self.payload_col = payload_col
+        self.id_col = id_col
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.payload_col].to_pylist()
+        ids = batch[self.id_col].to_pylist()
+        cols = {k: [] for k in ("channels", "sample_rate", "bits_per_sample",
+                                "n_frames", "duration_ms")}
+        for p in payloads:
+            try:
+                m = decode_wav(p)
+            except (ValueError, struct.error, IndexError):
+                if self.strict:
+                    raise
+                m = {"channels": 0, "sample_rate": 0, "bits_per_sample": 0,
+                     "n_frames": 0, "duration_ms": 0}
+            for k in cols:
+                cols[k].append(m[k])
+        return pa.table(
+            {
+                "media_id": pa.array([str(i) for i in ids], type=pa.string()),
+                "n_bytes": pa.array([len(p) for p in payloads], type=pa.int64()),
+                "channels": pa.array(cols["channels"], type=pa.int32()),
+                "sample_rate": pa.array(cols["sample_rate"], type=pa.int32()),
+                "bits_per_sample": pa.array(cols["bits_per_sample"], type=pa.int32()),
+                "n_frames": pa.array(cols["n_frames"], type=pa.int64()),
+                "duration_ms": pa.array(cols["duration_ms"], type=pa.int64()),
+            }
+        )
+
+
+def extract_audio_meta(ds, payload_col: str = "payload", id_col: str = "media_id",
+                       concurrency=(1, 4), batch_size: int = 64,
+                       strict: bool = True):
+    return ds.map_batches(
+        AudioMetaStage,
+        fn_constructor_kwargs={"payload_col": payload_col, "id_col": id_col,
+                               "strict": strict},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def frame_sample_stub(payload: bytes, every_n: int = 30) -> list[bytes]:
     """Video frame-sampling stub: deterministic pseudo-frames (hashes of
     byte stripes) standing in for decoded frames — video codecs are the

@@ -2831,6 +2831,68 @@ FROM ch
 """
 
 
+def q_audio_meta(sf_dir: str):
+    """Audio multimodal decode, end-to-end REAL (r5): each doc gets a
+    genuinely valid PCM WAV payload — channels/rate/frames closed forms
+    of doc_id, deterministic samples — and the actor-pool stage
+    extracts metadata by actually walking the RIFF chunks (strict).
+    The oracle mirrors every field as SQL arithmetic; a parser misread
+    diverges."""
+    from ..functions.multimodal import extract_audio_meta, synth_wav
+
+    def to_payload(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = []
+        for d in ids:
+            d = int(d)
+            ch = 1 + d % 2
+            sr = (8000, 16000, 44100)[d % 3]
+            nf = 50 + (d * 11) % 950
+            payloads.append(synth_wav(nf, channels=ch, sample_rate=sr, seed=d))
+        return pa.table({
+            "media_id": pa.array([str(int(d)) for d in ids], type=pa.string()),
+            "payload": pa.array(payloads, type=pa.large_binary()),
+        })
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        to_payload, batch_format="pyarrow"
+    )
+    out = extract_audio_meta(ds, strict=True)
+    return out.map_batches(
+        lambda b: pa.table({
+            "media_id": b["media_id"],
+            "n_bytes": b["n_bytes"],
+            "channels": b["channels"].cast(pa.int64()),
+            "sample_rate": b["sample_rate"].cast(pa.int64()),
+            "bits_per_sample": b["bits_per_sample"].cast(pa.int64()),
+            "n_frames": b["n_frames"],
+            "duration_ms": b["duration_ms"],
+        }),
+        batch_format="pyarrow",
+    )
+
+
+# WAV closed forms: 16-bit PCM, frame_bytes = 2*ch;
+# n_bytes = 44 + nf * 2 * ch; duration_ms = nf * 1000 // sr
+SQL_AUDIO_META = """
+WITH p AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+         1 + doc_id % 2 AS ch,
+         CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS sr,
+         50 + (doc_id * 11) % 950 AS nf
+  FROM documents
+)
+SELECT media_id,
+       CAST(44 + nf * 2 * ch AS BIGINT) AS n_bytes,
+       CAST(ch AS BIGINT) AS channels,
+       CAST(sr AS BIGINT) AS sample_rate,
+       CAST(16 AS BIGINT) AS bits_per_sample,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(nf * 1000 // sr AS BIGINT) AS duration_ms
+FROM p
+"""
+
+
 MINHASH_THRESHOLD = 0.5
 
 
@@ -6259,6 +6321,7 @@ def make_queries() -> dict:
         "knn_graph": q_knn_graph,
         "knn_graph_srp": q_knn_graph_srp,
         "multimodal_meta": q_multimodal_meta,
+        "audio_meta": q_audio_meta,
         "minhash_lsh": q_minhash_lsh,
         "incremental_neardup": q_incremental_neardup,
         "mix_weights": q_mix_weights,
@@ -6378,6 +6441,7 @@ def make_oracle_sql() -> dict:
         "knn_graph": SQL_KNN_GRAPH,
         "knn_graph_srp": SQL_KNN_GRAPH_SRP,
         "multimodal_meta": SQL_MULTIMODAL_META,
+        "audio_meta": SQL_AUDIO_META,
         # minhash: LSH candidates + exact verification == exact SQL;
         # simhash: pigeonhole recall is exactly 1 == exact SQL;
         # ann_ivf: full-probe mode == brute force == the cosine SQL

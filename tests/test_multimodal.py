@@ -111,3 +111,47 @@ def test_unrecognized_raises():
         decode_image(b"PK\x03\x04 definitely a zip")
     with pytest.raises(ValueError):
         decode_image(b"")
+
+
+def test_wav_roundtrip_and_closed_form_size():
+    from lighthouse_ray.functions.multimodal import decode_wav, synth_wav
+
+    for nf, ch, sr in [(1, 1, 8000), (441, 2, 44100), (999, 1, 16000)]:
+        p = synth_wav(nf, channels=ch, sample_rate=sr, seed=nf)
+        m = decode_wav(p)
+        assert m == {"channels": ch, "sample_rate": sr, "bits_per_sample": 16,
+                     "n_frames": nf, "duration_ms": nf * 1000 // sr}
+        assert len(p) == 44 + nf * 2 * ch
+
+
+def test_wav_rejects_malformed():
+    import pytest as _pt
+
+    from lighthouse_ray.functions.multimodal import decode_wav, synth_wav
+
+    with _pt.raises(ValueError):
+        decode_wav(b"RIFFxxxxNOPE")
+    with _pt.raises(ValueError):
+        decode_wav(b"not even riff")
+    # truncated fmt/data: no data chunk found
+    p = synth_wav(10)[:20]
+    with _pt.raises(ValueError):
+        decode_wav(p)
+
+
+def test_audio_stage_distributed(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lighthouse_ray.functions.multimodal import extract_audio_meta, synth_wav
+
+    t = pa.table({
+        "media_id": pa.array(["a", "b"], type=pa.string()),
+        "payload": pa.array([synth_wav(100, 1, 8000), synth_wav(50, 2, 44100)],
+                            type=pa.large_binary()),
+    })
+    out = extract_audio_meta(rd.from_arrow(t), strict=True).to_pandas() \
+        .sort_values("media_id")
+    assert out["n_frames"].tolist() == [100, 50]
+    assert out["channels"].tolist() == [1, 2]
+    assert out["sample_rate"].tolist() == [8000, 44100]
