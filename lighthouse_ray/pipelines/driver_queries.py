@@ -2893,6 +2893,60 @@ FROM p
 """
 
 
+def q_video_meta(sf_dir: str):
+    """Video multimodal decode, container-level REAL (r5): each doc
+    gets a structurally valid metadata-only MP4 (every box length and
+    fixed-point field real) and the actor-pool stage extracts
+    width/height/duration/brand by actually walking the ISO-BMFF boxes
+    (strict).  Sample decode needs codecs this container honestly does
+    not have — the metadata layer is the real thing."""
+    from ..functions.multimodal import extract_video_meta, synth_mp4
+
+    def to_payload(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = []
+        for d in ids:
+            d = int(d)
+            w = 16 * (20 + d % 101)       # 320..1920 step 16
+            h = 16 * (12 + d % 53)        # 192..1024 step 16
+            dur = 500 + (d * 37) % 60000
+            payloads.append(synth_mp4(w, h, dur))
+        return pa.table({
+            "media_id": pa.array([str(int(d)) for d in ids], type=pa.string()),
+            "payload": pa.array(payloads, type=pa.large_binary()),
+        })
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        to_payload, batch_format="pyarrow"
+    )
+    out = extract_video_meta(ds, strict=True)
+    return out.map_batches(
+        lambda b: pa.table({
+            "media_id": b["media_id"],
+            "n_bytes": b["n_bytes"],
+            "width": b["width"].cast(pa.int64()),
+            "height": b["height"].cast(pa.int64()),
+            "duration_ms": b["duration_ms"],
+            "n_tracks": b["n_tracks"].cast(pa.int64()),
+            "brand": b["brand"],
+        }),
+        batch_format="pyarrow",
+    )
+
+
+# synth_mp4 layout is fixed-size (24 ftyp + 16 mdat + 216 moov = 256 B)
+SQL_VIDEO_META = """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(256 AS BIGINT) AS n_bytes,
+       CAST(16 * (20 + doc_id % 101) AS BIGINT) AS width,
+       CAST(16 * (12 + doc_id % 53) AS BIGINT) AS height,
+       CAST(500 + (doc_id * 37) % 60000 AS BIGINT) AS duration_ms,
+       CAST(1 AS BIGINT) AS n_tracks,
+       'isom' AS brand
+FROM documents
+"""
+
+
 MINHASH_THRESHOLD = 0.5
 
 
@@ -6322,6 +6376,7 @@ def make_queries() -> dict:
         "knn_graph_srp": q_knn_graph_srp,
         "multimodal_meta": q_multimodal_meta,
         "audio_meta": q_audio_meta,
+        "video_meta": q_video_meta,
         "minhash_lsh": q_minhash_lsh,
         "incremental_neardup": q_incremental_neardup,
         "mix_weights": q_mix_weights,
@@ -6442,6 +6497,7 @@ def make_oracle_sql() -> dict:
         "knn_graph_srp": SQL_KNN_GRAPH_SRP,
         "multimodal_meta": SQL_MULTIMODAL_META,
         "audio_meta": SQL_AUDIO_META,
+        "video_meta": SQL_VIDEO_META,
         # minhash: LSH candidates + exact verification == exact SQL;
         # simhash: pigeonhole recall is exactly 1 == exact SQL;
         # ann_ivf: full-probe mode == brute force == the cosine SQL

@@ -155,3 +155,42 @@ def test_audio_stage_distributed(ray_session):
     assert out["n_frames"].tolist() == [100, 50]
     assert out["channels"].tolist() == [1, 2]
     assert out["sample_rate"].tolist() == [8000, 44100]
+
+
+def test_mp4_roundtrip():
+    from lighthouse_ray.functions.multimodal import decode_mp4, synth_mp4
+
+    for w, h, d in [(320, 192, 500), (1920, 1024, 59999), (640, 360, 12500)]:
+        p = synth_mp4(w, h, d)
+        m = decode_mp4(p)
+        assert m == {"width": w, "height": h, "n_tracks": 1,
+                     "brand": "isom", "duration_ms": d}
+        assert len(p) == 256  # the oracle's constant
+
+
+def test_mp4_rejects_malformed():
+    import pytest as _pt
+
+    from lighthouse_ray.functions.multimodal import decode_mp4, synth_mp4
+
+    with _pt.raises(ValueError):
+        decode_mp4(b"\x00\x00\x00\x08free")  # no ftyp/moov
+    with _pt.raises(ValueError):
+        decode_mp4(synth_mp4(64, 64, 100)[:40])  # truncated moov
+    with _pt.raises(ValueError):
+        decode_mp4(b"garbage that is not boxes at all!")
+
+
+def test_mp4_64bit_largesize_and_v1_mvhd():
+    """Spec coverage beyond the synthesizer: a box with size==1 uses the
+    64-bit largesize field; mvhd version 1 uses 64-bit duration."""
+    import struct
+
+    from lighthouse_ray.functions.multimodal import decode_mp4, synth_mp4
+
+    base = synth_mp4(128, 64, 2000)
+    # wrap the mdat stub as a largesize box: size=1 + 64-bit size
+    mdat_body = b"\x00" * 8
+    big_mdat = struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16 + len(mdat_body)) + mdat_body
+    ftyp, rest = base[:24], base[24 + 16:]
+    assert decode_mp4(ftyp + big_mdat + rest)["width"] == 128
