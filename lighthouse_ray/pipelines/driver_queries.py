@@ -4685,12 +4685,15 @@ SELECT node AS vec_id, CAST(rank AS BIGINT) AS rank FROM {prev}
 
 def q_triangle_count(sf_dir: str):
     """Exact triangle count of the undirected k-NN graph
-    (functions/graph.py): smallest-endpoint wedge generation counts
-    each triangle exactly once; three spill exchanges, integer
-    output."""
+    (functions/graph.py): lower-endpoint wedge generation counts each
+    triangle exactly once.  A k-NN graph has degree ≤ 2k, so the
+    3-exchange id-order path is used (``degree_relabel=False``) — the
+    degree-ordered relabel (the default, for skewed general graphs)
+    would spend 3 extra exchanges guarding a hub that cannot exist
+    here (SCALE.md triangle row)."""
     from ..functions.graph import triangle_count
 
-    n = triangle_count(_knn_edges(sf_dir))
+    n = triangle_count(_knn_edges(sf_dir), degree_relabel=False)
     return pd.DataFrame({"n_triangles": np.array([n], dtype=np.int64)})
 
 
