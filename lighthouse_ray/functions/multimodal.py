@@ -448,13 +448,11 @@ def decode_mp4(payload: bytes) -> dict:
                     n_tracks += 1
                     for ttyp, ts_, te in _walk_boxes(payload, is_, ie):
                         if ttyp == b"tkhd":
-                            ver = payload[ts_]
-                            off = ts_ + (32 if ver == 0 else 44)
+                            # tkhd width/height are the LAST 8 bytes of
+                            # the box, 16.16 fixed point (same offset
+                            # for version 0 and 1)
                             tw, th = struct.unpack(
                                 ">II", payload[te - 8 : te])
-                            del off
-                            # tkhd width/height are the LAST 8 bytes,
-                            # 16.16 fixed point
                             w = max(w, tw >> 16)
                             h = max(h, th >> 16)
     if brand is None or mvhd is None:
