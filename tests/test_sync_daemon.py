@@ -258,3 +258,45 @@ def test_tombstone_only_first_batch(ray_session, tmp_path):
     assert len(live) == 10
     hits = d.index.search_topk("content", ["import"], k=5)
     assert len(hits) > 0
+
+
+def test_daemon_repeated_minor_folds(ray_session, tmp_path):
+    """ADVICE r4 (high), daemon-level: the maintenance loop must survive
+    MANY minor compactions (the pre-r5 chain-derived generation name
+    corrupted the live merged delta on the 3rd fold).  Four cycles,
+    each bringing a new wave and firing a minor fold (compact_max_deltas
+    tiny, drift threshold huge), then full live-set + search checks."""
+    rows, _ = _source_rows()
+    nbase = len(rows) - 5
+    src = str(tmp_path / "source.parquet")
+    work = str(tmp_path / "work")
+
+    _write_source(src, rows, upto_id=nbase)
+    d = SyncDaemon(work, src, cfg=CFG, delta_cfg=CFG, batch_size=10_000,
+                   compact_max_deltas=1, compact_max_delta_frac=10.0)
+    d.cycle(now=10_000)  # initial snapshot -> base; watermark = 10000
+
+    folds = 0
+    for i in range(4):
+        # wave i lands between the previous cycle's watermark and this
+        # cycle's begin time, so each cycle pulls exactly its own wave
+        extra = {"repo": "orgF/daemon", "path": f"src/f/cycle{i}.py",
+                 "commit": "a" * 39 + str(i), "lang": "py",
+                 "content": f"func daemonFold{i}(): return 'foldcycle{i}'"}
+        rows.append({**extra, "id": nbase + 10 + i,
+                     "modified_at": 10_500 + 1000 * i, "deleted": False})
+        _write_source(src, rows, upto_id=nbase + 10 + i)
+        r = d.cycle(now=11_000 + 1000 * i)
+        assert r["upserts"] == 1
+        if r["compacted"] == "minor":
+            folds += 1
+        # every cycle's docs are all still queryable
+        for j in range(i + 1):
+            hits = d.index.search_topk("content", [f"foldcycle{j}"], k=3)
+            assert len(hits) == 1, (i, j)
+    assert folds >= 3  # the ADVICE scenario: 3+ folds through the daemon
+    # the folded index equals a clean build over the live logical rows
+    live = d.index.live_rows()
+    assert ((live["repo"] == "orgF/daemon")).sum() == 4
+    final = d.index.compact(str(tmp_path / "final"), CFG)
+    assert final is not None
