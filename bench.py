@@ -151,7 +151,8 @@ def run_bench() -> dict:
                      "triangle_count", "rolling_window", "approx_percentiles",
                      "token_entropy", "rollup_counts", "weighted_sample",
                      "linreg_fit", "session_funnel", "collapse_topk",
-                     "boosting_topk"]:
+                     "boosting_topk", "knn_graph_srp", "multimodal_meta",
+                     "audio_meta", "video_meta"]:
             if time.time() - sweep_t0 > budget_s:
                 status[name] = "skipped_budget"
                 continue
