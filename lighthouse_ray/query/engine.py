@@ -497,6 +497,22 @@ class SearchEngine:
             },
         }
 
+    # ------------------------------------------------------------ msearch
+
+    def msearch(self, requests: list[dict]) -> list[dict]:
+        """ES ``_msearch`` analog at the engine level: run each request,
+        isolating failures per item (the serving layer's
+        ``SearchService.msearch`` is the concurrent fan-out version)."""
+        out: list[dict] = []
+        for req in requests:
+            try:
+                out.append({"status": 200, "hits": self.search(**req)})
+            except SearchError as e:
+                out.append({"status": 400, "error": str(e)})
+            except Exception as e:  # noqa: BLE001 — per-item isolation
+                out.append({"status": 500, "error": str(e)})
+        return out
+
     # ------------------------------------------------------------ suggest
 
     SUGGEST_FIELDS = {"name": "name", "desc": "path"}  # title <- path

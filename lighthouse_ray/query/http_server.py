@@ -158,6 +158,60 @@ def make_handler(service, metrics: Metrics):
             self.send_header("Content-Length", "0")
             self.end_headers()
 
+        def do_POST(self):
+            """POST /msearch — the ES ``_msearch`` bulk endpoint: NDJSON
+            body, one JSON object of /search query params per line (ES
+            header lines — empty objects or index/preference-only — are
+            accepted and skipped); responds ``{"responses": [...]}`` with
+            per-item status/error isolation, exactly the ES shape."""
+            start = time.monotonic()
+            path = urlparse(self.path).path
+            error = False
+            try:
+                if path != "/msearch":
+                    error = True
+                    self._send(404, {"error": "404 Not Found"})
+                    return
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n).decode("utf-8", "replace")
+                reqs = []
+                for line in body.splitlines():
+                    line = line.strip()
+                    if not line:
+                        continue
+                    obj = json.loads(line)
+                    if not isinstance(obj, dict):
+                        raise SearchError("msearch lines must be JSON objects")
+                    if not obj or set(obj) <= {"index", "preference"}:
+                        continue  # ES-style header line
+                    reqs.append(obj)
+                if not reqs:
+                    raise SearchError("msearch body has no request lines")
+                kw = [_search_kwargs({k: [str(v)] for k, v in r.items()
+                                      if v is not None}) for r in reqs]
+                responses = []
+                for item, r in zip(service.msearch(kw), reqs):
+                    if item["status"] == 200:
+                        df = item["hits"]
+                        want_score = str(r.get("score", "")).lower() in (
+                            "1", "true", "yes") or str(r.get("debug", "")).lower() in (
+                            "1", "true", "yes")
+                        if not want_score and "score" in df.columns:
+                            df = df.drop(columns=["score"])
+                        responses.append({"status": 200,
+                                          "hits": df.to_dict(orient="records")})
+                    else:
+                        responses.append(item)
+                self._send(200, {"responses": responses})
+            except (json.JSONDecodeError, SearchError) as e:
+                error = True
+                self._send(400, {"error": str(e)})
+            except Exception as e:  # noqa: BLE001
+                error = True
+                self._send(500, {"error": f"internal: {e}"})
+            finally:
+                metrics.observe(path, time.monotonic() - start, error)
+
         def do_GET(self):
             start = time.monotonic()
             url = urlparse(self.path)

@@ -77,6 +77,26 @@ class SearchService:
     def search(self, **kwargs):
         return ray.get(self._pick().search.remote(**kwargs))
 
+    def msearch(self, requests: list[dict]) -> list[dict]:
+        """ES ``_msearch`` analog: submit every request CONCURRENTLY
+        (round-robin across warm replicas — the whole batch is in
+        flight at once, unlike a client-side loop of /search calls)
+        and gather with PER-ITEM error isolation, exactly like ES's
+        per-item ``responses`` array: one bad request yields its own
+        400-shaped entry without failing the batch."""
+        from .engine import SearchError
+
+        refs = [self._pick().search.remote(**req) for req in requests]
+        out: list[dict] = []
+        for ref in refs:
+            try:
+                out.append({"status": 200, "hits": ray.get(ref)})
+            except ray.exceptions.RayTaskError as e:
+                cause = getattr(e, "cause", None) or e
+                bad = isinstance(cause, SearchError)
+                out.append({"status": 400 if bad else 500, "error": str(cause)})
+        return out
+
     def autocomplete(self, **kwargs):
         return ray.get(self._pick().autocomplete.remote(**kwargs))
 

@@ -99,3 +99,45 @@ def test_metrics_exposition(server):
     # error counter reflects the 400/404s driven earlier
     errline = [l for l in text.splitlines() if l.startswith("lighthouse_search_errors ")][0]
     assert int(errline.split()[-1]) >= 3
+
+
+def test_msearch_bulk_endpoint(server):
+    """POST /msearch (ES _msearch analog): NDJSON body with an ES-style
+    header line, two valid searches and one invalid — per-item error
+    isolation, parity with the equivalent GET /search results."""
+    srv = server
+    body = "\n".join([
+        "{}",                                   # ES header line, skipped
+        json.dumps({"s": "import", "size": 3}),
+        json.dumps({"s": "merge segment", "size": 2, "score": True}),
+        json.dumps({"size": 5}),                # invalid: s is required
+    ])
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}/msearch",
+        data=body.encode(),
+        headers={"Content-Type": "application/x-ndjson"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=60) as r:
+        out = json.loads(r.read())
+    rs = out["responses"]
+    assert len(rs) == 3
+    assert rs[0]["status"] == 200 and len(rs[0]["hits"]) == 3
+    assert rs[1]["status"] == 200 and len(rs[1]["hits"]) == 2
+    assert all("score" in h for h in rs[1]["hits"])      # score=True kept
+    assert all("score" not in h for h in rs[0]["hits"])  # default dropped
+    assert rs[2]["status"] == 400 and "required" in rs[2]["error"]
+
+    # parity with the single-search route
+    single = json.loads(urllib.request.urlopen(
+        f"http://127.0.0.1:{srv.port}/search?"
+        + urllib.parse.urlencode({"s": "import", "size": 3}), timeout=60).read())
+    assert rs[0]["hits"] == single
+
+    # empty body is a top-level 400
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}/msearch", data=b"\n",
+        method="POST")
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=30)
+    assert ei.value.code == 400

@@ -150,3 +150,33 @@ def test_completion_suggest(built):
         e.suggest(s=pref, field="nope")
     with _pt.raises(SearchError):
         e.suggest(s=None)
+
+
+def test_msearch_service_and_engine(built, ray_session):
+    """ES _msearch analog: the serving fan-out returns the same
+    per-item results as sequential engine.search, with per-item error
+    isolation at both layers."""
+    from lighthouse_ray.index import IndexReader
+    from lighthouse_ray.query import SearchEngine
+    from lighthouse_ray.query.serving import SearchService
+
+    idx_dir, _eng = built
+    engine = SearchEngine(IndexReader(idx_dir), cache_ttl=0)
+    reqs = [
+        {"s": "import", "size": 3},
+        {"s": "merge segment", "size": 2},
+        {"size": 5},                      # invalid: s required
+        {"s": "import", "size": 10001},   # invalid size (> 10000)
+    ]
+    eng = engine.msearch(reqs)
+    assert [r["status"] for r in eng] == [200, 200, 400, 400]
+    svc = SearchService(idx_dir, num_replicas=2, cache_ttl=0)
+    try:
+        got = svc.msearch(reqs)
+        assert [r["status"] for r in got] == [200, 200, 400, 400]
+        for a, b in zip(eng, got):
+            if a["status"] == 200:
+                assert a["hits"].reset_index(drop=True).equals(
+                    b["hits"].reset_index(drop=True))
+    finally:
+        svc.shutdown()
