@@ -231,9 +231,13 @@ class ShardedSearchService:
 
     # -- /search ------------------------------------------------------------
 
-    def search(self, s: str | None = None, size: int | None = None,
-               from_: int | None = None, sort_by: str | None = None,
-               include: str | None = None, **kwargs) -> pd.DataFrame:
+    def _start_search(self, s: str | None = None, size: int | None = None,
+                      from_: int | None = None, sort_by: str | None = None,
+                      include: str | None = None, **kwargs):
+        """Validate + fire the K-partition fan-out; returns
+        ``(futs, fire, ctx)`` for :meth:`_finish_search` — split out so
+        :meth:`msearch` can put EVERY request's fan-out in flight
+        before gathering any."""
         from .engine import SearchError
 
         if size is not None and size > 10000:
@@ -262,6 +266,43 @@ class ShardedSearchService:
             )
 
         futs = [fire(r) for r in self.replicas]
+        return futs, fire, dict(sort_by=sort_by, inject=inject,
+                                k_from=k_from, k_size=k_size)
+
+    def search(self, **kwargs) -> pd.DataFrame:
+        futs, fire, ctx = self._start_search(**kwargs)
+        return self._finish_search(futs, fire, ctx)
+
+    def msearch(self, requests: list[dict]) -> list[dict]:
+        """ES ``_msearch`` over the range-sharded service: every
+        request's K-partition fan-out is in flight before any gather,
+        with per-item status/error isolation (the ES responses-array
+        contract); each item's merged result is bit-identical to a
+        lone :meth:`search` call."""
+        from .engine import SearchError
+
+        started: list[tuple] = []
+        for req in requests:
+            try:
+                started.append(("ok", self._start_search(**req)))
+            except SearchError as e:
+                started.append(("err", {"status": 400, "error": str(e)}))
+        out: list[dict] = []
+        for kind, v in started:
+            if kind == "err":
+                out.append(v)
+                continue
+            try:
+                out.append({"status": 200, "hits": self._finish_search(*v)})
+            except SearchError as e:
+                out.append({"status": 400, "error": str(e)})
+            except Exception as e:  # noqa: BLE001 — per-item isolation
+                out.append({"status": 500, "error": str(e)})
+        return out
+
+    def _finish_search(self, futs, fire, ctx) -> pd.DataFrame:
+        sort_by, inject = ctx["sort_by"], ctx["inject"]
+        k_from, k_size = ctx["k_from"], ctx["k_size"]
         parts = self._gather_hedged(futs, lambda i: fire(self._hedgers[i]))
         df = pd.concat(parts, ignore_index=True)
         if len(df):

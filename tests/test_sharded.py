@@ -135,3 +135,21 @@ def test_hedged_straggler_parity_and_latency(built):
         assert wall < 2.0, f"hedge did not mask the 3 s straggler (wall={wall:.2f}s)"
     finally:
         svc.shutdown()
+
+
+def test_sharded_msearch_parity_and_isolation(sharded, ray_session):
+    """Sharded _msearch: every item bit-identical to a lone search;
+    invalid items isolated per the ES responses contract."""
+    svc = sharded
+    reqs = [
+        {"s": "import", "size": 4},
+        {"s": "merge segment index", "size": 3},
+        {"size": 2},                        # invalid: s required
+        {"s": "buffer flush", "size": 10001},  # invalid size
+    ]
+    out = svc.msearch(reqs)
+    assert [r["status"] for r in out] == [200, 200, 400, 400]
+    for req, item in zip(reqs, out):
+        if item["status"] == 200:
+            lone = svc.search(**req).reset_index(drop=True)
+            assert item["hits"].reset_index(drop=True).equals(lone)
