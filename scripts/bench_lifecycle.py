@@ -115,12 +115,16 @@ def main() -> int:
     COLS = ["repo", "path", "commit", "lang", "content"]
 
     def with_doc_id(b: pa.Table) -> pa.Table:
-        """Deterministic int64 id per physical row (md5-low63 of
-        repo\\0path\\0commit — unique, layout-independent)."""
+        """Deterministic int64 id per physical ROW (md5-low63 of
+        repo\\0path\\0commit\\0content — layout-independent and unique:
+        the synthetic corpus deliberately repeats (repo,path,commit)
+        triples with different contents as its LWW exercise, so the
+        content must participate or near-dup drops fan out to every
+        row sharing a triple)."""
         import pyarrow.compute as pc
 
         j = pc.binary_join_element_wise(
-            b["repo"], b["path"], b["commit"], "\x00")
+            b["repo"], b["path"], b["commit"], b["content"], "\x00")
         h = np.frombuffer(
             b"".join(hashlib.md5(s.encode()).digest()[8:] for s in j.to_pylist()),
             dtype=">u8",
