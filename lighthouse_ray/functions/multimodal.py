@@ -74,9 +74,13 @@ def decode_png(payload: bytes, verify_pixels: bool = True) -> tuple[int, int, in
             if ctype == b"IEND":
                 break
             pos += 12 + clen  # len + type + data + crc
-        raw = zlib.decompress(bytes(idat))
         bytes_per_px = max(1, (bit_depth * channels) // 8)
         expect = h * (1 + bytes_per_px * w)
+        # decompression-bomb guard: the header fixes the exact raw size,
+        # so never inflate past it — a malicious 1 KB IDAT expanding to
+        # GBs must fail fast instead of filling an ingest actor's heap
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), expect + 1)  # caps inflation
         if len(raw) != expect:
             raise ValueError(f"PNG pixel payload {len(raw)} != expected {expect}")
     return int(w), int(h), channels

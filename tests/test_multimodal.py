@@ -194,3 +194,56 @@ def test_mp4_64bit_largesize_and_v1_mvhd():
     big_mdat = struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16 + len(mdat_body)) + mdat_body
     ftyp, rest = base[:24], base[24 + 16:]
     assert decode_mp4(ftyp + big_mdat + rest)["width"] == 128
+
+
+def test_png_decompression_bomb_bounded():
+    """A tiny IDAT inflating far past the header's raw size must fail
+    fast without materializing the expansion (the ingest-actor DoS
+    guard): 1x1 RGB header + an IDAT that decompresses to 50 MB."""
+    from lighthouse_ray.functions.multimodal import _PNG_SIG, _png_chunk, decode_png
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0)  # expects 4 raw bytes
+    bomb = zlib.compress(b"\x00" * (50 * 1024 * 1024), 9)  # ~50 KB compressed
+    p = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+         + _png_chunk(b"IDAT", bomb) + _png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="pixel payload"):
+        decode_png(p)
+
+
+def test_decoders_fuzz_raise_only_expected_types():
+    """Random/garbled bytes through every decoder must raise ONLY the
+    exception types the strict actor stages catch-and-reraise — nothing
+    a fleet-wide ingest would crash on unexpectedly."""
+    import random
+    import zlib as _z
+
+    from lighthouse_ray.functions.multimodal import (
+        decode_image,
+        decode_mp4,
+        decode_wav,
+        synth_bmp,
+        synth_mp4,
+        synth_png,
+        synth_wav,
+    )
+
+    rng = random.Random(99)
+    seeds = [bytes(rng.randrange(256) for _ in range(rng.randrange(0, 200)))
+             for _ in range(200)]
+    # truncations/corruptions of valid payloads too
+    for maker in (lambda: synth_png(9, 7, 3, 1), lambda: synth_bmp(5, 4, 2),
+                  lambda: synth_wav(30), lambda: synth_mp4(64, 32, 900)):
+        p = maker()
+        for cut in (1, 9, len(p) // 2, len(p) - 3):
+            seeds.append(p[:cut])
+        b = bytearray(p)
+        for i in range(0, len(b), max(1, len(b) // 17)):
+            b[i] ^= 0xFF
+        seeds.append(bytes(b))
+    allowed = (ValueError, _z.error, struct.error, IndexError)
+    for payload in seeds:
+        for fn in (decode_image, decode_wav, decode_mp4):
+            try:
+                fn(payload)
+            except allowed:
+                pass
