@@ -2947,6 +2947,50 @@ FROM documents
 """
 
 
+PERCOLATE_QUERIES = [
+    ("watch_merge", "merge", None),                # bool.must: merge
+    ("watch_hash_join", "hash join", None),        # must: hash AND join
+    ("watch_scan_2of3", "scan filter vector", 2),  # minimum_should_match 2
+    ("watch_sort_key", "sortKey", None),           # analyzer splits camelCase
+]
+
+
+def q_percolate(sf_dir: str):
+    """Percolator (ES percolate query — reverse search, r5): documents
+    stream against STORED queries compiled once per actor; per batch
+    one tokenize pass + a boolean docs x vocab presence matrix, per
+    query a vectorized count-threshold (minimum_should_match;
+    bool.must = all terms).  The camelCase query exercises the
+    code-aware analyzer on the QUERY side too (the ES contract: stored
+    queries are analyzed like documents)."""
+    from ..functions.percolate import percolate
+
+    return percolate(
+        _read(sf_dir, "documents", ["doc_id", "text"]), PERCOLATE_QUERIES
+    )
+
+
+SQL_PERCOLATE = f"""
+WITH qt(query_id, term) AS (VALUES
+  ('watch_merge', 'merge'),
+  ('watch_hash_join', 'hash'), ('watch_hash_join', 'join'),
+  ('watch_scan_2of3', 'scan'), ('watch_scan_2of3', 'filter'),
+  ('watch_scan_2of3', 'vector'),
+  ('watch_sort_key', 'sort'), ('watch_sort_key', 'key')
+), need(query_id, need) AS (VALUES
+  ('watch_merge', 1), ('watch_hash_join', 2),
+  ('watch_scan_2of3', 2), ('watch_sort_key', 2)
+), toks AS (
+  SELECT doc_id, unnest(list_distinct({TOK})) AS term FROM documents
+)
+SELECT q.query_id, t.doc_id, CAST(count(*) AS BIGINT) AS n_matched
+FROM qt q JOIN toks t USING (term)
+JOIN need n ON n.query_id = q.query_id
+GROUP BY q.query_id, t.doc_id, n.need
+HAVING count(*) >= n.need
+"""
+
+
 MINHASH_THRESHOLD = 0.5
 
 
@@ -6380,6 +6424,7 @@ def make_queries() -> dict:
         "multimodal_meta": q_multimodal_meta,
         "audio_meta": q_audio_meta,
         "video_meta": q_video_meta,
+        "percolate": q_percolate,
         "minhash_lsh": q_minhash_lsh,
         "incremental_neardup": q_incremental_neardup,
         "mix_weights": q_mix_weights,
@@ -6501,6 +6546,7 @@ def make_oracle_sql() -> dict:
         "multimodal_meta": SQL_MULTIMODAL_META,
         "audio_meta": SQL_AUDIO_META,
         "video_meta": SQL_VIDEO_META,
+        "percolate": SQL_PERCOLATE,
         # minhash: LSH candidates + exact verification == exact SQL;
         # simhash: pigeonhole recall is exactly 1 == exact SQL;
         # ann_ivf: full-probe mode == brute force == the cosine SQL

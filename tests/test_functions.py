@@ -2182,3 +2182,33 @@ def test_bloom_or_tree_equals_serial_or(ray_session):
     (zref,) = bloom_or_tree(rd.from_arrow(t.select(["bits"]).slice(0, 0)),
                             ["bits"], {"bits": nbytes})
     assert not ray.get(zref).any()
+
+
+def test_percolate_semantics(ray_session):
+    """Reverse search: bool.must, minimum_should_match, analyzer on the
+    query side (camelCase split), empty-match queries, n_matched."""
+    import ray.data as rd
+
+    from lighthouse_ray.functions.percolate import percolate
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array([
+            "import tokenizer merge",          # merge; import
+            "merge the index and the index",   # merge+index (dup terms once)
+            "parser buffer flush buffer",      # 3 distinct of the 2of3 set
+            "nothing relevant here",
+        ]),
+    })
+    out = percolate(rd.from_arrow(docs), [
+        ("must_merge_index", "merge index", None),
+        ("two_of_three", "parser buffer flush", 2),
+        ("camel", "importTokenizer", None),
+        ("never", "zzzabsent", None),
+    ]).to_pandas().sort_values(["query_id", "doc_id"]).reset_index(drop=True)
+    got = list(zip(out["query_id"], out["doc_id"], out["n_matched"]))
+    assert got == [
+        ("camel", 1, 2),             # import + tokenizer (split from camelCase)
+        ("must_merge_index", 2, 2),
+        ("two_of_three", 3, 3),
+    ]
