@@ -141,3 +141,17 @@ def test_msearch_bulk_endpoint(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(req, timeout=30)
     assert ei.value.code == 400
+
+
+def test_post_unknown_path_and_bad_json(server):
+    srv = server
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}/search", data=b"{}", method="POST")
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=30)
+    assert ei.value.code == 404  # POST is only /msearch
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}/msearch", data=b"not json\n", method="POST")
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=30)
+    assert ei.value.code == 400
