@@ -152,7 +152,7 @@ def run_bench() -> dict:
                      "token_entropy", "rollup_counts", "weighted_sample",
                      "linreg_fit", "session_funnel", "collapse_topk",
                      "boosting_topk", "knn_graph_srp", "multimodal_meta",
-                     "audio_meta", "video_meta", "percolate"]:
+                     "audio_meta", "video_meta", "percolate", "video_frames"]:
             if time.time() - sweep_t0 > budget_s:
                 status[name] = "skipped_budget"
                 continue

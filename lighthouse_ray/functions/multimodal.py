@@ -547,12 +547,264 @@ def extract_video_meta(ds, payload_col: str = "payload", id_col: str = "media_id
     )
 
 
-def frame_sample_stub(payload: bytes, every_n: int = 30) -> list[bytes]:
-    """Video frame-sampling stub: deterministic pseudo-frames (hashes of
-    byte stripes) standing in for decoded frames — video codecs are the
-    one modality with no from-scratch path in this container."""
-    n = max(1, len(payload) // (1 << 16))
-    return [
-        hashlib.blake2b(payload[i :: every_n] or b"\0", digest_size=16).digest()
-        for i in range(min(n, 8))
-    ]
+# -- animated GIF: REAL frame decode via from-scratch LZW ----------------
+#
+# GIF's image data is LZW-compressed (GIF89a spec appendix F) — a codec
+# simple enough to implement exactly, which makes frame SAMPLING a real
+# decode path in this container (MP4/AVC sample decode stays honestly
+# out of scope; the GIF path proves the plumbing end-to-end on genuinely
+# compressed frames).
+
+def _lzw_decode(min_code_size: int, data: bytes, expected: int) -> np.ndarray:
+    """GIF-variant LZW: variable code width starting min+1, CLEAR/END
+    codes, dictionary capped at 4096; output bounded by ``expected``
+    (the frame's pixel count — the decompression-bomb guard)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                if len(out) != expected:
+                    raise ValueError(
+                        f"GIF frame decoded {len(out)} px, expected {expected}")
+                return np.frombuffer(bytes(out), dtype=np.uint8)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError(f"bad LZW code {code}")
+            out += entry
+            if len(out) > expected:
+                raise ValueError("GIF frame overruns its descriptor size")
+            # width sync ("early change"): the decoder's table trails the
+            # encoder's next_code by exactly one entry (the encoder adds
+            # per emitted code, the decoder per RECEIVED code starting at
+            # the second), so widen when len+1 reaches 2^width
+            if len(table) + 1 >= (1 << width) and width < 12:
+                width += 1
+            prev = entry
+    raise ValueError("GIF LZW stream ended without END code")
+
+
+def _lzw_encode(min_code_size: int, pixels: np.ndarray) -> bytes:
+    """Real GIF LZW encoder (dictionary + growing code width) —
+    roundtrips against :func:`_lzw_decode`."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    width = min_code_size + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    prev = b""
+    for px in pixels.tobytes():
+        cur = prev + bytes([px])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev])
+        table[cur] = next_code
+        next_code += 1
+        # width sync with the decoder: its table length equals next_code
+        # after consuming the code just emitted, and it widens when that
+        # length reaches 2^width — so the NEXT code must use width+1 now
+        if next_code >= (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4096:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        prev = bytes([px])
+    if prev:
+        emit(table[prev])
+        # the decoder adds a table entry for this final code too and may
+        # widen BEFORE reading END — mirror that virtual entry or END is
+        # written one bit narrower than the decoder reads it (tail-
+        # boundary desync caught on constant-run frames)
+        next_code += 1
+        if next_code >= (1 << width) and width < 12:
+            width += 1
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
+    """Decode EVERY frame of a (possibly animated) GIF to (h, w) uint8
+    palette-index arrays — a true pixel decode via the LZW codec above.
+    Interlaced frames are rejected (the synthesizer never emits them)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    gw, gh = struct.unpack("<HH", payload[6:10])
+    flags = payload[10]
+    pos = 13
+    if flags & 0x80:
+        pos += 3 * (2 << (flags & 7))  # global color table
+    frames: list[np.ndarray] = []
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            _l, _t, fw, fh = struct.unpack("<HHHH", payload[pos + 1 : pos + 9])
+            iflags = payload[pos + 9]
+            pos += 10
+            if iflags & 0x40:
+                raise ValueError("interlaced GIF not supported")
+            if iflags & 0x80:
+                pos += 3 * (2 << (iflags & 7))  # local color table
+            mcs = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos]:
+                n = payload[pos]
+                data += payload[pos + 1 : pos + 1 + n]
+                pos += 1 + n
+            pos += 1
+            px = _lzw_decode(mcs, bytes(data), fw * fh)
+            frames.append(px.reshape(fh, fw))
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+    if not frames:
+        raise ValueError("GIF has no image frames")
+    del gw, gh
+    return frames
+
+
+def synth_gif_animation(width: int, height: int, n_frames: int,
+                        seed: int = 0, palette_bits: int = 4) -> bytes:
+    """A genuinely valid animated GIF89a: global color table, per-frame
+    graphic-control extensions, REAL LZW-compressed frames."""
+    ncol = 1 << palette_bits
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | (palette_bits - 1), 0, 0)
+    pal = _pixel_bytes(3 * ncol, seed ^ 0x5A5A)
+    out += pal.tobytes()
+    for f in range(n_frames):
+        out += b"\x21\xf9\x04\x00\x0a\x00\x00\x00"  # GCE: 10cs delay
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        px = (_pixel_bytes(width * height, seed * 1000 + f) % ncol).astype(np.uint8)
+        mcs = max(2, palette_bits)
+        out.append(mcs)
+        enc = _lzw_encode(mcs, px)
+        for i in range(0, len(enc), 255):
+            chunk = enc[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+class FrameSampleStage:
+    """Actor-pool stage: animated-GIF payloads -> one row per SAMPLED
+    frame (true pixel decode via the LZW codec; strict raises on malformed)."""
+
+    def __init__(self, payload_col: str = "payload", id_col: str = "media_id",
+                 every_n: int = 30, max_frames: int = 8, strict: bool = True):
+        self.payload_col = payload_col
+        self.id_col = id_col
+        self.every_n = every_n
+        self.max_frames = max_frames
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        rows = {k: [] for k in ("media_id", "frame_index", "width", "height",
+                                "pixel_sha256", "mean_index")}
+        for mid, p in zip(ids, batch[self.payload_col].to_pylist()):
+            try:
+                samples = frame_sample(p, self.every_n, self.max_frames)
+            except (ValueError, struct.error, IndexError):
+                if self.strict:
+                    raise
+                samples = []
+            for s in samples:
+                rows["media_id"].append(str(mid))
+                for k in ("frame_index", "width", "height",
+                          "pixel_sha256", "mean_index"):
+                    rows[k].append(s[k])
+        return pa.table({
+            "media_id": pa.array(rows["media_id"], type=pa.string()),
+            "frame_index": pa.array(rows["frame_index"], type=pa.int64()),
+            "width": pa.array(rows["width"], type=pa.int32()),
+            "height": pa.array(rows["height"], type=pa.int32()),
+            "pixel_sha256": pa.array(rows["pixel_sha256"], type=pa.string()),
+            "mean_index": pa.array(rows["mean_index"], type=pa.float64()),
+        })
+
+
+def extract_frame_samples(ds, payload_col: str = "payload",
+                          id_col: str = "media_id", every_n: int = 30,
+                          max_frames: int = 8, concurrency=(1, 4),
+                          batch_size: int = 32, strict: bool = True):
+    """Distributed frame sampling over a binary animated-GIF column."""
+    return ds.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"payload_col": payload_col, "id_col": id_col,
+                               "every_n": every_n, "max_frames": max_frames,
+                               "strict": strict},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def frame_sample(payload: bytes, every_n: int = 30,
+                 max_frames: int = 8) -> list[dict]:
+    """REAL video frame sampling (animated GIF): decode the frames via
+    the LZW codec, keep every ``every_n``-th up to ``max_frames``, and
+    return per-frame metadata + a content digest of the DECODED pixels
+    (not the compressed bytes — proves the decode ran)."""
+    frames = decode_gif_frames(payload)
+    out = []
+    for i in range(0, len(frames), max(1, every_n)):
+        if len(out) >= max_frames:
+            break
+        f = frames[i]
+        out.append({
+            "frame_index": i,
+            "width": int(f.shape[1]),
+            "height": int(f.shape[0]),
+            "pixel_sha256": hashlib.sha256(f.tobytes()).hexdigest(),
+            "mean_index": float(f.mean()),
+        })
+    return out

@@ -2991,6 +2991,57 @@ HAVING count(*) >= n.need
 """
 
 
+def q_video_frames(sf_dir: str):
+    """Animated-frame sampling with a REAL codec (r5): each doc gets a
+    genuinely LZW-compressed animated GIF (from-scratch encoder), the
+    actor-pool stage decodes every frame with the from-scratch LZW
+    decoder and keeps every 3rd — the oracle mirrors the sampled-frame
+    inventory as SQL arithmetic.  Decode authenticity is enforced by
+    construction: the decoder verifies each frame's pixel count against
+    its descriptor, so a codec regression raises and fails the gate."""
+    from ..functions.multimodal import extract_frame_samples, synth_gif_animation
+
+    def to_payload(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = []
+        for d in ids:
+            d = int(d)
+            payloads.append(synth_gif_animation(
+                8 + d % 16, 6 + d % 10, 1 + d % 12, seed=d))
+        return pa.table({
+            "media_id": pa.array([str(int(d)) for d in ids], type=pa.string()),
+            "payload": pa.array(payloads, type=pa.large_binary()),
+        })
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        to_payload, batch_format="pyarrow"
+    )
+    out = extract_frame_samples(ds, every_n=3, max_frames=8, strict=True)
+    return out.map_batches(
+        lambda b: pa.table({
+            "media_id": b["media_id"],
+            "frame_index": b["frame_index"],
+            "width": b["width"].cast(pa.int64()),
+            "height": b["height"].cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+SQL_VIDEO_FRAMES = """
+WITH p AS (
+  SELECT doc_id, 8 + doc_id % 16 AS w, 6 + doc_id % 10 AS h,
+         1 + doc_id % 12 AS nf
+  FROM documents
+)
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(unnest(range(0, nf, 3)) AS BIGINT) AS frame_index,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height
+FROM p
+"""
+
+
 MINHASH_THRESHOLD = 0.5
 
 
@@ -6425,6 +6476,7 @@ def make_queries() -> dict:
         "audio_meta": q_audio_meta,
         "video_meta": q_video_meta,
         "percolate": q_percolate,
+        "video_frames": q_video_frames,
         "minhash_lsh": q_minhash_lsh,
         "incremental_neardup": q_incremental_neardup,
         "mix_weights": q_mix_weights,
@@ -6547,6 +6599,7 @@ def make_oracle_sql() -> dict:
         "audio_meta": SQL_AUDIO_META,
         "video_meta": SQL_VIDEO_META,
         "percolate": SQL_PERCOLATE,
+        "video_frames": SQL_VIDEO_FRAMES,
         # minhash: LSH candidates + exact verification == exact SQL;
         # simhash: pigeonhole recall is exactly 1 == exact SQL;
         # ann_ivf: full-probe mode == brute force == the cosine SQL

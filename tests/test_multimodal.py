@@ -247,3 +247,89 @@ def test_decoders_fuzz_raise_only_expected_types():
                 fn(payload)
             except allowed:
                 pass
+
+
+def test_gif_lzw_roundtrip_and_width_sync():
+    """From-scratch GIF LZW codec: roundtrip across sizes/palettes incl.
+    the 4096-entry dictionary reset, plus the 'early change' width-sync
+    case that desynced a naive decoder ([3,0,0] at min_code_size 2)."""
+    import numpy as np
+
+    from lighthouse_ray.functions.multimodal import _lzw_decode, _lzw_encode
+
+    rng = np.random.RandomState(3)
+    for n in (1, 2, 3, 5, 20, 5000, 60000):
+        for bits in (2, 4, 8):
+            px = rng.randint(0, 1 << bits, n).astype(np.uint8)
+            assert np.array_equal(
+                _lzw_decode(max(2, bits), _lzw_encode(max(2, bits), px), n), px)
+    px = np.asarray([3, 0, 0], dtype=np.uint8)  # the early-change trigger
+    assert np.array_equal(_lzw_decode(2, _lzw_encode(2, px), 3), px)
+    rep = np.tile(np.arange(16, dtype=np.uint8), 40000)  # forces 4096 reset
+    enc = _lzw_encode(4, rep)
+    assert len(enc) < len(rep) // 10  # real compression happened
+    assert np.array_equal(_lzw_decode(4, enc, len(rep)), rep)
+
+
+def test_gif_probe_decodes_independent_encoder():
+    """The 1x1 probe GIF was authored by an INDEPENDENT encoder — our
+    decoder must read its pixel (external validation of the codec)."""
+    import numpy as np
+
+    from lighthouse_ray.functions.multimodal import _PROBE_IMAGE, decode_gif_frames
+
+    fr = decode_gif_frames(_PROBE_IMAGE)
+    assert len(fr) == 1 and fr[0].shape == (1, 1) and fr[0][0, 0] == 0
+
+
+def test_frame_sampling_real_decode(ray_session):
+    """Animated-GIF frame sampling end to end: synth -> LZW decode ->
+    every-Nth sampling, distributed; digests are of DECODED pixels."""
+    import hashlib as _h
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lighthouse_ray.functions.multimodal import (
+        decode_gif_frames,
+        extract_frame_samples,
+        frame_sample,
+        synth_gif_animation,
+    )
+
+    g = synth_gif_animation(31, 17, 9, seed=4)
+    frames = decode_gif_frames(g)
+    assert len(frames) == 9 and frames[0].shape == (17, 31)
+    s = frame_sample(g, every_n=3)
+    assert [x["frame_index"] for x in s] == [0, 3, 6]
+    assert s[0]["pixel_sha256"] == _h.sha256(frames[0].tobytes()).hexdigest()
+
+    t = pa.table({
+        "media_id": pa.array(["a", "b"], type=pa.string()),
+        "payload": pa.array([g, synth_gif_animation(8, 8, 2, seed=5)],
+                            type=pa.large_binary()),
+    })
+    out = extract_frame_samples(rd.from_arrow(t), every_n=3).to_pandas()
+    assert sorted(out[out["media_id"] == "a"]["frame_index"]) == [0, 3, 6]
+    assert sorted(out[out["media_id"] == "b"]["frame_index"]) == [0]
+    with pytest.raises(ValueError):
+        frame_sample(b"not a gif")
+    # frame overrun / truncation caught
+    with pytest.raises(ValueError):
+        decode_gif_frames(g[:40])
+
+
+def test_gif_lzw_constant_run_boundary_sweep():
+    """Constant-run frames hit every code-width boundary INCLUDING the
+    tail case (the decoder adds a table entry for the final data code
+    and may widen before reading END — the encoder must mirror that
+    virtual entry).  Sweep every run length through several width
+    transitions."""
+    import numpy as np
+
+    from lighthouse_ray.functions.multimodal import _lzw_decode, _lzw_encode
+
+    for n in range(1, 1200):
+        px = np.full(n, 8, dtype=np.uint8)
+        assert np.array_equal(_lzw_decode(4, _lzw_encode(4, px), n), px), n
